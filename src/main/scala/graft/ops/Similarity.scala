@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north star). Two tiers:
+  *   - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *     set against the full corpus; O(Q·N·dim) but embarrassingly
+  *     parallel and shuffle-free until the final per-query top-k.
+  *   - [[lshTopK]] — scale path: both sides bucketed by deterministic
+  *     random-hyperplane LSH; candidate generation is an equi-join on
+  *     the bucket id, so the pair count drops from Q·N to Q·bucket size.
+  *
+  * Results round similarity to 4 decimals *before* ranking so ordering is
+  * reproducible across engines/float paths; ties break on corpus id.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each row of `queries` (small,
+    * broadcast) against `corpus`. Excludes self-matches on id equality. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** LSH-bucketed approximate top-k: only candidates sharing a
+    * `nBits`-bit hyperplane signature bucket are scored. With B buckets
+    * the scored-pair count is ~Q·N/B; recall is tuned by lowering nBits
+    * or probing multiple buckets (multi-probe left for the IVF variant).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
+    * buckets: pairs in the same bucket with cosine >= threshold. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nBits).as("bucket"))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A declared query: Spark plan + (optionally) the semantically identical
+  * ANSI SQL the driver runs in DuckDB for the hash-compare (SURVEY §5.2).
+  * Column names match between the two on purpose — the driver sorts
+  * columns by name before hashing.
+  */
+final case class Q(name: String,
+                   run: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+/** Core operator inventory Q1–Q21 (SURVEY §2). Each query re-expresses a
+  * reference behavior (cited in the SURVEY tables) on the driver's
+  * TPC-H-ish test tables. Timestamps in outputs are emitted as epoch
+  * microseconds (`unix_micros` ↔ DuckDB `epoch_us`) so value comparison
+  * is representation-independent.
+  */
+object CoreQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Q1 — positional projection + rename + trim (P1/P2,
+    // reference src/main_01.py:334-364).
+    Q("q01_project_trim",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        trim(col("l_returnflag")).as("returnflag"),
+        col("l_quantity").as("quantity")),
+      Some("""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             |trim(l_returnflag) AS returnflag, l_quantity AS quantity
+             |FROM lineitem""".stripMargin)),
+
+    // Q2 — short-row filter ≅ non-null key columns (P3,
+    // reference src/main_01.py:403-405).
+    Q("q02_nonnull_keys",
+      (s, d) => Tables.lineitem(s, d)
+        .transform(Filters.nonNullKeys(Seq("l_orderkey", "l_partkey", "l_suppkey")))
+        .select(col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey"),
+          col("l_suppkey").as("suppkey"), col("l_linenumber").as("linenumber")),
+      Some("""SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+             |l_suppkey AS suppkey, l_linenumber AS linenumber FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+             |AND l_suppkey IS NOT NULL""".stripMargin)),
+
+    // Q3 — the desligado-shaped compound predicate: suffix test +
+    // coalesce(cast) numeric threshold (P4, reference src/main_01.py:439-458).
+    Q("q03_compound_predicate",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type").endsWith("ck") &&
+          coalesce(col("value").cast("double"), lit(0.0)) >= 200.0)
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_type LIKE '%ck' AND coalesce(value, 0) >= 200""".stripMargin)),
+
+    // Q4 — anti-join gate: keep only keys absent from the other side
+    // (P5/J2, reference src/main_01.py:460-473).
+    Q("q04_anti_join",
+      (s, d) => Tables.customer(s, d).join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name")),
+      Some("""SELECT c_custkey AS custkey, c_name AS name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // Q5 — regex format filter (P6, reference src/tms_exporter.py:46-49).
+    Q("q05_regex_filter",
+      (s, d) => Tables.events(s, d)
+        .transform(Filters.matching("props", "\"k\": \\d{2}\\}"))
+        .select("event_id", "props"),
+      Some("""SELECT event_id, props FROM events
+             |WHERE regexp_matches(props, '"k": \d{2}\}')""".stripMargin)),
+
+    // Q6 — top-2 recent months drive a semi-join-pruned read (P8+O2,
+    // reference src/main_02.py:226-232 / src/tms_exporter.py:77-81).
+    Q("q06_topk_month_semi",
+      (s, d) => {
+        val top2 = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("month")).limit(2).select("month")
+        Tables.lineitem(s, d)
+          .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .join(broadcast(top2), Seq("month"), "left_semi")
+          .groupBy("month")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS c
+             |FROM orders GROUP BY 1 ORDER BY c DESC, month LIMIT 2)
+             |SELECT month, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_quantity FROM lineitem)
+             |WHERE month IN (SELECT month FROM m) GROUP BY 1""".stripMargin)),
+
+    // Q7 — recency window relative to the data's own max timestamp (P10,
+    // reference src/main_02.py:887-891).
+    Q("q07_recency_window",
+      (s, d) => Tables.events(s, d)
+        .transform(Filters.withinOfMax("ts", "24 HOURS"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id")),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+             |WHERE ts > (SELECT max(ts) - INTERVAL 24 HOURS FROM events)""".stripMargin)),
+
+    // Q8 — existence probe as a LEFT SEMI join (J1,
+    // reference src/main_01.py:235-253).
+    Q("q08_semi_join",
+      (s, d) => Tables.lineitem(s, d).join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber")),
+      Some("""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    // Q9 — dimension enrichment chain with broadcast joins (J3,
+    // reference src/main_01.py:60-66): fact ⨝ supplier ⨝ nation ⨝ region.
+    Q("q09_dim_join_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")),
+      Some("""SELECT r_name AS region, n_name AS nation, count(*) AS n,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Q10 — full-outer alignment of two derived monthly sets (J4,
+    // reference src/main_02.py:158-183).
+    Q("q10_full_outer_months",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("o_cnt"))
+        val l = Tables.lineitem(s, d)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("l_cnt"))
+        o.join(l, Seq("month"), "full_outer").select("month", "o_cnt", "l_cnt")
+      },
+      Some("""SELECT coalesce(a.month, b.month) AS month, a.o_cnt, b.l_cnt FROM
+             |(SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS o_cnt
+             | FROM orders GROUP BY 1) a
+             |FULL JOIN
+             |(SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS l_cnt
+             | FROM lineitem GROUP BY 1) b
+             |ON a.month = b.month""".stripMargin)),
+
+    // Q11 — the signature operator: keyed last-writer-wins merge (U1,
+    // reference src/main_01.py:255-305), deterministic tiebreak.
+    Q("q11_lww_merge",
+      (s, d) => Tables.events(s, d)
+        .transform(Merge.lastWriterWins(Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc)))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id")),
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, value, event_id
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    // Q12 — set dedup (U2, reference src/tms_exporter.py:50).
+    Q("q12_distinct",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority").as("priority")).distinct(),
+      Some("SELECT DISTINCT o_orderpriority AS priority FROM orders")),
+
+    // Q13 — conditional success/error counters (A1,
+    // reference src/main_01.py:366-437).
+    Q("q13_conditional_counts",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_quantity") > 25, 1)).as("n_highqty"),
+          count(when(col("l_discount") === 0, 1)).as("n_nodisc")),
+      Some("""SELECT l_returnflag AS returnflag, count(*) AS n,
+             |count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_highqty,
+             |count(CASE WHEN l_discount = 0 THEN 1 END) AS n_nodisc
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Q14 — per-month × per-status summary with size sum (A2/A3,
+    // reference src/main_02.py:823-900).
+    Q("q14_month_summary",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+             |count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // Q15 — success-rate ratio of conditional sums (A5, TPC-H Q14 shape,
+    // reference src/tms_colector.py:293-299).
+    Q("q15_promo_ratio",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct")),
+      Some("""SELECT round(100.0 *
+             |sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+             |sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // Q16 — totals rollup (A6, reference src/main_01.py:1141-1163).
+    // Expressed via spark.sql: the Column-API rollup trips Spark's
+    // DetectAmbiguousSelfJoin false positive when stacked on joins; the
+    // SQL route builds the identical Aggregate(Expand(...)) plan.
+    Q("q16_rollup",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name AS nation, o_orderstatus AS status, count(1) AS n
+                |FROM g_orders
+                |JOIN g_customer ON o_custkey = c_custkey
+                |JOIN g_nation ON c_nationkey = n_nationkey
+                |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin)
+      },
+      Some("""SELECT n_name AS nation, o_orderstatus AS status, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin)),
+
+    // Q17 — total-order sort with explicit global position (O1,
+    // reference src/main_01.py:329-331). Position via single-partition
+    // window is fine on aggregate-sized output; see TopK scaladoc.
+    Q("q17_total_order",
+      (s, d) => Tables.events(s, d)
+        .transform(TopK.withPosition(Seq(col("ts").desc, col("event_id")), "pos"))
+        .select(col("pos").cast("long").as("pos"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value")),
+      Some("""SELECT row_number() OVER (ORDER BY ts DESC, event_id) AS pos,
+             |event_id, epoch_us(ts) AS ts_us, user_id, value FROM events""".stripMargin)),
+
+    // Q18 — top-k per group (O2, reference src/main_02.py:226-232):
+    // top-3 busiest days per event type.
+    Q("q18_topk_per_group",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .transform(TopK.perGroup(Seq("event_type"), Seq(col("n").desc, col("day")), 3)),
+      Some("""WITH dcount AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |count(*) AS n FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n FROM (SELECT *, row_number() OVER
+             |(PARTITION BY event_type ORDER BY n DESC, day) AS rk FROM dcount)
+             |WHERE rk <= 3""".stripMargin)),
+
+    // Q19 — union + dedup of derived sets (SET1,
+    // reference src/main_02.py:241).
+    Q("q19_union_distinct",
+      (s, d) => Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .union(Tables.lineitem(s, d).select(date_format(col("l_shipdate"), "yyyy-MM")))
+        .union(Tables.events(s, d).select(date_format(col("ts"), "yyyy-MM")))
+        .distinct(),
+      Some("""SELECT DISTINCT month FROM (
+             |SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+             |UNION ALL SELECT strftime(l_shipdate, '%Y-%m') FROM lineitem
+             |UNION ALL SELECT strftime(ts, '%Y-%m') FROM events)""".stripMargin)),
+
+    // Q20a — scalar-function gauntlet, string half (§2.8): trim / split /
+    // translate / upper / endswith / rlike / regexp_extract / cast.
+    Q("q20_scalar_text",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(trim(col("text")), 1, 30).as("head"),
+        split(trim(col("text")), "\\s+").getItem(0).as("tok0"),
+        translate(col("lang"), "aeiou", "AEIOU").as("lang_t"),
+        upper(col("source")).as("src_u"),
+        col("text").endsWith("n").as("ends_n"),
+        col("text").rlike("merge\\s+join").as("has_mj"),
+        regexp_extract(col("source"), "(\\d+)", 1).as("src_num"),
+        round(col("n_chars").cast("double") / 100.0, 4).as("chars_h")),
+      Some("""SELECT doc_id, substr(trim(text), 1, 30) AS head,
+             |string_split_regex(trim(text), '\s+')[1] AS tok0,
+             |translate(lang, 'aeiou', 'AEIOU') AS lang_t,
+             |upper(source) AS src_u,
+             |ends_with(text, 'n') AS ends_n,
+             |regexp_matches(text, 'merge\s+join') AS has_mj,
+             |regexp_extract(source, '(\d+)', 1) AS src_num,
+             |round(cast(n_chars AS DOUBLE) / 100.0, 4) AS chars_h
+             |FROM documents""".stripMargin)),
+
+    // Q20b — scalar gauntlet, date half (§2.8): date_format / add_months
+    // (the reference's correct previous-month algorithm,
+    // src/tms_exporter.py:18-29) / translate / extract.
+    Q("q20_scalar_date",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy.MM").as("ym_dot"),
+        date_format(add_months(col("ts").cast("date"), -1), "yyyy-MM").as("prev_month"),
+        translate(date_format(col("ts"), "yyyy.MM"), ".", "/").as("ym_slash"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h")),
+      Some("""SELECT event_id, strftime(ts, '%Y.%m') AS ym_dot,
+             |strftime(ts - INTERVAL 1 MONTH, '%Y-%m') AS prev_month,
+             |translate(strftime(ts, '%Y.%m'), '.', '/') AS ym_slash,
+             |cast(day(ts) AS BIGINT) AS d, cast(hour(ts) AS BIGINT) AS h
+             |FROM events""".stripMargin)),
+
+    // Q21 — 7-row rolling average per key (§2.9 frame-spec windows).
+    Q("q21_rolling_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, 0)
+        Tables.events(s, d)
+          .withColumn("roll_avg", round(avg("value").over(w), 4))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("roll_avg"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+             |FROM events""".stripMargin))
+  )
+}

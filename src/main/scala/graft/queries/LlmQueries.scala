@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators (north star): dedup family,
+  * similarity search, text analysis, fingerprinting — each a first-class
+  * `queries()` entry over `documents` / `embeddings`. SQL-expressible ones
+  * carry a DuckDB oracle; the hash-based ones (minhash/simhash/LSH use
+  * Spark's xxhash64, which DuckDB lacks) get the driver's rows-only check.
+  */
+object LlmQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup: content-hash groupBy — the canonical first pass of a
+    // web-scale corpus pipeline. One shuffle on md5(text).
+    Q("q22_dedup_exact",
+      (s, d) => Tables.documents(s, d).transform(Dedup.exact("doc_id", "text")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             |count(*) AS n_dupes FROM documents GROUP BY 1""".stripMargin)),
+
+    // Token statistics: whitespace token count + distinct-token count.
+    Q("q23_token_stats",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_uniq")),
+      Some("""SELECT doc_id,
+             |cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq
+             |FROM documents""".stripMargin)),
+
+    // Quality scoring: length / mean token length / stopword ratio.
+    Q("q24_quality_score",
+      (s, d) => {
+        val qs = TextFunctions.qualityStruct(col("text"), stopwords)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          qs.getField("n_tokens").cast("long").as("n_tokens"),
+          qs.getField("mean_token_len").as("mean_token_len"),
+          qs.getField("stopword_ratio").as("stopword_ratio"))
+      },
+      Some("""SELECT doc_id,
+             |cast(len(w) AS BIGINT) AS n_tokens,
+             |round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4) AS mean_token_len,
+             |round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w), 4) AS stopword_ratio
+             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin)),
+
+    // Language-ID heuristic: stopword-hit argmax across candidate
+    // languages (ties resolved identically on both sides).
+    Q("q25_langid",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred")),
+      Some("""SELECT doc_id, CASE WHEN mx = 0 THEN 'und'
+             |WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred FROM (
+             |SELECT doc_id, greatest(h_de, h_en, h_es, h_fr) AS mx, h_de, h_en, h_es, h_fr FROM (
+             |SELECT doc_id,
+             |len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)))""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index —
+    // the oracle-checkable ground truth the MinHash variant approximates.
+    Q("q26_ngram_jaccard",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03""".stripMargin)),
+
+    // MinHash + LSH banding near-dup (rows-only check: DuckDB lacks
+    // Spark's xxhash64). 32 perms, 8 bands × 4 rows.
+    Q("q27_minhash_lsh",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.03)),
+      None),
+
+    // SimHash near-dup (rows-only check).
+    Q("q28_simhash_pairs",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.simhashPairs("doc_id", "text", 16)),
+      None),
+
+    // Brute-force cosine top-k — the exact ANN baseline. Query set =
+    // every 50th vector; k = 5; rank on rounded sim for cross-engine
+    // determinism.
+    Q("q29_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |  round(list_dot_product(qv, cv) /
+             |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+             |  FROM c, q WHERE neighbor_id <> query_id)
+             |SELECT query_id, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+             |WHERE rk <= 5""".stripMargin)),
+
+    // LSH-bucketed approximate top-k — the 100 TB scale path
+    // (rows-only check: bucket ids derive from xxhash64).
+    Q("q30_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5, nBits = 4)
+      },
+      None),
+
+    // Document fingerprinting: md5 window signatures, one row per window.
+    Q("q31_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), posexplode(
+          TextFunctions.windowFingerprints(col("text"), col("n_chars"))))
+        .select(col("doc_id"), col("pos").cast("long").as("win_idx"),
+          col("col").as("fp")),
+      Some("""SELECT doc_id, win_idx, md5(substr(text, cast(win_idx * 100 + 1 AS INT), 50)) AS fp
+             |FROM (SELECT doc_id, text,
+             |  unnest(range(greatest((n_chars - 1) // 100, 0) + 1)) AS win_idx
+             |  FROM documents WHERE n_chars > 0)""".stripMargin))
+  )
+}
