@@ -63,13 +63,17 @@ object Dedup {
                      (df: DataFrame): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val numBands = numPerms / rowsPerBand
-    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // minhash vector: for each perm p, min over shingles of xxhash64(s, p)
-    val sigs = withSh.select(col("doc"),
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        p => aggregate(col("sh"), lit(Long.MaxValue),
-          (acc, s) => least(acc, xxhash64(s, p)))).as("sig"))
+    // Minhash via explode → hash-aggregate (one min per permutation):
+    // stays in whole-stage codegen, unlike a per-row higher-order
+    // `aggregate` over the shingle array (which is interpreted and was
+    // ~25× slower). Same semantics: min over distinct shingles of
+    // xxhash64(shingle, perm).
+    val exploded = df
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+    val minAggs = (0 until numPerms).map(p => min(xxhash64(col("s"), lit(p))).as(s"h$p"))
+    val sigs = exploded.groupBy("doc")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc"), array((0 until numPerms).map(p => col(s"h$p")): _*).as("sig"))
     val bands = sigs.select(col("doc"), col("sig"),
         posexplode(array((0 until numBands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
@@ -91,9 +95,25 @@ object Dedup {
     * chunks (docs within Hamming distance 3 of each other collide on at
     * least one chunk — pigeonhole), verify with exact Hamming distance.
     */
+  /** Distributed simhash signatures via explode → 64 codegen'd
+    * conditional-sum aggregates (same bit semantics as
+    * [[graft.functions.TextFunctions.simhash]], which is the single-pass
+    * per-row variant for narrow inputs). */
+  def simhashSignatures(idCol: String, textCol: String)(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    toks.groupBy("doc").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
+  }
+
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3)
                   (df: DataFrame): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sim"))
+    val sh = simhashSignatures(idCol, textCol)(df)
     val chunks = sh.select(col("doc"), col("sim"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -30,13 +30,29 @@ object Filters {
     */
   def poweredOff(shiftCol: String, runningCol: String, stoppedCol: String,
                  stoppedMin: Double): Column =
-    col(shiftCol).endsWith(".C") &&
-      numOrZero(runningCol) === 0.0 &&
-      numOrZero(stoppedCol) >= stoppedMin
+    // coalesce(false): unparseable input makes the comparison NULL; the
+    // reference's swallowed exception means "definitely not powered off",
+    // and a three-valued NULL here would poison negation (`!pred` in the
+    // import gate must keep the row, not drop it from both branches).
+    coalesce(
+      col(shiftCol).endsWith(".C") &&
+        pyFloatOrZero(runningCol) === 0.0 &&
+        pyFloatOrZero(stoppedCol) >= stoppedMin,
+      lit(false))
 
-  /** `float(x or 0)` from reference src/main_01.py:447-449. */
+  /** `float(x or 0)` from reference src/main_01.py:447-449, with the
+    * reference's exception behavior preserved: empty/null → 0.0 (the
+    * `or 0` arm) but *unparseable* text → null, so any comparison on it
+    * is false — matching the reference's swallowed ValueError making the
+    * whole predicate False (src/main_01.py:457-458). A plain
+    * `coalesce(cast, 0)` would wrongly treat 'abc' as 0. */
+  def pyFloatOrZero(c: String): Column =
+    when(col(c).isNull || trim(col(c)) === "", lit(0.0))
+      .otherwise(col(c).try_cast("double")) // ANSI-safe: malformed → null
+
+  /** Lenient numeric coercion: anything unparseable → 0.0. */
   def numOrZero(c: String): Column =
-    coalesce(col(c).cast("double"), lit(0.0))
+    coalesce(col(c).try_cast("double"), lit(0.0))
 
   /** P6 — regex format filter (reference src/tms_exporter.py:46-49:
     * keep month keys matching `\d{4}\.\d{2}`). */

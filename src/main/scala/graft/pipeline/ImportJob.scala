@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.ingest.{LoomCsv, LoomSchema}
+import graft.ops.{Filters, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL jobs re-expressed as Spark pipelines (SURVEY §2.12,
+  * §3.2). Each job is a pure function producing a DataFrame (plus an
+  * explicit write step), so the D1 "full ETL" DAG is function composition.
+  */
+object ImportJob {
+
+  /** §7.2 minimum slice — the Spark rendition of `run_import_only`
+    * (reference src/main_01.py:1191-1262):
+    *
+    * read CSVs → normalize/project → short-row filter → optional
+    * desligado anti-join gate → last-writer-wins merge on the PK.
+    *
+    * `applyPoweredOffGate = true` gives main_01–04 semantics (skip
+    * powered-off `.C` rows already present in the sink); `false` gives
+    * main_05 semantics (plain upsert of every row) — the reference
+    * dropped the filter in its final iteration (SURVEY §8).
+    *
+    * At scale: one shuffle for the merge window (same key as the sink
+    * write partitioning) and a broadcast-able anti-join on sink keys.
+    */
+  def importCsvTree(spark: SparkSession, root: String,
+                    sinkKeys: Option[DataFrame] = None,
+                    applyPoweredOffGate: Boolean = true): DataFrame = {
+    val parsed = LoomCsv.normalize(LoomCsv.readWithFallback(spark, root))
+      .withColumn("__file", input_file_name())
+    val gated = (sinkKeys, applyPoweredOffGate) match {
+      case (Some(sink), true) =>
+        // P4+P5: drop powered-off rows whose key already exists in the sink
+        // (reference src/main_01.py:460-473) — anti-join restricted to the
+        // desligado subset, union back the rest.
+        val off = parsed.filter(Filters.poweredOff("DataTurno", "Funcionando", "Parado", 400.0))
+          .join(broadcast(sink.select(LoomSchema.primaryKey.map(col): _*).distinct()),
+            LoomSchema.primaryKey, "left_anti")
+        parsed.filter(!Filters.poweredOff("DataTurno", "Funcionando", "Parado", 400.0))
+          .unionByName(off)
+      case _ => parsed
+    }
+    // U1: last-writer-wins on (DataTurno, Tear); tiebreak pinned to file
+    // path (deterministic, unlike the reference's arrival order — SURVEY
+    // §7.4 risk 1).
+    Merge.lastWriterWins(LoomSchema.primaryKey, Seq(col("__file").desc))(gated)
+      .drop("__file")
+  }
+
+  /** Full merge into an existing sink table (incoming wins). */
+  def mergeIntoSink(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Merge.upsert(existing, incoming, LoomSchema.primaryKey,
+      Seq(monotonically_increasing_id().desc))
+}
+
+/** A2 — per-month × per-type file/row summary
+  * (reference src/main_02.py:823-900 `get_csv_summary`). */
+object SummaryJob {
+  def summarize(df: DataFrame): DataFrame =
+    df.groupBy("month", "dataset_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("DataTurno")).as("n_shifts"),
+        countDistinct(col("Tear")).as("n_looms"))
+}
+
+/** S11 — retention: keep only months within the horizon
+  * (reference src/main_01.py:1373-1409 deletes CSVs older than 30 days;
+  * here it is a partition-drop predicate, resolved at planning time so
+  * excluded partitions are never read). */
+object RetentionJob {
+  def retain(df: DataFrame, minMonth: String): DataFrame =
+    df.filter(col("month") >= minMonth)
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/tokenCount: whitespace splitting of trimmed text") {
+    val df = Seq("  a b   c ", "one").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq === Seq(3, 1))
+  }
+
+  test("shingles: n-grams have size-n+1 entries, dedup'd, short docs empty") {
+    val df = Seq("a b c d", "a b", "x x x x").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("stopwordHits and qualityStruct components") {
+    val df = Seq("the cat of the hat").toDF("text")
+    val hits = df.select(TextFunctions.stopwordHits(col("text"), Seq("the", "of")).as("h"))
+    assert(hits.as[Int].head() === 3)
+    val q = df.select(TextFunctions.qualityStruct(col("text"), Seq("the", "of")).as("q"))
+      .select("q.n_tokens", "q.mean_token_len", "q.stopword_ratio")
+      .as[(Int, Double, Double)].head()
+    assert(q._1 === 5)
+    assert(q._2 === 2.8) // (3+3+2+3+3)/5
+    assert(q._3 === 0.6)
+  }
+
+  test("simhash: per-row expression equals distributed explode/groupBy variant") {
+    val docs = Seq((0L, "spark shuffles data across the cluster"),
+      (1L, "spark shuffles data across the network"),
+      (2L, "completely different words entirely here")).toDF("doc_id", "text")
+    val perRow = docs.select(col("doc_id").as("doc"),
+      TextFunctions.simhash(col("text")).as("sim"))
+    val dist = Dedup.simhashSignatures("doc_id", "text")(docs)
+    assert(perRow.exceptAll(dist).count() === 0 && dist.exceptAll(perRow).count() === 0)
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance, unrelated far") {
+    val docs = Seq((0L, "spark shuffles data across the cluster every stage"),
+      (1L, "spark shuffles data across the cluster every night"),
+      (2L, "quantum turnips sing opera under crimson moonlight")).toDF("doc_id", "text")
+    val sims = Dedup.simhashSignatures("doc_id", "text")(docs)
+      .orderBy("doc").as[(Long, Long)].collect().map(_._2)
+    val near = java.lang.Long.bitCount(sims(0) ^ sims(1))
+    val far = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("langId: picks the language with most stopword hits, 'und' when none") {
+    val df = Seq("the cat is that of a hat and", "der hund ist nicht ein und",
+      "zzz qqq www").toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "und"))
+  }
+
+  test("windowFingerprints: one md5 per 100-char window") {
+    val text = "x" * 250
+    val df = Seq((text, 250L)).toDF("text", "n_chars")
+      .select(TextFunctions.windowFingerprints(col("text"), col("n_chars")).as("fp"))
+    val fps = df.as[Seq[String]].head()
+    assert(fps.size === 3)
+    assert(fps.forall(_.length === 32))
+    assert(fps(0) === fps(1)) // identical windows hash identically
+  }
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f, 0.0f)),
+    (2L, Seq(2.0f, 0.0f, 0.0f)),
+    (3L, Seq(1.0f, 1.0f, 0.0f))
+  ).toDF("id", "v")
+
+  test("dot, norm, cosine, l2 on known vectors") {
+    val row = vecs.filter(col("id") === 3)
+      .select(
+        VectorFunctions.dot(col("v"), col("v")).as("d"),
+        VectorFunctions.norm(col("v")).as("n"),
+        VectorFunctions.l2(col("v"), array(lit(0.0f), lit(0.0f), lit(0.0f))).as("l"))
+      .as[(Double, Double, Double)].head()
+    assert(row._1 === 2.0)
+    assert(math.abs(row._2 - math.sqrt(2)) < 1e-12)
+    assert(math.abs(row._3 - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine: orthogonal → 0, parallel → 1 regardless of magnitude") {
+    val a = vecs.filter(col("id") === 0).select(col("v").as("a"))
+    val cross = a.crossJoin(vecs)
+      .select(col("id"), round(VectorFunctions.cosine(col("a"), col("v")), 10).as("c"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    assert(cross(0) === 1.0) // self
+    assert(cross(1) === 0.0) // orthogonal
+    assert(cross(2) === 1.0) // parallel, scaled
+    assert(math.abs(cross(3) - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+
+  test("lshBucket: deterministic, parallel vectors share a bucket") {
+    val b = vecs.select(col("id"), VectorFunctions.lshBucket(col("v"), 6).as("b"))
+      .orderBy("id").as[(Long, Long)].collect().map(_._2)
+    val b2 = vecs.select(col("id"), VectorFunctions.lshBucket(col("v"), 6).as("b"))
+      .orderBy("id").as[(Long, Long)].collect().map(_._2)
+    assert(b.toSeq === b2.toSeq)           // reproducible with no stored model
+    assert(b(0) === b(2))                  // v and 2v project identically
+    assert(b.forall(x => x >= 0 && x < 64)) // 6 bits
+  }
+}

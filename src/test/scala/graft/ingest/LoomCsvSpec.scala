@@ -1,0 +1,111 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.pipeline.ImportJob
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Reference-shaped CSV fixtures (FIXTURES.md §B) generated into a temp
+  * tree, exercising S1–S5 + P1–P5 + U1 edge semantics. */
+class LoomCsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 71-column positional row. */
+  private def mkRow(dataTurno: String, tear: String, artigo: String,
+                    funcionando: String, parado: String,
+                    eficiencia: String = "90"): String =
+    (Seq(dataTurno, tear, artigo, "", "G1", "500", eficiencia, funcionando, parado) ++
+      Seq.fill(62)("0")).mkString(",")
+
+  private lazy val root: Path = {
+    val dir = Files.createTempDirectory("tmsdata")
+    def write(rel: String, lines: Seq[String],
+              cs: java.nio.charset.Charset = StandardCharsets.UTF_8): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("\n").getBytes(cs))
+    }
+    write("2026-07/daily/2026-07-01.csv", Seq(
+      mkRow("2026-07-01.A", "00042", "ART1", "480", "0", eficiencia = "77"),
+      mkRow("2026-07-01.B", "00042", "ART1", "470", "10")))
+    write("2026-08/daily/2026-08-01.csv", Seq(
+      "﻿" + mkRow("2026-08-01.A", "00042", "ART1", "480", "0"), // BOM'd line
+      mkRow("2026-08-01.C", "00042", "ART1", "0", "440"),   // desligado
+      mkRow("2026-08-01.C", "00043", "ART2", "0", "399"),   // below threshold
+      mkRow("2026-08-01.C", "00044", "ART3", "", "440"),    // '' → 0.0 → desligado
+      mkRow("2026-08-01.C", "00045", "ART4", "abc", "440"), // unparseable → not desligado
+      "too,short",                                          // short-row skip
+      mkRow("2026-07-01.A", "00042", "ART1", "999", "0", eficiencia = "88"))) // dup key, later file wins
+    write("2026-08/daily/latin.csv",
+      Seq(mkRow("2026-08-02.A", "00050", "CAFÉ", "480", "0")),
+      StandardCharsets.ISO_8859_1) // é as 0xC9 — invalid UTF-8
+    write("2026-08/daily/UPPER.CSV",
+      Seq(mkRow("2026-08-02.B", "00051", "ART5", "480", "0")))
+    write("2026-13-bad/daily/bad.csv",
+      Seq(mkRow("2026-13-99.A", "00099", "BAD", "0", "0")))
+    dir
+  }
+
+  test("S4: recursive discovery picks up .csv and .CSV, all month dirs") {
+    val files = LoomCsv.readRaw(spark, root.toString)
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(files.length === 5)
+    assert(files.exists(_.endsWith("UPPER.CSV")))
+  }
+
+  test("S2: charset fallback recovers latin-1 accented text") {
+    val df = LoomCsv.normalize(LoomCsv.readWithFallback(spark, root.toString))
+    val artigos = df.select("Artigo").as[String].collect().toSet
+    assert(artigos.contains("CAFÉ"), s"got $artigos")
+  }
+
+  test("S3+P3: normalize strips BOM and drops short rows") {
+    val df = LoomCsv.normalize(LoomCsv.readRaw(spark, root.toString))
+    val turnos = df.select("DataTurno").as[String].collect()
+    assert(turnos.forall(!_.startsWith("﻿")))
+    assert(!turnos.contains("too"))
+  }
+
+  test("S5: month-pruned read excludes non-YYYY-MM dirs and tags partitions") {
+    val df = LoomCsv.readMonths(spark, root.toString, Seq("2026-07", "2026-08"))
+    val months = df.select("month").distinct().as[String].collect().toSet
+    assert(months === Set("2026-07", "2026-08"))
+    intercept[IllegalArgumentException] {
+      LoomCsv.readMonths(spark, root.toString, Seq("2026-13-bad"))
+    }
+  }
+
+  test("typed view: float(''|null or 0) → 0.0, shift key decomposed") {
+    val df = LoomCsv.typedView(LoomCsv.normalize(LoomCsv.readRaw(spark, root.toString)))
+    val r = df.filter(col("DataTurno") === "2026-08-01.C" && col("Tear") === "00044")
+      .select("Funcionando", "shift", "shift_date").head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getString(1) === "C")
+    assert(r.getDate(2).toString === "2026-08-01")
+  }
+
+  test("import slice: LWW on (DataTurno, Tear) — later file wins; idempotent") {
+    val out = ImportJob.importCsvTree(spark, root.toString, sinkKeys = None)
+    val dup = out.filter(col("DataTurno") === "2026-07-01.A" && col("Tear") === "00042")
+    assert(dup.count() === 1)
+    assert(dup.select("Eficiencia").as[String].head() === "88")
+    assert(out.count() ===
+      out.select("DataTurno", "Tear").distinct().count())
+  }
+
+  test("P4+P5 gate: desligado rows already in sink are dropped, others kept") {
+    val sink = Seq(("2026-08-01.C", "00042"), ("2026-08-01.C", "00043"))
+      .toDF("DataTurno", "Tear")
+    val gated = ImportJob.importCsvTree(spark, root.toString, Some(sink),
+      applyPoweredOffGate = true)
+    val keys = gated.select("DataTurno", "Tear").as[(String, String)].collect().toSet
+    assert(!keys.contains(("2026-08-01.C", "00042"))) // desligado + in sink → dropped
+    assert(keys.contains(("2026-08-01.C", "00043")))  // in sink but NOT desligado → kept
+    assert(keys.contains(("2026-08-01.C", "00044")))  // desligado, not in sink → kept
+    val ungated = ImportJob.importCsvTree(spark, root.toString, Some(sink),
+      applyPoweredOffGate = false)
+    assert(ungated.filter(col("DataTurno") === "2026-08-01.C" && col("Tear") === "00042")
+      .count() === 1) // main_05 semantics: plain upsert keeps it
+  }
+}
