@@ -321,6 +321,58 @@ object CoreQueries {
       Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS roll_avg
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // Q32 — as-of join (SURVEY §2.3 north-star row): enrich each click
+    // with the user's most recent purchase at-or-before it. DuckDB's
+    // native ASOF JOIN is the oracle for our union+carry-forward operator.
+    Q("q32_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val left = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id", "value")
+        val right = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        AsOfJoin.join(left, right, Seq("user_id"), "ts", Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"),
+            col("matched_value").as("purchase_value"),
+            unix_micros(col("matched_ts")).as("purchase_ts_us"))
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id, value FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+             |r.value AS purchase_value, epoch_us(r.ts) AS purchase_ts_us
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    // Q33 — intersect / except (SURVEY §2.7 "free in Spark" row).
+    Q("q33_intersect_except",
+      (s, d) => {
+        val om = Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        val lm = Tables.lineitem(s, d)
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        om.intersect(lm).withColumn("tag", lit("both"))
+          .unionByName(lm.except(om).withColumn("tag", lit("li_only")))
+          .select("tag", "month")
+      },
+      Some("""SELECT 'both' AS tag, month FROM (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+             |  INTERSECT SELECT strftime(l_shipdate, '%Y-%m') FROM lineitem)
+             |UNION ALL
+             |SELECT 'li_only' AS tag, month FROM (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month FROM lineitem
+             |  EXCEPT SELECT strftime(o_orderdate, '%Y-%m') FROM orders)""".stripMargin)),
+
+    // Q34 — distinct aggregation (SURVEY §2.5 "absent in reference" row;
+    // the HLL variant approx_count_distinct is the scale path but is not
+    // oracle-comparable bit-for-bit).
+    Q("q34_distinct_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_cust,
+             |count(*) AS n FROM orders GROUP BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.ops.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion for the `events` table shape
+  * (SURVEY §2.10). The reference's only quasi-streaming behavior is
+  * GUI-triggered batch polling (reference src/main_01.py:111-126,
+  * :1086-1189); the engine upgrades it to proper event-time streaming:
+  * watermarked tumbling shift windows (the factory's A/B/C 8-hour
+  * shifts), session windows, and an upsert sink that re-runs the Q11
+  * last-writer-wins merge per micro-batch via foreachBatch.
+  *
+  * All transforms are plain DataFrame functions usable on both batch and
+  * streaming frames — tested on streams with MemoryStream and reusable
+  * unchanged in batch jobs.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event files (json lines). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** Watermarked tumbling shift windows: count + sum per (window,
+    * event_type). 8-hour windows mirror the reference's A/B/C shifts
+    * (`DataTurno` suffix, reference src/main_01.py:445); the watermark
+    * bounds state so the job runs forever at scale.
+    */
+  def shiftWindowAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "8 hours").as("shift"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("shift.start").as("shift_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Session windows per user: gap-based sessionization (30 min default).
+    * State is bounded by the watermark; this is the streaming analogue of
+    * the collection-monitor polling loop. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Upsert sink: each micro-batch is merged into the parquet sink with
+    * the Q11 last-writer-wins discipline — the streaming rendition of the
+    * reference's row-at-a-time MariaDB upsert (src/main_01.py:255-305),
+    * but idempotent and batched. */
+  def upsertSink(events: DataFrame, sinkPath: String,
+                 checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = Merge.lastWriterWins(Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))(batch)
+        val merged =
+          if (new java.io.File(sinkPath).exists()) {
+            val existing = spark.read.parquet(sinkPath)
+            Merge.upsert(existing, deduped, Seq("user_id", "event_type"),
+              Seq(col("ts").desc, col("event_id").desc))
+          } else deduped
+        // Rewrite-in-place via a staging dir would be needed for real
+        // durability; for the engine's scope the sink is a partition
+        // overwrite target.
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(sinkPath)
+        merged.unpersist()
+        ()
+      }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: Path = {
+    val d = Files.createTempDirectory("assets")
+    Files.write(d.resolve("a.jpg"), Array.tabulate(300)(i => (i % 251).toByte))
+    Files.write(d.resolve("b.jpg"), Array.tabulate(300)(i => (i % 251).toByte)) // dup of a
+    Files.write(d.resolve("c.wav"), Array.tabulate(500)(i => ((i * 7) % 256).toByte))
+    Files.write(d.resolve("d.bin"), Array[Byte](1, 2, 3))
+    d
+  }
+
+  test("binaryFile ingest: modality from extension, opaque bytes + length") {
+    val df = Multimodal.readAssets(spark, dir.toString)
+    val m = df.select("modality").as[String].collect().sorted.toSeq
+    assert(m === Seq("audio", "binary", "image", "image"))
+    assert(df.filter(col("modality") === "audio").select("length").as[Long].head() === 500)
+  }
+
+  test("stub decode: deterministic, batch-shaped, fixed-dim features") {
+    val assets = Multimodal.readAssets(spark, dir.toString)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec1 = Multimodal.decodeBatch(assets, featureDim = 8).collect().sortBy(_.path)
+    val dec2 = Multimodal.decodeBatch(assets, featureDim = 8).collect().sortBy(_.path)
+    assert(dec1.map(_.features.toSeq).toSeq === dec2.map(_.features.toSeq).toSeq)
+    assert(dec1.forall(_.features.length === 8))
+    // identical bytes → identical decode (the dedup hook)
+    val img = dec1.filter(_.modality == "image")
+    assert(img(0).features.toSeq === img(1).features.toSeq)
+    assert(img(0).brightness === img(1).brightness)
+    // image stub reports 3 channels, audio 1
+    assert(img.forall(_.channels === 3))
+    assert(dec1.find(_.modality == "audio").get.channels === 1)
+  }
+
+  test("decoded features feed the ANN operators (embedding-column shape)") {
+    val assets = Multimodal.readAssets(spark, dir.toString)
+      .select(col("path"), col("modality"), col("length"), col("content")).as[RawAsset]
+    val emb = Multimodal.decodeBatch(assets, featureDim = 8)
+      .select(xxhash64(col("path")).as("vec_id"), col("features").as("embedding"))
+    val dupes = Similarity.cosineNearDupPairs(emb.toDF(), "vec_id", "embedding",
+      threshold = 0.9999, nBits = 2)
+    assert(dupes.count() >= 1) // the two identical jpgs collide at cosine 1
+  }
+
+  test("resizeMeta clamps to max edge preserving aspect; frame sampling spacing") {
+    val meta = Seq((1000, 500), (100, 50)).toDF("width", "height")
+    val out = Multimodal.resizeMeta(meta, 200)
+      .as[(Int, Int)].collect().toSeq
+    assert(out === Seq((200, 100), (100, 50)))
+    val frames = Seq(10000L).toDF("dur")
+      .select(Multimodal.frameSampleOffsets(col("dur"), 2500L).as("f"))
+      .as[Seq[Long]].head()
+    assert(frames === Seq(0L, 2500L, 5000L, 7500L))
+  }
+}

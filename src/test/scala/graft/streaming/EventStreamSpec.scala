@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("shiftWindowAgg: 8h tumbling windows with watermark, late data folded in") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.shiftWindowAgg(src.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("shift_agg")
+      .outputMode("complete").start()
+    src.addData(
+      Ev(1, t(1), 10, "click", 1.0, "{}"),
+      Ev(2, t(7), 10, "click", 2.0, "{}"),
+      Ev(3, t(9), 11, "view", 5.0, "{}"))
+    q.processAllAvailable()
+    src.addData(Ev(4, t(2), 12, "click", 4.0, "{}")) // late but within watermark
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM shift_agg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", "click", 3L, 7.0),
+      ("2024-01-01 08:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionize: events within the gap share a session, others split") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.sessionize(src.toDF(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    src.addData(
+      Ev(1, t(1, 0), 10, "click", 1.0, "{}"),
+      Ev(2, t(1, 20), 10, "click", 1.0, "{}"),  // same session (gap 20m)
+      Ev(3, t(3, 0), 10, "click", 1.0, "{}"))   // new session
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, n_events FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    q.stop()
+    assert(rows === Seq((10L, 1L), (10L, 2L)))
+  }
+
+  test("upsertSink: micro-batches merge with last-writer-wins into the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val sink = s"$dir/out"
+    val src = MemoryStream[Ev]
+    val q = EventStream.upsertSink(src.toDF(), sink, s"$dir/ckpt").start()
+    src.addData(Ev(1, t(1), 10, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    src.addData(Ev(2, t(2), 10, "click", 9.0, "{}"), // same key, later ts → wins
+      Ev(3, t(2), 11, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(sink)
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((10L, "click", 9.0), (11L, "view", 3.0)))
+  }
+}
