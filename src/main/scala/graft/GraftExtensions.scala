@@ -1,0 +1,24 @@
+package graft
+
+import graft.functions.CosineSimilarityExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers the engine's native functions for SQL
+  * use. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim expects exactly 2 arguments")
+        CosineSimilarityExpr(children.head, children(1))
+      }))
+  }
+}

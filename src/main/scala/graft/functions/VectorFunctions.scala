@@ -22,8 +22,13 @@ object VectorFunctions {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null for zero vectors (ANSI-safe: a plain
+    * division would throw DIVIDE_BY_ZERO under Spark 4's default ANSI
+    * mode). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** L2 distance. */
   def l2(a: Column, b: Column): Column =

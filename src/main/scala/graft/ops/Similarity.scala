@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
+import graft.functions.CosineSimilarityExpr.cosineSim
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,7 +28,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "sim", "rk")
@@ -46,7 +47,7 @@ object Similarity {
       lshBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "sim", "rk")
@@ -60,7 +61,7 @@ object Similarity {
       lshBucket(col(vecCol), nBits).as("bucket"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 4))
+      .withColumn("sim", round(cosineSim(col("a.v"), col("b.v")), 4))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
