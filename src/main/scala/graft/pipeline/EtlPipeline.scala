@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** D1–D5 — the reference's orchestration layer (SURVEY §2.12) as typed
+  * job composition:
+  *
+  *  - D1: the 4-step ETL DAG (`run_full_etl`,
+  *    reference src/main_01.py:1086-1189) is a list of [[Step]]s run in
+  *    order; each step is one Spark action.
+  *  - D2: single-step entry points are just one-element pipelines.
+  *  - D3: the reference's `is_running` mutex (src/main_01.py:1088-1097)
+  *    maps to one pipeline run at a time per driver — enforced here with
+  *    a plain lock; executor-level parallelism is Spark's.
+  *  - D4: background execution = running the pipeline on another thread /
+  *    Spark job group; the engine exposes `setJobGroup` tagging.
+  *  - D5: "continue even if step failed" tolerance
+  *    (reference src/main_03.py:200-205) is per-step `continueOnError`.
+  */
+object EtlPipeline {
+
+  final case class Step(name: String, continueOnError: Boolean = false)(
+      val run: SparkSession => Unit)
+
+  final case class StepResult(name: String, ok: Boolean, durationMs: Long,
+                              error: Option[String])
+
+  private val lock = new Object
+
+  /** Run steps sequentially under the D3 mutex; returns per-step results.
+    * A failing step aborts the pipeline unless marked continueOnError
+    * (D5). Each step is tagged as a Spark job group for cancellation /
+    * UI attribution (D4). */
+  def run(spark: SparkSession, steps: Seq[Step]): Seq[StepResult] = lock.synchronized {
+    val results = Seq.newBuilder[StepResult]
+    var aborted = false
+    steps.foreach { step =>
+      if (!aborted) {
+        spark.sparkContext.setJobGroup(s"etl-${step.name}", step.name,
+          interruptOnCancel = true)
+        val t0 = System.nanoTime()
+        try {
+          step.run(spark)
+          results += StepResult(step.name, ok = true, (System.nanoTime() - t0) / 1000000, None)
+        } catch {
+          case e: Exception =>
+            results += StepResult(step.name, ok = false,
+              (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+            if (!step.continueOnError) aborted = true
+        } finally spark.sparkContext.clearJobGroup()
+      } else {
+        results += StepResult(step.name, ok = false, 0, Some("skipped: earlier step failed"))
+      }
+    }
+    results.result()
+  }
+
+  /** The reference's import-only pipeline (D2,
+    * reference src/main_01.py:1191-1262) as a canned two-step run:
+    * import+merge then summarize. */
+  def importOnly(spark: SparkSession, csvRoot: String, outPath: String): Seq[StepResult] = {
+    var merged: DataFrame = null
+    run(spark, Seq(
+      Step("import")(s => {
+        merged = ImportJob.importCsvTree(s, csvRoot)
+        merged.persist(); merged.count(); ()
+      }),
+      Step("write")(_ => {
+        merged.write.mode("overwrite").parquet(outPath); ()
+      }),
+      Step("finalize", continueOnError = true)(_ => {
+        merged.unpersist(); ()
+      })))
+  }
+}
