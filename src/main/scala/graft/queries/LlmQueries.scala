@@ -129,6 +129,16 @@ object LlmQueries {
       },
       None),
 
+    // IVF approximate top-k — the density-adaptive ANN scale path
+    // (rows-only check; the coarse quantizer is engine-defined).
+    Q("q35_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+      },
+      None),
+
     // Document fingerprinting: md5 window signatures, one row per window.
     Q("q31_fingerprint",
       (s, d) => Tables.documents(s, d)

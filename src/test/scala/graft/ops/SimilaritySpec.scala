@@ -29,6 +29,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count().select(max("count")).as[Long].head() === 4)
   }
 
+  test("ivfTopK: full probe of all centroids reproduces brute-force exactly") {
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 2)
+    val ivf = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 2,
+      nCentroids = 2, nProbe = 2) // probing every cell → exact
+    assert(brute.exceptAll(ivf).count() === 0 && ivf.exceptAll(brute).count() === 0)
+  }
+
+  test("ivfTopK: partial probe returns a subset of brute-force candidates, ranked") {
+    val out = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3, nCentroids = 2, nProbe = 1)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._3) === out.map(_._3).sorted.reverse) // descending sim
+  }
+
   test("cosineNearDupPairs finds the tight pair at high threshold") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.98, nBits = 2)
       .as[(Long, Long, Double)].collect().toSeq
