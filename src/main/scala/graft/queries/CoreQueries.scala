@@ -365,6 +365,39 @@ object CoreQueries {
              |  SELECT strftime(l_shipdate, '%Y-%m') AS month FROM lineitem
              |  EXCEPT SELECT strftime(o_orderdate, '%Y-%m') FROM orders)""".stripMargin)),
 
+    // Q36 — unpivot/stack of metric pairs (SURVEY §1.3: the 71-col loom
+    // fact table is (count, minutes) metric pairs, "ideal for stack/
+    // unpivot analysis"): melt lineitem's numeric metrics to long form
+    // and aggregate per metric.
+    Q("q36_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), expr(
+          "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+            "'discount', l_discount, 'tax', l_tax) AS (metric, val)"))
+        .groupBy(col("l_returnflag").as("returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total")),
+      Some("""SELECT l_returnflag AS returnflag, metric, count(*) AS n,
+             |round(sum(val), 2) AS total FROM (
+             |  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+             |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Q37 — semi-structured props parsing (SURVEY §1.4 MapType row):
+    // extract the JSON field and aggregate it per event type.
+    Q("q37_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k")),
+      Some("""SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+             |round(avg(k), 4) AS avg_k FROM (
+             |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+             |GROUP BY 1""".stripMargin)),
+
     // Q34 — distinct aggregation (SURVEY §2.5 "absent in reference" row;
     // the HLL variant approx_count_distinct is the scale path but is not
     // oracle-comparable bit-for-bit).
