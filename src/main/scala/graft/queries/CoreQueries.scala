@@ -406,6 +406,56 @@ object CoreQueries {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n")),
       Some("""SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS n_cust,
-             |count(*) AS n FROM orders GROUP BY 1""".stripMargin))
+             |count(*) AS n FROM orders GROUP BY 1""".stripMargin)),
+
+    // Q38 — pivot: months × order-status counts as columns (the
+    // wide-report shape of the reference's per-month summary GUI).
+    Q("q38_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("month"), coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+             |count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+             |count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Q39 — lead/lag navigation: inter-event gap and value delta per
+    // user (§2.9 window family beyond frames).
+    Q("q39_lead_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+            round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+             |round(value - lag(value, 1) OVER w, 4) AS value_delta
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // Q40 — cube over (nation, status): all grouping-set combinations
+    // (§2.5 grouping-sets row). Same spark.sql route as q16 (rollup).
+    Q("q40_cube",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name AS nation, o_orderstatus AS status, count(1) AS n
+                |FROM g_orders
+                |JOIN g_customer ON o_custkey = c_custkey
+                |JOIN g_nation ON c_nationkey = n_nationkey
+                |GROUP BY CUBE(n_name, o_orderstatus)""".stripMargin)
+      },
+      Some("""SELECT n_name AS nation, o_orderstatus AS status, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY CUBE(n_name, o_orderstatus)""".stripMargin))
   )
 }

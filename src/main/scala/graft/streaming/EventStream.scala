@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import org.apache.spark.sql.types._
 
+/** Typed event row (matches [[EventStream.schema]]). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+/** Per-user running state maintained by [[EventStream.userRunningState]]. */
+case class UserState(user_id: Long, n_events: Long, total_value: Double,
+                     last_event_id: Long)
+
 /** Structured Streaming ingestion for the `events` table shape
   * (SURVEY §2.10). The reference's only quasi-streaming behavior is
   * GUI-triggered batch polling (reference src/main_01.py:111-126,
@@ -57,6 +65,30 @@ object EventStream {
       .select(col("session.start").as("session_start"),
         col("session.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom keyed state via mapGroupsWithState (SURVEY §2.10): per-user
+    * running counters carried across micro-batches — the streaming
+    * analogue of the reference's collection-monitor progress polling
+    * (src/main_01.py:111-126), but with engine-managed fault-tolerant
+    * state. State size is O(active users); pair with a timeout policy to
+    * expire idle keys in production.
+    */
+  def userRunningState(events: DataFrame): org.apache.spark.sql.Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, -1L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserState(userId, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
 
   /** Upsert sink: each micro-batch is merged into the parquet sink with
     * the Q11 last-writer-wins discipline — the streaming rendition of the

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape guards (SCALE.md evidence): these queries must keep the
+  * physical plans that survive 100 TB — broadcast joins for dim chains,
+  * WindowGroupLimit map-side pruning for the merge, TakeOrderedAndProject
+  * for top-k, pushed filters + pruned schemas at the scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(SimpleMode)
+
+  test("q09 dim chain: all three dimension joins are broadcast, no sort-merge") {
+    val p = plan("q09_dim_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q11 merge: WindowGroupLimit prunes map-side before the shuffle") {
+    val p = plan("q11_lww_merge")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q06 top-k months: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q06_topk_month_semi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q02 scan: null-key filters are pushed to the parquet reader") {
+    val p = plan("q02_nonnull_keys")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey)"), p)
+  }
+
+  test("q01 scan: column pruning reads only the projected columns") {
+    val p = plan("q01_project_trim")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("q13 aggregate: partial (map-side) aggregation present") {
+    val p = plan("q13_conditional_counts")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q29 ANN: native cosine_sim expression in the plan, queries broadcast") {
+    val p = plan("q29_cosine_topk")
+    assert(p.toLowerCase.contains("cosinesimilarityexpr") ||
+      p.contains("cosine_sim") || p.contains("CosineSimilarity"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

@@ -53,6 +53,27 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Seq((10L, 1L), (10L, 2L)))
   }
 
+  test("userRunningState: custom keyed state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.userRunningState(src.toDF())
+      .writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+    src.addData(Ev(1, t(1), 10, "click", 2.0, "{}"),
+      Ev(2, t(2), 10, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    src.addData(Ev(5, t(3), 10, "view", 5.0, "{}"),
+      Ev(6, t(3), 11, "view", 7.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, n_events, total_value, last_event_id FROM user_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    q.stop()
+    // latest update per user wins: user 10 accumulated across both batches
+    val latest = rows.groupBy(_._1).map { case (_, g) => g.maxBy(_._2) }.toSet
+    assert(latest === Set((10L, 3L, 10.0, 5L), (11L, 1L, 7.0, 6L)))
+  }
+
   test("upsertSink: micro-batches merge with last-writer-wins into the sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sink").toString
