@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of trimmed text → array<string>. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization of trimmed text → array<string>.
+    * `split(trim(''), ...)` yields `[""]`, which would give empty
+    * documents a phantom token (n_tokens=1, a shared simhash for all
+    * empty docs) — filter it out so empty/whitespace-only text
+    * tokenizes to []. Non-empty text never produces empty tokens, so
+    * the DuckDB oracles (plain string_split_regex) still agree on the
+    * test corpora. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
 
   /** Token count (a whitespace proxy for BPE-ish token counting). */
   def tokenCount(text: Column): Column = size(tokens(text))

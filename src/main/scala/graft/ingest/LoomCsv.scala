@@ -27,24 +27,37 @@ object LoomCsv {
   /** S1+S3+S4 — raw recursive read of every CSV under `root`. */
   def readRaw(spark: SparkSession, root: String,
               charset: String = "UTF-8"): DataFrame =
+    readPaths(spark, Seq(root), charset, recursive = true)
+
+  private def readPaths(spark: SparkSession, paths: Seq[String],
+                        charset: String, recursive: Boolean): DataFrame =
     spark.read
       .schema(LoomSchema.raw)
       .option("header", "false")
       .option("encoding", charset)
       .option("mode", "PERMISSIVE")
-      .option("recursiveFileLookup", "true")
+      .option("recursiveFileLookup", recursive.toString)
       .option("pathGlobFilter", csvGlob)
-      .csv(root)
+      .csv(paths: _*)
 
-  /** S2 — encoding-fallback read: utf-8 first; if any replacement char
-    * (U+FFFD, the signature of a failed utf-8 decode) appears in the key
-    * columns, fall back to latin-1 (which decodes any byte sequence). */
+  /** S2 — encoding-fallback read, PER FILE like the reference
+    * (src/main_01.py:372-387 retries each file independently): files
+    * whose utf-8 decode produced replacement chars (U+FFFD) are re-read
+    * as latin-1 (which decodes any byte sequence); clean utf-8 files are
+    * left untouched — a dataset-global fallback would mojibake the
+    * multi-byte utf-8 in every good file. The driver-side file list is
+    * bounded by the number of *corrupt* files, not data size. */
   def readWithFallback(spark: SparkSession, root: String): DataFrame = {
     val utf8 = readRaw(spark, root, "UTF-8")
-    val bad = utf8.filter(
-      LoomSchema.columnNames.take(5).map(c => col(c).contains("�"))
-        .reduce(_ || _)).limit(1).count()
-    if (bad > 0) readRaw(spark, root, "ISO-8859-1") else utf8
+    val badFiles = utf8
+      .filter(LoomSchema.columnNames.take(5).map(c => col(c).contains("�")).reduce(_ || _))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    if (badFiles.isEmpty) utf8
+    else {
+      val good = utf8.filter(!input_file_name().isin(badFiles.toSeq: _*))
+      good.unionByName(readPaths(spark, badFiles.toSeq, "ISO-8859-1", recursive = false))
+    }
   }
 
   /** S5 — partition-pruned read: only `root/YYYY-MM/<datasetType>/` dirs

@@ -26,12 +26,17 @@ case class LoomShift(
 
 object LoomShift {
   /** Project a normalized+typed frame (see [[LoomCsv.typedView]]) down to
-    * the typed core. */
+    * the typed core. Metric NULLs (unparseable text survives typedView as
+    * null via try_cast) are coerced to 0.0 — the primitive Double fields
+    * of the case class would otherwise throw the non-nullable-field
+    * encoder error on the first dirty row; 0.0 matches the engine's
+    * lenient `numOrZero` semantics. */
   def fromTyped(df: DataFrame): Dataset[LoomShift] = {
     import df.sparkSession.implicits._
-    df.select(col("DataTurno"), col("Tear"), col("Artigo"), col("Rpm"),
-        col("Eficiencia"), col("Funcionando"), col("Parado"), col("Pontos"),
-        col("Metros"), col("shift_date"), col("shift"))
+    def z(c: String) = coalesce(col(c), lit(0.0)).as(c)
+    df.select(col("DataTurno"), col("Tear"), col("Artigo"), z("Rpm"),
+        z("Eficiencia"), z("Funcionando"), z("Parado"), z("Pontos"),
+        z("Metros"), col("shift_date"), col("shift"))
       .as[LoomShift]
   }
 }

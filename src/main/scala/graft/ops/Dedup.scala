@@ -40,10 +40,14 @@ object Dedup {
     // table; MEMORY_AND_DISK keeps it spill-safe.
     val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
       "shingle")
+    // Sizes over the SAME capped vocabulary as the intersections: when
+    // maxDf engages, jaccard is "Jaccard over sub-maxDf shingles" —
+    // consistent numerator and denominator (sizes over the uncapped set
+    // would silently underestimate pairs dominated by hot shingles).
+    val sizes = rare.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

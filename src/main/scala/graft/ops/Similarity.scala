@@ -77,7 +77,7 @@ object Similarity {
     // partition window is fine: it runs over ids only, once, and its
     // output is nCentroids rows)
     val centroids = c.withColumn("__rn", row_number().over(ids))
-      .filter((col("__rn") % step === 1) && col("__rn") <= step * nCentroids)
+      .filter(((col("__rn") - 1) % step === 0) && col("__rn") <= step * nCentroids)
       .select(col("__rn").as("centroid_id"), col("cv").as("centv"))
     val assignW = Window.partitionBy("neighbor_id")
       .orderBy(col("__cs").desc, col("centroid_id"))

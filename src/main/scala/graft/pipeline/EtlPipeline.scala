@@ -19,7 +19,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EtlPipeline {
 
-  final case class Step(name: String, continueOnError: Boolean = false)(
+  /** @param continueOnError this step's own failure does not abort the
+    *                        pipeline (D5 tolerance)
+    * @param alwaysRun       run even after an earlier abort — for
+    *                        cleanup/finalize steps (unpersist, temp
+    *                        deletion) that must not be skipped */
+  final case class Step(name: String, continueOnError: Boolean = false,
+                        alwaysRun: Boolean = false)(
       val run: SparkSession => Unit)
 
   final case class StepResult(name: String, ok: Boolean, durationMs: Long,
@@ -35,7 +41,7 @@ object EtlPipeline {
     val results = Seq.newBuilder[StepResult]
     var aborted = false
     steps.foreach { step =>
-      if (!aborted) {
+      if (!aborted || step.alwaysRun) {
         spark.sparkContext.setJobGroup(s"etl-${step.name}", step.name,
           interruptOnCancel = true)
         val t0 = System.nanoTime()
@@ -68,8 +74,8 @@ object EtlPipeline {
       Step("write")(_ => {
         merged.write.mode("overwrite").parquet(outPath); ()
       }),
-      Step("finalize", continueOnError = true)(_ => {
-        merged.unpersist(); ()
+      Step("finalize", continueOnError = true, alwaysRun = true)(_ => {
+        if (merged != null) { merged.unpersist(); () }
       })))
   }
 }

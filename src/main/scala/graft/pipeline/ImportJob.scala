@@ -49,10 +49,15 @@ object ImportJob {
       .drop("__file")
   }
 
-  /** Full merge into an existing sink table (incoming wins). */
-  def mergeIntoSink(existing: DataFrame, incoming: DataFrame): DataFrame =
-    Merge.upsert(existing, incoming, LoomSchema.primaryKey,
-      Seq(monotonically_increasing_id().desc))
+  /** Full merge into an existing sink table (incoming wins). The caller
+    * supplies the intra-side version ordering explicitly — a synthetic
+    * id (e.g. monotonically_increasing_id) would depend on partition
+    * layout and break the merge's determinism/idempotence guarantee
+    * (SURVEY §7.4 risk 1). For CSV-tree imports use the source file
+    * column; for event data use (ts, event_id). */
+  def mergeIntoSink(existing: DataFrame, incoming: DataFrame,
+                    version: Seq[org.apache.spark.sql.Column]): DataFrame =
+    Merge.upsert(existing, incoming, LoomSchema.primaryKey, version)
 }
 
 /** A2 — per-month × per-type file/row summary

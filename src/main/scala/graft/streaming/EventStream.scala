@@ -99,23 +99,27 @@ object EventStream {
     events.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val deduped = Merge.lastWriterWins(Seq("user_id", "event_type"),
           Seq(col("ts").desc, col("event_id").desc))(batch)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val sink = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = sink.getFileSystem(hconf)
         val merged =
-          if (new java.io.File(sinkPath).exists()) {
+          if (fs.exists(sink)) {
             val existing = spark.read.parquet(sinkPath)
             Merge.upsert(existing, deduped, Seq("user_id", "event_type"),
               Seq(col("ts").desc, col("event_id").desc))
           } else deduped
-        // Rewrite-in-place via a staging dir would be needed for real
-        // durability; for the engine's scope the sink is a partition
-        // overwrite target.
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(sinkPath)
-        merged.unpersist()
+        // Write-then-swap: never overwrite the path being read — a cache
+        // eviction mid-overwrite would recompute `merged` from the
+        // truncated sink. The staging dir is fully materialized first,
+        // then atomically renamed over the old sink.
+        val staging = new org.apache.hadoop.fs.Path(s"$sinkPath.staging-$batchId")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(sink)) fs.delete(sink, true)
+        fs.rename(staging, sink)
         ()
       }
 }

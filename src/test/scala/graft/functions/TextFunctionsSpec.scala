@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("tokens/tokenCount: whitespace splitting of trimmed text") {
-    val df = Seq("  a b   c ", "one").toDF("text")
+  test("tokens/tokenCount: whitespace splitting of trimmed text; empty text → 0 tokens") {
+    val df = Seq("  a b   c ", "one", "", "   ").toDF("text")
       .select(TextFunctions.tokenCount(col("text")).as("n"))
-    assert(df.as[Int].collect().toSeq === Seq(3, 1))
+    assert(df.as[Int].collect().toSeq === Seq(3, 1, 0, 0))
   }
 
   test("shingles: n-grams have size-n+1 entries, dedup'd, short docs empty") {

@@ -21,6 +21,17 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 10L, "d", None, None)))            // key has no right rows
   }
 
+  test("a NULL payload on the matched right row is carried as NULL, not an older value") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, Some(5.0)), (1L, 2L, None))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"))
+      .select("matched_v", "matched_ts").head()
+    // matched row is (ts=2, v=NULL): both fields from THAT row
+    assert(Option(out.get(0)).isEmpty)
+    assert(out.getLong(1) === 2L)
+  }
+
   test("as-of join matches on exactly-equal timestamps") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, 7.0)).toDF("k", "ts", "v")
