@@ -440,6 +440,52 @@ object CoreQueries {
              |round(value - lag(value, 1) OVER w, 4) AS value_delta
              |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // Q42 — batch sessionization (§2.10's session_window, expressed for
+    // batch): gap > 30 min starts a new session; classic lag + running
+    // sum of boundary flags. Session id is (user_id, session_idx).
+    Q("q42_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min(col("ts"))).as("start_us"),
+            unix_micros(max(col("ts"))).as("end_us"),
+            round(sum("value"), 4).as("total_value"))
+      },
+      Some("""WITH flagged AS (SELECT user_id, ts, event_id, value,
+             |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM flagged)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+             |round(sum(value), 4) AS total_value
+             |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // Q43 — tumbling shift windows for batch (§2.10's window() agg,
+    // epoch-aligned 8-hour buckets mirroring the A/B/C factory shifts).
+    Q("q43_shift_windows",
+      (s, d) => Tables.events(s, d)
+        .withColumn("shift_start_us",
+          (floor(unix_micros(col("ts")) / (8L * 3600 * 1000000)) *
+            (8L * 3600 * 1000000)).cast("long"))
+        .groupBy("shift_start_us", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")),
+      Some("""SELECT CAST(epoch_us(ts) // (8::BIGINT*3600*1000000) * (8::BIGINT*3600*1000000) AS BIGINT)
+             |  AS shift_start_us, event_type,
+             |count(*) AS n, round(sum(value), 4) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Q40 — cube over (nation, status): all grouping-set combinations
     // (§2.5 grouping-sets row). Same spark.sql route as q16 (rollup).
     Q("q40_cube",

@@ -35,7 +35,9 @@ object LlmQueries {
              |cast(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq
              |FROM documents""".stripMargin)),
 
-    // Quality scoring: length / mean token length / stopword ratio.
+    // Quality scoring: length / mean token length / stopword ratio /
+    // punctuation ratio (explicit char class for cross-engine regex
+    // parity).
     Q("q24_quality_score",
       (s, d) => {
         val qs = TextFunctions.qualityStruct(col("text"), stopwords)
@@ -43,13 +45,34 @@ object LlmQueries {
           col("doc_id"),
           qs.getField("n_tokens").cast("long").as("n_tokens"),
           qs.getField("mean_token_len").as("mean_token_len"),
-          qs.getField("stopword_ratio").as("stopword_ratio"))
+          qs.getField("stopword_ratio").as("stopword_ratio"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?'\"()-]", ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
       },
       Some("""SELECT doc_id,
              |cast(len(w) AS BIGINT) AS n_tokens,
              |round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4) AS mean_token_len,
-             |round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w), 4) AS stopword_ratio
-             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin)),
+             |round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0 / len(w), 4) AS stopword_ratio,
+             |round((length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) * 1.0 /
+             |  greatest(length(text), 1), 4) AS punct_ratio
+             |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin)),
+
+    // BPE-ish regex token counting (north star: "whitespace + a BPE-ish
+    // regex"): letter-runs, digit-runs, and single punctuation marks as
+    // separate tokens — the pre-tokenization shape of GPT-style BPE.
+    Q("q41_bpe_tokens",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+          .cast("long").as("n_bpe_uniq")),
+      Some("""SELECT doc_id,
+             |cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+             |cast(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_uniq
+             |FROM documents""".stripMargin)),
 
     // Language-ID heuristic: stopword-hit argmax across candidate
     // languages (ties resolved identically on both sides).
