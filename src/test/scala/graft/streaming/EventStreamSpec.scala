@@ -53,6 +53,25 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Seq((10L, 1L), (10L, 2L)))
   }
 
+  test("readEvents file source: json-lines directory streams through shiftWindowAgg") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    val src = dir.resolve("in"); java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.write(src.resolve("b1.json"), Seq(
+      """{"event_id":1,"ts":"2024-01-01T01:00:00.000Z","user_id":10,"event_type":"click","value":2.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T09:00:00.000Z","user_id":10,"event_type":"click","value":3.0,"props":"{}"}""")
+      .mkString("\n").getBytes)
+    val stream = EventStream.readEvents(spark, src.toString)
+    assert(stream.isStreaming)
+    val q = EventStream.shiftWindowAgg(stream, watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_shift_agg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n FROM file_shift_agg ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows === Seq(("click", 1L), ("click", 1L))) // two 8h windows
+  }
+
   test("userRunningState: custom keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
