@@ -60,6 +60,35 @@ object ImportJob {
     Merge.upsert(existing, incoming, LoomSchema.primaryKey, version)
 }
 
+/** Export: month-partitioned materialization + verification (SURVEY §3.3,
+  * §7.1 step 5). The reference POSTs a form and then checks files
+  * appeared on disk (src/main_02.py:392-440); the engine's rendition is
+  * a `partitionBy(month, dataset_type)` parquet write — giving the same
+  * directory layout as `TMSDATA/YYYY-MM/<type>/` — plus a pruned
+  * verification read over exactly the exported partitions.
+  */
+object ExportJob {
+
+  /** Write month-partitioned; only the requested months are exported
+    * (runtime partition pruning at the source, reference's
+    * export-last-two-months shape). */
+  def exportMonths(df: DataFrame, months: Seq[String], outPath: String): Unit =
+    df.filter(col("month").isin(months: _*))
+      .write.mode("overwrite")
+      .partitionBy("month", "dataset_type")
+      .parquet(outPath)
+
+  /** Post-export verification (reference src/main_02.py:392-440): read
+    * back ONLY the exported partitions (partition filters prune the
+    * listing) and report per-partition row counts. */
+  def verifyExport(spark: SparkSession, outPath: String,
+                   months: Seq[String]): DataFrame =
+    spark.read.parquet(outPath)
+      .filter(col("month").isin(months: _*))
+      .groupBy("month", "dataset_type")
+      .agg(count(lit(1)).as("n_rows"))
+}
+
 /** A2 — per-month × per-type file/row summary
   * (reference src/main_02.py:823-900 `get_csv_summary`). */
 object SummaryJob {

@@ -55,6 +55,27 @@ class PipelineSpec extends SparkSpec {
       ("b", true), ("fatal", false), ("never", false)))
   }
 
+  test("ExportJob: month-partitioned write produces the TMSDATA-style layout; verification prunes") {
+    val dir = Files.createTempDirectory("export")
+    val df = Seq(
+      ("2026-07", "daily", "r1"), ("2026-08", "daily", "r2"),
+      ("2026-08", "machine", "r3"), ("2026-09", "daily", "r4"))
+      .toDF("month", "dataset_type", "payload")
+    val out = dir.resolve("out").toString
+    ExportJob.exportMonths(df, Seq("2026-07", "2026-08"), out)
+    // layout: out/month=2026-07/dataset_type=daily/...
+    assert(Files.exists(dir.resolve("out/month=2026-07/dataset_type=daily")))
+    assert(!Files.exists(dir.resolve("out/month=2026-09")))
+    val verified = ExportJob.verifyExport(spark, out, Seq("2026-07", "2026-08"))
+      .as[(String, String, Long)].collect().toSet
+    assert(verified === Set(("2026-07", "daily", 1L), ("2026-08", "daily", 1L),
+      ("2026-08", "machine", 1L)))
+    // partition pruning visible in the plan
+    val plan = ExportJob.verifyExport(spark, out, Seq("2026-07"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("importOnly end-to-end: CSV tree -> merged parquet, typed view usable") {
     val dir = Files.createTempDirectory("etl")
     val csv = dir.resolve("2026-08/daily"); Files.createDirectories(csv)
