@@ -78,6 +78,25 @@ object ExportJob {
       .partitionBy("month", "dataset_type")
       .parquet(outPath)
 
+  /** Incremental export: dynamic partition overwrite — only partitions
+    * present in `df` are replaced; all other months survive. This is the
+    * 100 TB path for the reference's daily re-export of the last two
+    * months (a static overwrite would rewrite the whole table). */
+  def exportMonthsIncremental(df: DataFrame, months: Seq[String],
+                              outPath: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.filter(col("month").isin(months: _*))
+      .write.mode("overwrite")
+      .partitionBy("month", "dataset_type")
+      .parquet(outPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Post-export verification (reference src/main_02.py:392-440): read
     * back ONLY the exported partitions (partition filters prune the
     * listing) and report per-partition row counts. */

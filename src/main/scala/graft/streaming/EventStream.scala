@@ -66,6 +66,28 @@ object EventStream {
         col("session.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream join with watermarks: attach each click to the same
+    * user's purchase within the preceding hour. Both sides watermarked so
+    * the join state is bounded; the time-range condition lets Spark
+    * evict matched/expired state — the streaming twin of [[graft.ops.AsOfJoin]]
+    * (which serves the batch/backfill path).
+    */
+  def clickPurchaseJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "inner").drop("p_user_id")
+  }
+
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.10): per-user
     * running counters carried across micro-batches — the streaming
     * analogue of the reference's collection-monitor progress polling

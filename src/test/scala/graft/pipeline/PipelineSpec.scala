@@ -76,6 +76,20 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("exportMonthsIncremental: dynamic overwrite touches only the exported months") {
+    val dir = Files.createTempDirectory("dynexport")
+    val out = dir.resolve("out").toString
+    val v1 = Seq(("2026-07", "daily", "old7"), ("2026-08", "daily", "old8"))
+      .toDF("month", "dataset_type", "payload")
+    ExportJob.exportMonths(v1, Seq("2026-07", "2026-08"), out)
+    val v2 = Seq(("2026-08", "daily", "new8")).toDF("month", "dataset_type", "payload")
+    ExportJob.exportMonthsIncremental(v2, Seq("2026-08"), out)
+    val back = spark.read.parquet(out).select("month", "payload")
+      .as[(String, String)].collect().toSet
+    // 2026-07 untouched, 2026-08 replaced
+    assert(back === Set(("2026-07", "old7"), ("2026-08", "new8")))
+  }
+
   test("importOnly end-to-end: CSV tree -> merged parquet, typed view usable") {
     val dir = Files.createTempDirectory("etl")
     val csv = dir.resolve("2026-08/daily"); Files.createDirectories(csv)

@@ -93,6 +93,24 @@ class EventStreamSpec extends SparkSpec {
     assert(latest === Set((10L, 3L, 10.0, 5L), (11L, 1L, 7.0, 6L)))
   }
 
+  test("clickPurchaseJoin: stream-stream join matches purchases within the hour before a click") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.clickPurchaseJoin(src.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    src.addData(
+      Ev(1, t(10, 0), 7, "purchase", 50.0, "{}"),  // 30 min before click → match
+      Ev(2, t(10, 30), 7, "click", 1.0, "{}"),
+      Ev(3, t(8, 0), 7, "purchase", 99.0, "{}"),   // >1h before click → no match
+      Ev(4, t(10, 15), 8, "click", 1.0, "{}"))     // other user, no purchase
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, click_id, purchase_value FROM ss_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows === Set((7L, 2L, 50.0)))
+  }
+
   test("upsertSink: micro-batches merge with last-writer-wins into the sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sink").toString
