@@ -33,16 +33,19 @@ object Dedup {
   def ngramJaccardPairs(idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDf: Long = 1000L)
                        (df: DataFrame): DataFrame = {
-    // The exploded shingle table is referenced four times (doc sizes,
-    // document-frequency filter, both self-join sides); persist it so the
-    // tokenize+explode runs once instead of four times (~4x win measured).
-    // At cluster scale the same role is played by a staged intermediate
-    // table; MEMORY_AND_DISK keeps it spill-safe.
+    // Document frequency via a window over the shingle key (one shuffle)
+    // instead of a groupBy + re-join (three shuffles of the exploded
+    // table). The filtered table is persisted because three plan branches
+    // consume it (doc sizes + both self-join sides) — at cluster scale
+    // the same role is played by a staged intermediate table;
+    // MEMORY_AND_DISK keeps it spill-safe.
     val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+    val rare = sh
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-      "shingle")
     // Sizes over the SAME capped vocabulary as the intersections: when
     // maxDf engages, jaccard is "Jaccard over sub-maxDf shingles" —
     // consistent numerator and denominator (sizes over the uncapped set
