@@ -486,6 +486,34 @@ object CoreQueries {
              |count(*) AS n, round(sum(value), 4) AS total
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Q44 — banded range join (point-in-interval without a nested-loop
+    // theta join): shipments falling in the week after each sampled
+    // order's date. Oracle is DuckDB's plain inequality join — same
+    // result, different algorithm.
+    Q("q44_range_join",
+      (s, d) => {
+        val epoch = lit("1970-01-01")
+        val o = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), epoch).cast("long").as("start_d"))
+          .withColumn("end_d", col("start_d") + 7)
+        val l = Tables.lineitem(s, d)
+          .select(datediff(col("l_shipdate"), epoch).cast("long").as("d"),
+            col("l_quantity"))
+        RangeJoin.pointInInterval(l, o, "d", "start_d", "end_d", bandWidth = 7L)
+          .groupBy(col("o_orderkey").as("orderkey"))
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+             |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS s
+             |  FROM orders WHERE o_orderkey % 100 = 0),
+             |l AS (SELECT date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS d,
+             |  l_quantity FROM lineitem)
+             |SELECT o_orderkey AS orderkey, count(*) AS n,
+             |round(sum(l_quantity), 2) AS sum_qty
+             |FROM o JOIN l ON l.d >= o.s AND l.d < o.s + 7
+             |GROUP BY 1""".stripMargin)),
+
     // Q40 — cube over (nation, status): all grouping-set combinations
     // (§2.5 grouping-sets row). Same spark.sql route as q16 (rollup).
     Q("q40_cube",
