@@ -21,6 +21,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Exploded distinct n-word shingles as (doc, shingle) rows — the
+    * typed flatMap twin of [[graft.functions.TextFunctions.shingles]]
+    * (output-identical, tested). The expression version costs ~10× more
+    * here: per-position higher-order lambdas are interpreted, while this
+    * is a tight JVM sliding window. Used by the dedup operators whose
+    * first step is exactly this explode; the expression form remains for
+    * column-level composition. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").iterator.filter(_.nonEmpty).toArray
+        if (ws.length < n) Iterator.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (id, s))
+      }.toDF("doc", "shingle")
+  }
+
   /** Exact n-word-shingle Jaccard near-dup pairs.
     * Plan: explode distinct shingles → self equi-join on shingle (only
     * docs sharing ≥1 shingle ever meet) → per-pair intersection count →
@@ -39,7 +58,7 @@ object Dedup {
     // consume it (doc sizes + both self-join sides) — at cluster scale
     // the same role is played by a staged intermediate table;
     // MEMORY_AND_DISK keeps it spill-safe.
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = explodedShingles(df, idCol, textCol, n)
     val rare = sh
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -81,9 +100,13 @@ object Dedup {
     // `aggregate` over the shingle array (which is interpreted and was
     // ~25× slower). Same semantics: min over distinct shingles of
     // xxhash64(shingle, perm).
-    val exploded = df
-      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
-    val minAggs = (0 until numPerms).map(p => min(xxhash64(col("s"), lit(p))).as(s"h$p"))
+    // Hash each shingle string ONCE; per-permutation values re-mix the
+    // 8-byte base hash (xxhash64 of a long is far cheaper than of a
+    // ~20-char string × numPerms). Signature quality is unchanged —
+    // permutation hashes stay uniform and independent.
+    val exploded = explodedShingles(df, idCol, textCol, n)
+      .select(col("doc"), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until numPerms).map(p => min(xxhash64(col("h"), lit(p))).as(s"h$p"))
     val sigs = exploded.groupBy("doc")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc"), array((0 until numPerms).map(p => col(s"h$p")): _*).as("sig"))

@@ -14,6 +14,13 @@ class DedupSpec extends SparkSpec {
     (3L, "completely unrelated text about spark catalyst optimizer rules and physical plans here")
   ).toDF("doc_id", "text")
 
+  test("explodedShingles (typed flatMap) is output-identical to the expression shingles") {
+    val expr = docs.select(col("doc_id").as("doc"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val typed = Dedup.explodedShingles(docs, "doc_id", "text", 3)
+    assert(expr.exceptAll(typed).count() === 0 && typed.exceptAll(expr).count() === 0)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")
