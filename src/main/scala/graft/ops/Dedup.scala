@@ -25,19 +25,29 @@ object Dedup {
     * typed flatMap twin of [[graft.functions.TextFunctions.shingles]]
     * (output-identical, tested). The expression version costs ~10× more
     * here: per-position higher-order lambdas are interpreted, while this
-    * is a tight JVM sliding window. Used by the dedup operators whose
-    * first step is exactly this explode; the expression form remains for
-    * column-level composition. */
+    * is a tight JVM sliding window. The typed fast path needs a concrete
+    * encoder, so it runs only for bigint ids (the engine's id shape);
+    * any other id type falls back to the expression explode with
+    * identical semantics. Null text yields no rows on both paths. */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val ws = text.trim.split("\\s+").iterator.filter(_.nonEmpty).toArray
-        if (ws.length < n) Iterator.empty
-        else ws.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (id, s))
-      }.toDF("doc", "shingle")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.select(col(idCol).as("doc"), col(textCol).as("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val ws = text.trim.split("\\s+").iterator.filter(_.nonEmpty).toArray
+              if (ws.length < n) Iterator.empty
+              else ws.sliding(n).map(_.mkString(" ")).toSet.iterator
+                .map((s: String) => (id, s))
+            }
+          }.toDF("doc", "shingle")
+      case _ =>
+        df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+    }
   }
 
   /** Exact n-word-shingle Jaccard near-dup pairs.
@@ -52,18 +62,19 @@ object Dedup {
   def ngramJaccardPairs(idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDf: Long = 1000L)
                        (df: DataFrame): DataFrame = {
-    // Document frequency via a window over the shingle key (one shuffle)
-    // instead of a groupBy + re-join (three shuffles of the exploded
-    // table). The filtered table is persisted because three plan branches
-    // consume it (doc sizes + both self-join sides) — at cluster scale
-    // the same role is played by a staged intermediate table;
-    // MEMORY_AND_DISK keeps it spill-safe.
+    // Document frequency via groupBy + join, NOT a window over the
+    // shingle key: the window would shuffle-sort every occurrence of a
+    // hot shingle into one task — exactly the skew the maxDf cap exists
+    // to kill — while groupBy keeps map-side partial counts. The shingle
+    // table is persisted because multiple plan branches consume it; at
+    // cluster scale the same role is played by a staged intermediate
+    // table; MEMORY_AND_DISK keeps it spill-safe.
     val sh = explodedShingles(df, idCol, textCol, n)
-    val rare = sh
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).drop("__df"),
+        "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Sizes over the SAME capped vocabulary as the intersections: when
     // maxDf engages, jaccard is "Jaccard over sub-maxDf shingles" —

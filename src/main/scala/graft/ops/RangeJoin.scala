@@ -29,9 +29,14 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       bandWidth: Long): DataFrame = {
     val p = points.withColumn("__band", floor(col(pointCol) / bandWidth).cast("long"))
-    val i = intervals.withColumn("__bands",
-      sequence(floor(col(startCol) / bandWidth).cast("long"),
-        floor((col(endCol) - 1) / bandWidth).cast("long")))
+    // Guard end > start: Spark's sequence() DESCENDS when stop < start,
+    // so an empty [s,s) or a corrupt inverted interval would explode
+    // phantom bands (or, for end << start, try to build a giant array
+    // and kill the job) instead of matching nothing.
+    val i = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bands",
+        sequence(floor(col(startCol) / bandWidth).cast("long"),
+          floor((col(endCol) - 1) / bandWidth).cast("long")))
       .withColumn("__band", explode(col("__bands"))).drop("__bands")
     p.join(i, Seq("__band"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

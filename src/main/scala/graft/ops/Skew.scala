@@ -20,10 +20,19 @@ object Skew {
     * @param sumCol column to sum
     * @param salts  salt fan-out (≈ expected hot-key skew factor)
     */
+  /** Deterministic row-content salt: a nondeterministic source (rand /
+    * monotonically_increasing_id) would re-salt rows differently when a
+    * map task is retried or speculated, double-counting or dropping rows
+    * in the phase-1 partials. Hashing the row content keeps every replay
+    * of a row in the same (key, salt) group; identical rows sharing a
+    * salt is harmless — aggregation is over all rows either way. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+
   def saltedCountSum(keys: Seq[String], sumCol: String, salts: Int)
                     (df: DataFrame): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .withColumn("__salt", contentSalt(df, salts))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
     partial
@@ -37,7 +46,7 @@ object Skew {
              partialAggs: Seq[Column], mergeAggs: Seq[Column])
             (df: DataFrame): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .withColumn("__salt", contentSalt(df, salts))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(keys.map(col): _*)

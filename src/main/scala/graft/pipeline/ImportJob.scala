@@ -83,19 +83,16 @@ object ExportJob {
     * 100 TB path for the reference's daily re-export of the last two
     * months (a static overwrite would rewrite the whole table). */
   def exportMonthsIncremental(df: DataFrame, months: Seq[String],
-                              outPath: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.filter(col("month").isin(months: _*))
+                              outPath: String): Unit =
+    // per-write option, NOT a session-conf flip: mutating the shared
+    // session conf would race with concurrent writers (their unrelated
+    // overwrites silently turning dynamic, or the restore clobbering a
+    // write in flight).
+    df.filter(col("month").isin(months: _*))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("month", "dataset_type")
       .parquet(outPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 
   /** Post-export verification (reference src/main_02.py:392-440): read
     * back ONLY the exported partitions (partition filters prune the

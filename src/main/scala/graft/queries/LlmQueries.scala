@@ -61,17 +61,20 @@ object LlmQueries {
     // BPE-ish regex token counting (north star: "whitespace + a BPE-ish
     // regex"): letter-runs, digit-runs, and single punctuation marks as
     // separate tokens — the pre-tokenization shape of GPT-style BPE.
+    // Whitespace spelled as an explicit class: Java's \s includes \x0B
+    // (vertical tab) while RE2's does not — same parity rule as q24.
     Q("q41_bpe_tokens",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]"), lit(0)))
           .cast("long").as("n_bpe_tokens"),
         size(array_distinct(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]"), lit(0))))
           .cast("long").as("n_bpe_uniq")),
       Some("""SELECT doc_id,
-             |cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
-             |cast(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_uniq
+             |cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\x0B\f]')) AS BIGINT) AS n_bpe_tokens,
+             |cast(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\x0B\f]'))) AS BIGINT) AS n_bpe_uniq
              |FROM documents""".stripMargin)),
 
     // Language-ID heuristic: stopword-hit argmax across candidate

@@ -66,11 +66,15 @@ object EventStream {
         col("session.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
-  /** Stream-stream join with watermarks: attach each click to the same
-    * user's purchase within the preceding hour. Both sides watermarked so
-    * the join state is bounded; the time-range condition lets Spark
-    * evict matched/expired state — the streaming twin of [[graft.ops.AsOfJoin]]
-    * (which serves the batch/backfill path).
+  /** Stream-stream WINDOWED join with watermarks: attach each click to
+    * EVERY purchase by the same user within the preceding hour (a click
+    * fans out to one row per matching purchase). Both sides watermarked
+    * so the join state is bounded; the time-range condition lets Spark
+    * evict matched/expired state. Note this is windowed-enrichment, not
+    * as-of semantics — the at-or-before-LATEST match is
+    * [[graft.ops.AsOfJoin]] on the batch/backfill path (streaming as-of
+    * would need a post-join per-click reduction, which append-mode
+    * stream-stream joins cannot express directly).
     */
   def clickPurchaseJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -41,9 +41,13 @@ for name in sorted(oracle):
 for n, m in fails:
     print(f"FAIL  {n}: {m}")
 # also check rows>0 for no-oracle queries
+empties = 0
 for p in sorted(glob.glob(f"{out}/q*")):
     name = p.split('/')[-1]
     if name not in oracle:
         n = len(pd.read_parquet(p))
+        if n == 0:
+            empties += 1
         print(f"{'ROWS' if n>0 else 'EMPTY!'}  {name}: {n} rows")
 print(f"\n{len(fails)} failures")
+sys.exit(1 if (fails or empties) else 0)
