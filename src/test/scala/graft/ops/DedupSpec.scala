@@ -21,6 +21,20 @@ class DedupSpec extends SparkSpec {
     assert(expr.exceptAll(typed).count() === 0 && typed.exceptAll(expr).count() === 0)
   }
 
+  test("explodedShingles: null text yields no rows; string ids use the fallback path") {
+    val withNull = Seq((1L, base), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.explodedShingles(withNull, "doc_id", "text", 3)
+      .filter(col("doc") === 2L).count() === 0)
+    val stringIds = Seq(("doc-a", base), ("doc-b", base)).toDF("doc_id", "text")
+    val out = Dedup.explodedShingles(stringIds, "doc_id", "text", 3)
+    assert(out.schema("doc").dataType.typeName === "string")
+    assert(out.filter(col("doc") === "doc-a").count() > 0)
+    // full operators work on string ids via the fallback
+    val pairs = Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.5)(stringIds)
+      .collect()
+    assert(pairs.length === 1 && pairs.head.getDouble(2) === 1.0)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")
