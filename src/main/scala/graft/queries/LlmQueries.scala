@@ -155,6 +155,32 @@ object LlmQueries {
       },
       None),
 
+    // Embedding-cosine near-duplicate pairs, exact all-pairs variant —
+    // oracle ground truth for the LSH-bucketed scale path
+    // (Similarity.cosineNearDupPairs). Quadratic by construction: run on
+    // the corpus sample that fits the verify budget; at scale the LSH/IVF
+    // candidate generation replaces the cross join.
+    Q("q45_cosine_near_dup",
+      (s, d) => {
+        val c = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val c2 = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        c.join(c2, col("id_a") < col("id_b"))
+          .withColumn("sim", round(
+            graft.functions.CosineSimilarityExpr.cosineSim(col("va"), col("vb")), 4))
+          .filter(col("sim") >= 0.35)
+          .select("id_a", "id_b", "sim")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35""".stripMargin)),
+
     // IVF approximate top-k — the density-adaptive ANN scale path
     // (rows-only check; the coarse quantizer is engine-defined).
     Q("q35_ivf_topk",
