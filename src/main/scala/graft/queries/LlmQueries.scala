@@ -77,6 +77,47 @@ object LlmQueries {
              |cast(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\x0B\f]'))) AS BIGINT) AS n_bpe_uniq
              |FROM documents""".stripMargin)),
 
+    // Document chunking: fixed-size token windows with overlap — the
+    // standard pre-training/RAG chunker. stride = chunk - overlap; the
+    // last partial window is kept (ceil semantics) so no tokens drop.
+    Q("q46_chunking",
+      (s, d) => {
+        val chunk = 50
+        val stride = 40
+        val ws = TextFunctions.tokens(col("text"))
+        Tables.documents(s, d)
+          .filter(size(ws) > 0)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), greatest(ceil((size(ws) - chunk) /
+                lit(stride.toDouble)).cast("long"), lit(0L))),
+              i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(chunk)), " "))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            col("col").as("chunk_text"),
+            size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"))
+      },
+      Some("""SELECT doc_id, chunk_idx,
+             |array_to_string(w[(chunk_idx*40 + 1):(chunk_idx*40 + 50)], ' ') AS chunk_text,
+             |cast(len(w[(chunk_idx*40 + 1):(chunk_idx*40 + 50)]) AS BIGINT) AS n_chunk_tokens
+             |FROM (
+             |  SELECT doc_id, w, unnest(range(
+             |    greatest(cast(ceil((len(w) - 50) / 40.0) AS BIGINT), 0) + 1)) AS chunk_idx
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents WHERE trim(text) <> ''))""".stripMargin)),
+
+    // Text normalization: lowercase, strip control chars, collapse
+    // whitespace — the canonical cleanup pass before dedup/tokenize.
+    Q("q47_normalize",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
+          "  +", " ").as("norm_text")),
+      Some("""SELECT doc_id,
+             |regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |  '  +', ' ', 'g') AS norm_text
+             |FROM documents""".stripMargin)),
+
     // Language-ID heuristic: stopword-hit argmax across candidate
     // languages (ties resolved identically on both sides).
     Q("q25_langid",
