@@ -14,6 +14,15 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserState(user_id: Long, n_events: Long, total_value: Double,
                      last_event_id: Long)
 
+/** Open-session accumulator for [[EventStream.closedSessions]] (µs). */
+case class OpenSession(start_us: Long, end_us: Long, n_events: Long,
+                       total_value: Double)
+
+/** A finished session emitted by [[EventStream.closedSessions]]. */
+case class ClosedSession(user_id: Long, session_start_us: Long,
+                         session_end_us: Long, n_events: Long,
+                         total_value: Double)
+
 /** Structured Streaming ingestion for the `events` table shape
   * (SURVEY §2.10). The reference's only quasi-streaming behavior is
   * GUI-triggered batch polling (reference src/main_01.py:111-126,
@@ -113,6 +122,53 @@ object EventStream {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** Sessions emitted ON CLOSE via flatMapGroupsWithState + event-time
+    * timeout (the Append-mode complement of [[sessionize]], which
+    * re-emits updated windows): a session is emitted exactly once — when
+    * a later event arrives past the gap, or when the watermark passes
+    * the session end + gap (timeout). State per user is one open
+    * session; timeouts guarantee idle users' sessions still flush.
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "10 minutes"):
+      org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.withWatermark("ts", watermark).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state) =>
+          def toUs(e: Event): Long = e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.start_us, s.end_us, s.n_events, s.total_value))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (toUs(e), e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toUs(e)
+              cur = cur match {
+                case Some(s) if t - s.end_us <= gapUs =>
+                  Some(OpenSession(s.start_us, t, s.n_events + 1, s.total_value + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.start_us, s.end_us, s.n_events, s.total_value)
+                  Some(OpenSession(t, t, 1, e.value))
+                case None => Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000 + gapMinutes.toLong * 60 * 1000)
+            }
+            closed.reverseIterator
+          }
       }
   }
 

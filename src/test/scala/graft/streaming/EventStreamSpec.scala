@@ -93,6 +93,38 @@ class EventStreamSpec extends SparkSpec {
     assert(latest === Set((10L, 3L, 10.0, 5L), (11L, 1L, 7.0, 6L)))
   }
 
+  test("closedSessions: sessions emit exactly once — on gap or on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.closedSessions(src.toDF(), gapMinutes = 30, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    // batch 1: one open session for user 10 — nothing emits yet
+    src.addData(Ev(1, t(1, 0), 10, "click", 1.0, "{}"),
+      Ev(2, t(1, 10), 10, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM closed_sessions").count() === 0)
+    // batch 2: event past the gap closes the first session (gap path)
+    src.addData(Ev(3, t(3, 0), 10, "click", 4.0, "{}"))
+    q.processAllAvailable()
+    val afterGap = spark.sql(
+      "SELECT user_id, n_events, total_value FROM closed_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(afterGap === Seq((10L, 2L, 3.0)))
+    // batch 3: far-future event for another user pushes the watermark
+    // past session-2's end + gap → timeout path flushes user 10's
+    // remaining open session
+    src.addData(Ev(4, t(9, 0), 99, "view", 0.5, "{}"))
+    q.processAllAvailable()
+    src.addData(Ev(5, t(9, 1), 99, "view", 0.5, "{}"))
+    q.processAllAvailable()
+    val all = spark.sql(
+      "SELECT user_id, n_events, total_value FROM closed_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(all.contains((10L, 1L, 4.0)), s"timeout flush missing: $all")
+  }
+
   test("clickPurchaseJoin: stream-stream join matches purchases within the hour before a click") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
