@@ -307,6 +307,24 @@ object CoreQueries {
              |cast(day(ts) AS BIGINT) AS d, cast(hour(ts) AS BIGINT) AS h
              |FROM events""".stripMargin)),
 
+    // Q48 — formatting + epoch-seconds scalars (§2.8's f"{x:.1f}" /
+    // datetime.fromtimestamp rows): printf-style format and
+    // from_unixtime round-trip.
+    Q("q48_format",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        // pre-round before formatting: printf tie-rounding on raw doubles
+        // differs between Java (HALF_UP over decimal expansion) and C
+        // (nearest-even over binary); after round(…,1) the value is
+        // unambiguous for both
+        format_string("v=%.1f", round(col("value"), 1)).as("v_fmt"),
+        from_unixtime(expr("unix_micros(ts) DIV 1000000")).as("ts_str"),
+        unix_micros(timestamp_seconds(expr("unix_micros(ts) DIV 1000000"))).as("ts_s_us")),
+      Some("""SELECT event_id, printf('v=%.1f', round(value, 1)) AS v_fmt,
+             |strftime(to_timestamp(epoch_us(ts) // 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+             |epoch_us(to_timestamp(epoch_us(ts) // 1000000)) AS ts_s_us
+             |FROM events""".stripMargin)),
+
     // Q21 — 7-row rolling average per key (§2.9 frame-spec windows).
     Q("q21_rolling_avg",
       (s, d) => {
