@@ -307,6 +307,17 @@ object CoreQueries {
              |cast(day(ts) AS BIGINT) AS d, cast(hour(ts) AS BIGINT) AS h
              |FROM events""".stripMargin)),
 
+    // Q49 — sketch aggregates (SCALE.md's distinct-count scale path):
+    // HLL approx_count_distinct next to the exact count. Rows-only check
+    // (sketch estimates are engine-specific); the exact column is the
+    // internal ground truth and q34 oracle-checks exact countDistinct.
+    Q("q49_sketches",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("n_hll")),
+      None),
+
     // Q48 — formatting + epoch-seconds scalars (§2.8's f"{x:.1f}" /
     // datetime.fromtimestamp rows): printf-style format and
     // from_unixtime round-trip.
