@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}`.
   *
   * A warmup action runs first so JVM/codegen startup cost isn't charged
   * to whichever query happens to run first; queries run in name order so
-  * per-query timings are comparable across rounds.
+  * per-query timings are comparable across rounds. Each query runs
+  * SPARK_GRAFT_ITERS times (default 3) and reports the MEDIAN, defusing
+  * noisy-neighbor swings on shared boxes; a failing query lands in
+  * `errors` with its exception (never a silent fake timing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,15 +32,30 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val runs = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
+      }
+      if (runs.nonEmpty) timings(name) = runs.sorted.apply(runs.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ")
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

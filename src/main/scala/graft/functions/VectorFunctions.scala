@@ -36,22 +36,76 @@ object VectorFunctions {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x))
 
-  /** Deterministic LSH bucket id from `nBits` random-hyperplane signs.
-    * Hyperplane h's component for dimension i is a pseudo-random ±1 derived
-    * from xxhash64(h, i) — reproducible across runs with no stored model.
-    * sim(sign-agreement) approximates cosine; used to prune the kNN
-    * candidate space from O(N²) to O(N·bucket).
-    */
-  def lshBucket(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { h =>
-      val proj = aggregate(
+  /** Raw hyperplane projections for `nBits` random hyperplanes, as an
+    * array<double>. Hyperplane h's component for dimension i is a
+    * pseudo-random ±1 derived from xxhash64(131·seed + h, i) —
+    * reproducible across runs with no stored model; distinct `seed`s give
+    * independent hyperplane sets (131 > max nBits, so (seed, h) ranges
+    * never collide). The magnitudes drive multi-probe bucket selection
+    * ([[lshProbes]]): the smaller |projection(h)| is, the likelier bit h
+    * is on the wrong side of its hyperplane. */
+  def lshProjections(vec: Column, nBits: Int, seed: Int = 0): Column =
+    array((0 until nBits).map { h =>
+      aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") *
-            when(shiftright(xxhash64(lit(h), i), 13).bitwiseAND(lit(1L)) === 1L, 1.0)
+            when(shiftright(xxhash64(lit(131 * seed + h), i), 13).bitwiseAND(lit(1L)) === 1L, 1.0)
               .otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    }: _*)
+
+  private def bucketOf(projs: Column, nBits: Int): Column =
+    aggregate(
+      zip_with(projs, sequence(lit(0), lit(nBits - 1)),
+        (p, h) => when(p > 0, call_function("shiftleft", lit(1L), h)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic LSH bucket id from `nBits` random-hyperplane signs
+    * (sign-agreement probability approximates cosine; prunes the kNN
+    * candidate space from O(N²) to O(N·bucket)). Bit h is set iff
+    * projection h is positive; the bit sum equals the OR since bits are
+    * distinct. */
+  def lshBucket(vec: Column, nBits: Int, seed: Int = 0): Column =
+    bucketOf(lshProjections(vec, nBits, seed), nBits)
+
+  /** Multi-probe LSH (Lv et al., VLDB'07 shape): the home bucket plus the
+    * `nProbe - 1` next-likeliest buckets. A bucket's likelihood is scored
+    * by the total |projection| of the bits flipped to reach it — the
+    * smaller a projection's magnitude, the closer the vector sits to that
+    * hyperplane and the likelier the bit is a sign error. The probing
+    * sequence enumerates single-bit flips plus two-bit flips over the 8
+    * closest hyperplanes (1 + nBits + C(min(nBits,8),2) candidates),
+    * ordered by score. Returns an array of `nProbe` distinct bucket ids;
+    * callers explode it on the (small) query side only, so the corpus is
+    * still bucketed once and never re-hashed. */
+  def lshProbes(vec: Column, nBits: Int, nProbe: Int, seed: Int = 0): Column = {
+    val m = math.min(nBits, 8)
+    val maxProbes = 1 + nBits + m * (m - 1) / 2
+    require(nProbe >= 1 && nProbe <= maxProbes,
+      s"nProbe must be in [1, $maxProbes] for nBits=$nBits")
+    val projs = lshProjections(vec, nBits, seed)
+    val bucket = bucketOf(projs, nBits)
+    // bit indices ordered by |projection| ascending (struct sort is
+    // lexicographic on fields: |proj| first, index tiebreak)
+    val byCloseness = array_sort(zip_with(projs, sequence(lit(0), lit(nBits - 1)),
+      (p, h) => struct(abs(p).as("a"), h.as("h"))))
+    def scoreAt(i: Column): Column = element_at(byCloseness, i + 1).getField("a")
+    def maskAt(i: Column): Column =
+      call_function("shiftleft", lit(1L), element_at(byCloseness, i + 1).getField("h"))
+    val singles = transform(sequence(lit(0), lit(nBits - 1)),
+      i => struct(scoreAt(i).as("a"), maskAt(i).as("m")))
+    val perturbs =
+      if (m < 2) singles
+      else {
+        val idx = sequence(lit(0), lit(m - 1))
+        val pairs = filter(flatten(transform(idx, i => transform(idx, j =>
+          when(i < j, struct((scoreAt(i) + scoreAt(j)).as("a"),
+            maskAt(i).bitwiseOR(maskAt(j)).as("m"))).otherwise(lit(null))))),
+          x => x.isNotNull)
+        concat(singles, pairs)
+      }
+    val flips = transform(slice(array_sort(perturbs), 1, nProbe - 1),
+      s => bucket.bitwiseXOR(s.getField("m")))
+    concat(array(bucket), flips)
   }
 }

@@ -36,13 +36,16 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: only candidates sharing a
     * `nBits`-bit hyperplane signature bucket are scored. With B buckets
-    * the scored-pair count is ~Q·N/B; recall is tuned by lowering nBits
-    * or probing multiple buckets (multi-probe left for the IVF variant).
+    * the scored-pair count is ~Q·nProbe·N/B. Recall is tuned by `nProbe`
+    * (multi-probe: each query also probes the nProbe-1 buckets reached by
+    * flipping its smallest-|projection| bits — the likeliest sign errors)
+    * without re-bucketing the corpus; probe buckets are distinct, so no
+    * candidate pair is scored twice and no dedup pass is needed.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+              vecCol: String, k: Int, nBits: Int = 8, nProbe: Int = 1): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
+      explode(lshProbes(col(vecCol), nBits, nProbe)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, "bucket")
@@ -54,11 +57,16 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path. Coarse quantizer: every `corpusSize/nCentroids`-th vector in
-    * id order (deterministic, no trained model, no driver collect);
-    * corpus rows are assigned to their nearest centroid (one broadcast
-    * join), queries probe their `nProbe` nearest centroids, and scoring
-    * is an equi-join on the centroid id.
+    * path. Coarse quantizer: the `nCentroids` corpus vectors with the
+    * smallest xxhash64(id) — a deterministic pseudo-random sample with no
+    * trained model, no count() pre-pass, and no global window: Catalyst
+    * plans orderBy(hash).limit(n) as TakeOrderedAndProject, so every
+    * partition keeps only nCentroids candidate rows and the full corpus
+    * never funnels through one task. The hash doubles as the centroid id
+    * (64-bit, collision-free in practice). Corpus rows are assigned to
+    * their nearest centroid (one broadcast join), queries probe their
+    * `nProbe` nearest centroids, and scoring is an equi-join on the
+    * centroid id.
     *
     * Scored pairs drop from Q·N to ~Q·nProbe·N/nCentroids. Compared to
     * [[lshTopK]]: IVF adapts to the data distribution (cells follow
@@ -69,16 +77,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 2): DataFrame = {
-    val ids = Window.orderBy(col("neighbor_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val n = c.count()
-    val step = math.max(1L, n / nCentroids)
-    // deterministic coarse quantizer: every step-th vector (single-
-    // partition window is fine: it runs over ids only, once, and its
-    // output is nCentroids rows)
-    val centroids = c.withColumn("__rn", row_number().over(ids))
-      .filter(((col("__rn") - 1) % step === 0) && col("__rn") <= step * nCentroids)
-      .select(col("__rn").as("centroid_id"), col("cv").as("centv"))
+    val centroids = c
+      .select(xxhash64(col("neighbor_id")).as("centroid_id"), col("cv").as("centv"))
+      .orderBy("centroid_id").limit(nCentroids)
     val assignW = Window.partitionBy("neighbor_id")
       .orderBy(col("__cs").desc, col("centroid_id"))
     val assigned = c.crossJoin(broadcast(centroids))
@@ -103,15 +105,40 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
-    * buckets: pairs in the same bucket with cosine >= threshold. */
+    * buckets, OR-amplified across `nTables` independent hyperplane sets:
+    * a pair is a candidate if it shares a bucket in ANY table, so the
+    * miss probability per pair is (1 - p^nBits)^nTables where
+    * p = 1 - θ/π. Candidates carry ids only (no vectors) through the
+    * bucket join and the (id_a, id_b) dedup shuffle; vectors are joined
+    * back once per side for the exact cosine verify — at scale this keeps
+    * the wide embedding arrays out of the hot self-join entirely.
+    *
+    * Tuning: for a genuine near-dup threshold (cos ≥ 0.9, θ ≤ 26°),
+    * p ≈ 0.86 and a few 8-bit tables give recall ≈ 1 with tiny buckets.
+    * For a permissive threshold like the q45/q51 oracle's 0.35 the same
+    * construction needs low nBits and many tables (the declared q51 uses
+    * nBits = 2, nTables = 32 → per-pair miss < 3e-7) — recall stays
+    * verifiable but candidate pruning is weak, which is inherent: random-
+    * tail pairs at θ ≈ 70° are not locality-clustered for any LSH family.
+    */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nBits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
-    c.as("a").join(c.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosineSim(col("a.v"), col("b.v")), 4))
+                         threshold: Double, nBits: Int = 8,
+                         nTables: Int = 1): DataFrame = {
+    val buckets = corpus.select(col(idCol).as("id"),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col(vecCol), nBits, seed = t)): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("sim", round(cosineSim(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select("id_a", "id_b", "sim")
   }
 }

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sort / limit / top-k operators (SURVEY §2.6, O1–O4).
   *
@@ -31,11 +32,33 @@ object TopK {
   def global(ordering: Seq[Column], k: Int)(df: DataFrame): DataFrame =
     df.orderBy(ordering: _*).limit(k)
 
-  /** O1 with an explicit global position column. The empty
-    * `Window.orderBy` serializes through one partition — fine for
-    * bounded/aggregated inputs (the only place the engine uses it); for
-    * raw 100 TB inputs prefer [[global]] or zipWithIndex-free rank-by-key.
-    */
-  def withPosition(ordering: Seq[Column], posCol: String)(df: DataFrame): DataFrame =
-    df.withColumn(posCol, row_number().over(Window.orderBy(ordering: _*)))
+  /** O1 with an explicit global position column, computed in two phases
+    * so no task ever sees more than one range of the data (the naive
+    * `row_number().over(Window.orderBy(...))` funnels the whole input
+    * through a single partition — the classic 100 TB killer):
+    *
+    *   1. range-shuffle on the ordering (`repartitionByRange`, sampled
+    *      bounds) + per-partition sort — a distributed total sort;
+    *   2. `zipWithIndex`, which runs one lightweight count-per-partition
+    *      job and then streams each partition adding `cumulative offset +
+    *      local index` — the "broadcast partition counts as offsets"
+    *      construction, already provided by Spark at the RDD layer.
+    *
+    * The ordering must be total (include a unique tiebreak) for the
+    * positions to be reproducible — same contract as the window version.
+    * Cost: the input lineage is evaluated twice (count job + data job);
+    * callers should project to the needed columns *before* this transform
+    * since the RDD boundary blocks column pruning above it. */
+  def withPosition(ordering: Seq[Column], posCol: String)(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.repartitionByRange(parts, ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+    val schema = StructType(ranged.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    val rows = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -231,12 +231,15 @@ object CoreQueries {
              |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin)),
 
     // Q17 — total-order sort with explicit global position (O1,
-    // reference src/main_01.py:329-331). Position via single-partition
-    // window is fine on aggregate-sized output; see TopK scaladoc.
+    // reference src/main_01.py:329-331). Two-phase rank (range shuffle +
+    // per-partition offsets, TopK.withPosition) — no single-partition
+    // window. Projection happens BEFORE the transform: the RDD boundary
+    // inside withPosition blocks column pruning above it.
     Q("q17_total_order",
       (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .transform(TopK.withPosition(Seq(col("ts").desc, col("event_id")), "pos"))
-        .select(col("pos").cast("long").as("pos"), col("event_id"),
+        .select(col("pos"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value")),
       Some("""SELECT row_number() OVER (ORDER BY ts DESC, event_id) AS pos,
              |event_id, epoch_us(ts) AS ts_us, user_id, value FROM events""".stripMargin)),

@@ -166,16 +166,18 @@ object LlmQueries {
       None),
 
     // Brute-force cosine top-k — the exact ANN baseline. Query set =
-    // every 50th vector; k = 5; rank on rounded sim for cross-engine
-    // determinism.
+    // vec_id < 100, a FIXED-size set: the broadcast side stays O(1) in
+    // the corpus size (a %-based sample would grow with N and eventually
+    // OOM the broadcast at 100 TB). k = 5; rank on rounded sim for
+    // cross-engine determinism.
     Q("q29_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", 5)
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |  FROM embeddings WHERE vec_id < 100),
              |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
              |s AS (SELECT query_id, neighbor_id,
              |  round(list_dot_product(qv, cv) /
@@ -187,12 +189,15 @@ object LlmQueries {
              |WHERE rk <= 5""".stripMargin)),
 
     // LSH-bucketed approximate top-k — the 100 TB scale path
-    // (rows-only check: bucket ids derive from xxhash64).
+    // (rows-only check: bucket ids derive from xxhash64; measured
+    // against the exact baseline by q50_ann_recall). Multi-probe: each
+    // query probes its home bucket plus the 7 likeliest sign-error
+    // buckets — recall knob with no corpus re-bucketing.
     Q("q30_lsh_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", 5, nBits = 4)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, nBits = 4, nProbe = 8)
       },
       None),
 
@@ -223,14 +228,65 @@ object LlmQueries {
              |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35""".stripMargin)),
 
     // IVF approximate top-k — the density-adaptive ANN scale path
-    // (rows-only check; the coarse quantizer is engine-defined).
+    // (rows-only check; the coarse quantizer is engine-defined; measured
+    // against the exact baseline by q50_ann_recall).
     Q("q35_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, nCentroids = 16, nProbe = 8)
       },
       None),
+
+    // ANN recall harness: join each approximate method's top-k against
+    // the exact brute-force top-k and report per-method recall — the
+    // quantitative check that turns "runs" into "measurably correct"
+    // (rows-only here; SimilaritySpec asserts recall >= 0.6 on sf0.01).
+    Q("q50_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 100)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        val approx =
+          Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, nBits = 4, nProbe = 8)
+            .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+          .union(
+            Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+              nCentroids = 16, nProbe = 8)
+            .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+        approx
+          .join(exact.withColumn("__hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("method")
+          .agg(count(lit(1)).as("n_returned"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+          .withColumn("recall", round(col("n_hit").cast("double") / col("n_exact"), 4))
+          .select("method", "n_returned", "n_hit", "n_exact", "recall")
+      },
+      None),
+
+    // Embedding near-dup via the LSH scale path, oracle-checked: 32
+    // independent 2-bit tables OR-amplified give per-pair miss
+    // probability (1 - p²)^32 < 3e-7 at cos = 0.35 (p = 1 - θ/π ≈ 0.61),
+    // so the output hash-matches the exact all-pairs q45 oracle while the
+    // plan stays a bucket equi-join + id-only dedup (no cross join).
+    // Low nBits/many tables is what a 0.35 threshold costs; a realistic
+    // near-dup threshold (≥ 0.9) runs the same operator with nBits = 8
+    // and a handful of tables — see Similarity.cosineNearDupPairs.
+    Q("q51_cosine_near_dup_lsh",
+      (s, d) => Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0.35,
+        nBits = 2, nTables = 32),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35""".stripMargin)),
 
     // Document fingerprinting: md5 window signatures, one row per window.
     Q("q31_fingerprint",

@@ -36,12 +36,48 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.exceptAll(ivf).count() === 0 && ivf.exceptAll(brute).count() === 0)
   }
 
-  test("ivfTopK: partial probe returns a subset of brute-force candidates, ranked") {
-    val out = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0),
-        "vec_id", "embedding", 3, nCentroids = 2, nProbe = 1)
-      .orderBy("rk").as[(Long, Long, Double, Long)].collect().toSeq
+  test("ivfTopK: partial probe returns ranked results from probed cells only") {
+    // query every vector: with 2 cells over 5 vectors some cell holds >= 2
+    // members, so at least one query sees a non-self candidate
+    val out = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 3,
+        nCentroids = 2, nProbe = 1)
+      .as[(Long, Long, Double, Long)].collect().toSeq
     assert(out.nonEmpty)
-    assert(out.map(_._3) === out.map(_._3).sorted.reverse) // descending sim
+    out.groupBy(_._1).values.foreach { rows =>
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims === sims.sorted.reverse) // descending sim per query
+    }
+    // every reported sim agrees with the exact brute-force similarity
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case (q, n, s, _) => assert(brute((q, n)) === s) }
+  }
+
+  test("ANN recall: declared LSH and IVF queries recover >= 0.6 of exact top-5 (sf0.01)") {
+    // q50 joins each approximate method's output against the brute-force
+    // ground truth; this pins the quantitative floor the rows-only
+    // CORRECTNESS entries for q30/q35 can't express
+    val rec = graft.SparkEntry.queries("q50_ann_recall")(spark, "/root/testdata/sf0.01")
+      .select("method", "recall").as[(String, Double)].collect().toMap
+    assert(rec.keySet === Set("lsh", "ivf"), rec.toString)
+    assert(rec.values.forall(_ >= 0.6), rec.toString)
+  }
+
+  test("multi-table near-dup LSH reaches full recall vs the exact pairs (sf0.01)") {
+    // the q51 configuration: per-pair miss (1 - p²)^32 < 3e-7 at cos 0.35
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, d)
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35,
+      nBits = 2, nTables = 32)
+    val exact = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarityExpr.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("sim") >= 0.35)
+      .select("id_a", "id_b", "sim")
+    assert(exact.exceptAll(lsh).count() === 0 && lsh.exceptAll(exact).count() === 0)
   }
 
   test("cosineNearDupPairs finds the tight pair at high threshold") {

@@ -55,4 +55,33 @@ class PlanSpec extends SparkSpec {
       p.contains("cosine_sim") || p.contains("CosineSimilarity"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  private def emptyPartitionWindows(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+
+  test("q35 IVF: no single-partition window anywhere in the plan") {
+    // the round-1 centroid selector ran row_number over the whole corpus
+    // in one task; the hash-sampled quantizer must never regress to that
+    assert(emptyPartitionWindows("q35_ivf_topk").isEmpty)
+    val p = plan("q35_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject"), p) // centroid sample plan
+  }
+
+  test("q17 global position: no single-partition window, range shuffle instead") {
+    assert(emptyPartitionWindows("q17_total_order").isEmpty)
+  }
+
+  test("q30/q50 ANN paths: no single-partition window") {
+    assert(emptyPartitionWindows("q30_lsh_topk").isEmpty)
+    assert(emptyPartitionWindows("q50_ann_recall").isEmpty)
+  }
+
+  test("q51 LSH near-dup: bucket equi-join, never a nested-loop cross join") {
+    val p = plan("q51_cosine_near_dup_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
