@@ -23,15 +23,63 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcUpsertSink {
 
-  /** MariaDB-dialect batched upsert statement for the loom table. */
-  def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
-    val collist = columns.map(c => s"`$c`").mkString(", ")
-    val placeholders = columns.map(_ => "?").mkString(", ")
-    val updates = columns.filterNot(keyCols.contains)
-      .map(c => s"`$c` = VALUES(`$c`)").mkString(", ")
-    s"INSERT INTO `$table` ($collist) VALUES ($placeholders) " +
-      s"ON DUPLICATE KEY UPDATE $updates"
+  /** Upsert statement dialect: builds the per-row SQL and the bind order
+    * (row-column indices in placeholder position order), so `write` stays
+    * dialect-agnostic. Serializable — it ships inside the
+    * foreachPartition closure. */
+  sealed trait UpsertDialect extends Serializable {
+    def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String
+    def bindOrder(columns: Seq[String], keyCols: Seq[String]): Seq[Int]
   }
+
+  /** MariaDB/MySQL `INSERT ... ON DUPLICATE KEY UPDATE` — the dialect the
+    * reference's production sink targets (src/main_01.py:242-296). One
+    * placeholder per column, bound once. */
+  case object MySqlUpsert extends UpsertDialect {
+    def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+      require(columns.exists(!keyCols.contains(_)), "need a non-key column to update")
+      val collist = columns.map(c => s"`$c`").mkString(", ")
+      val placeholders = columns.map(_ => "?").mkString(", ")
+      val updates = columns.filterNot(keyCols.contains)
+        .map(c => s"`$c` = VALUES(`$c`)").mkString(", ")
+      s"INSERT INTO `$table` ($collist) VALUES ($placeholders) " +
+        s"ON DUPLICATE KEY UPDATE $updates"
+    }
+    def bindOrder(columns: Seq[String], keyCols: Seq[String]): Seq[Int] =
+      columns.indices
+  }
+
+  /** ANSI `MERGE INTO ... USING <one-row dummy>` — runs on Derby and DB2
+    * unchanged (`SYSIBM.SYSDUMMY1`), and on any MERGE-capable engine with
+    * a different dummy relation. Binds keys (ON), then non-key columns
+    * (UPDATE SET), then every column (INSERT VALUES). This is the arm the
+    * in-process integration test executes against a live embedded Derby,
+    * proving the batch/commit/LWW behavior of [[write]] over a real JDBC
+    * connection. */
+  final case class AnsiMergeUpsert(dummyTable: String = "SYSIBM.SYSDUMMY1")
+      extends UpsertDialect {
+    def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+      require(columns.exists(!keyCols.contains(_)), "need a non-key column to update")
+      val on = keyCols.map(k => s"$table.$k = ?").mkString(" AND ")
+      val updates = columns.filterNot(keyCols.contains)
+        .map(c => s"$c = ?").mkString(", ")
+      val collist = columns.mkString(", ")
+      val placeholders = columns.map(_ => "?").mkString(", ")
+      s"MERGE INTO $table USING $dummyTable ON ($on) " +
+        s"WHEN MATCHED THEN UPDATE SET $updates " +
+        s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($placeholders)"
+    }
+    def bindOrder(columns: Seq[String], keyCols: Seq[String]): Seq[Int] = {
+      val idx = columns.zipWithIndex.toMap
+      keyCols.map(idx) ++
+        columns.zipWithIndex.collect { case (c, i) if !keyCols.contains(c) => i } ++
+        columns.indices
+    }
+  }
+
+  /** MariaDB-dialect batched upsert statement for the loom table. */
+  def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String =
+    MySqlUpsert.sql(table, columns, keyCols)
 
   /** Distributed batched write. One connection per partition, one
     * executeBatch per `batchSize` rows — the reference's per-row probe
@@ -39,9 +87,11 @@ object JdbcUpsertSink {
   def write(df: DataFrame, table: String,
             connectionFactory: () => java.sql.Connection,
             keyCols: Seq[String] = LoomSchema.primaryKey,
-            batchSize: Int = 1000): Unit = {
+            batchSize: Int = 1000,
+            dialect: UpsertDialect = MySqlUpsert): Unit = {
     val columns = df.columns.toSeq
-    val sql = upsertSql(table, columns, keyCols)
+    val sql = dialect.sql(table, columns, keyCols)
+    val binds = dialect.bindOrder(columns, keyCols)
     df.foreachPartition { rows: Iterator[Row] =>
       val conn = connectionFactory()
       try {
@@ -49,7 +99,7 @@ object JdbcUpsertSink {
         val stmt = conn.prepareStatement(sql)
         var n = 0
         rows.foreach { row =>
-          columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          binds.zipWithIndex.foreach { case (c, p) => stmt.setObject(p + 1, row.get(c)) }
           stmt.addBatch()
           n += 1
           if (n % batchSize == 0) { stmt.executeBatch(); conn.commit() }
