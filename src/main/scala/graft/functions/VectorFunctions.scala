@@ -83,29 +83,37 @@ object VectorFunctions {
     val maxProbes = 1 + nBits + m * (m - 1) / 2
     require(nProbe >= 1 && nProbe <= maxProbes,
       s"nProbe must be in [1, $maxProbes] for nBits=$nBits")
-    val projs = lshProjections(vec, nBits, seed)
-    val bucket = bucketOf(projs, nBits)
-    // bit indices ordered by |projection| ascending (struct sort is
-    // lexicographic on fields: |proj| first, index tiebreak)
-    val byCloseness = array_sort(zip_with(projs, sequence(lit(0), lit(nBits - 1)),
-      (p, h) => struct(abs(p).as("a"), h.as("h"))))
-    def scoreAt(i: Column): Column = element_at(byCloseness, i + 1).getField("a")
-    def maskAt(i: Column): Column =
-      call_function("shiftleft", lit(1L), element_at(byCloseness, i + 1).getField("h"))
-    val singles = transform(sequence(lit(0), lit(nBits - 1)),
-      i => struct(scoreAt(i).as("a"), maskAt(i).as("m")))
-    val perturbs =
-      if (m < 2) singles
-      else {
-        val idx = sequence(lit(0), lit(m - 1))
-        val pairs = filter(flatten(transform(idx, i => transform(idx, j =>
-          when(i < j, struct((scoreAt(i) + scoreAt(j)).as("a"),
-            maskAt(i).bitwiseOR(maskAt(j)).as("m"))).otherwise(lit(null))))),
-          x => x.isNotNull)
-        concat(singles, pairs)
-      }
-    val flips = transform(slice(array_sort(perturbs), 1, nProbe - 1),
-      s => bucket.bitwiseXOR(s.getField("m")))
-    concat(array(bucket), flips)
+    // the sorted (|proj|, bit, sign) table is bound ONCE per row as a
+    // lambda variable: reusing a named Column subtree inlines it at every
+    // reference (Catalyst has no CSE for interpreted higher-order
+    // lambdas), which made the tree ~nBits·m² copies of the projection
+    // sort — slow to analyze, optimize, and evaluate
+    val sortedTable = array_sort(zip_with(lshProjections(vec, nBits, seed),
+      sequence(lit(0), lit(nBits - 1)),
+      (p, h) => struct(abs(p).as("a"), h.as("h"), (p > 0).as("pos"))))
+    val probes = transform(array(sortedTable), bc => {
+      def scoreAt(i: Column): Column = element_at(bc, i + 1).getField("a")
+      def maskAt(i: Column): Column =
+        call_function("shiftleft", lit(1L), element_at(bc, i + 1).getField("h"))
+      val bucket = aggregate(bc, lit(0L), (acc, s) =>
+        acc + when(s.getField("pos"),
+          call_function("shiftleft", lit(1L), s.getField("h"))).otherwise(lit(0L)))
+      val singles = transform(sequence(lit(0), lit(nBits - 1)),
+        i => struct(scoreAt(i).as("a"), maskAt(i).as("m")))
+      val perturbs =
+        if (m < 2) singles
+        else {
+          val idx = sequence(lit(0), lit(m - 1))
+          val pairs = filter(flatten(transform(idx, i => transform(idx, j =>
+            when(i < j, struct((scoreAt(i) + scoreAt(j)).as("a"),
+              maskAt(i).bitwiseOR(maskAt(j)).as("m"))).otherwise(lit(null))))),
+            x => x.isNotNull)
+          concat(singles, pairs)
+        }
+      val flips = transform(slice(array_sort(perturbs), 1, nProbe - 1),
+        s => bucket.bitwiseXOR(s.getField("m")))
+      concat(array(bucket), flips)
+    })
+    element_at(probes, 1)
   }
 }
