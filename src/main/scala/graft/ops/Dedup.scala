@@ -21,6 +21,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Stage a corpus for SHUFFLE-FREE exact dedup: materialize the content
+    * hash and bucket the table by it at write time. Every later pass that
+    * clusters on `content_hash` — the dedup aggregation itself
+    * ([[exactBucketed]]), incremental anti-joins of a new batch against
+    * the staged corpus, cross-snapshot joins — then plans with NO
+    * Exchange, because the scan's HashPartitioning(content_hash,
+    * nBuckets) already satisfies the required distribution. This is the
+    * 100 TB dedup layout: pay the hash shuffle once at ingest, never
+    * again (`BucketedDedupSpec` proves the zero-Exchange plans). */
+  def writeHashBucketed(df: DataFrame, idCol: String, textCol: String,
+                        table: String, nBuckets: Int): Unit =
+    df.withColumn("content_hash", md5(col(textCol)))
+      .write.mode("overwrite").bucketBy(nBuckets, "content_hash")
+      .sortBy("content_hash").saveAsTable(table)
+
+  /** Exact dedup over a [[writeHashBucketed]] staging table: output-
+    * identical to [[exact]] on the same rows, zero shuffles. */
+  def exactBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                    idCol: String): DataFrame =
+    spark.table(table).groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
   /** Exploded distinct n-word shingles as (doc, shingle) rows — the
     * typed flatMap twin of [[graft.functions.TextFunctions.shingles]]
     * (output-identical, tested). The expression version costs ~10× more
