@@ -30,6 +30,25 @@ object VectorFunctions {
     when(denom =!= 0.0, dot(a, b) / denom)
   }
 
+  /** Unit-normalize to a double array; zero vectors pass through as-is
+    * (ANSI-safe: unguarded division would throw DIVIDE_BY_ZERO). */
+  def unitNormalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: scale by 127/max|x| and round (ties
+    * away from zero — Spark round and DuckDB round agree), the standard
+    * embedding-compression step before ANN index build. Zero vectors
+    * quantize to zeros. Output is array<long> so the values survive any
+    * engine's integer width unchanged. */
+  def quantizeInt8(a: Column): Column = {
+    val mx = array_max(transform(a, x => abs(x.cast("double"))))
+    when(mx === 0.0, transform(a, _ => lit(0L)))
+      .otherwise(transform(a, x => round(x.cast("double") * 127.0 / mx).cast("long")))
+  }
+
   /** L2 distance. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextFunctions
-import graft.ops.{Dedup, Similarity}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ops.{Dedup, Sampling, Similarity}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data-pipeline operators (north star): dedup family,
@@ -299,6 +300,94 @@ object LlmQueries {
       Some("""SELECT doc_id, win_idx, md5(substr(text, cast(win_idx * 100 + 1 AS INT), 50)) AS fp
              |FROM (SELECT doc_id, text,
              |  unnest(range(greatest((n_chars - 1) // 100, 0) + 1)) AS win_idx
-             |  FROM documents WHERE n_chars > 0)""".stripMargin))
+             |  FROM documents WHERE n_chars > 0)""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language rates decided by an
+    // md5-prefix threshold — replay-safe (same rows every run on any
+    // cluster/partitioning), shuffle-free (a scan-level filter), and
+    // reproducible by any engine that computes md5 (hence the oracle).
+    Q("q52_stratified_sample",
+      (s, d) => Sampling.stratifiedByHash(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), 0.125)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket_hex")),
+      Some("""SELECT doc_id, lang, substr(md5(cast(doc_id AS VARCHAR)), 1, 2) AS bucket_hex
+             |FROM documents
+             |WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 2) <
+             |  CASE WHEN lang = 'en' THEN '80'
+             |       WHEN lang IN ('de', 'fr') THEN '40' ELSE '20' END""".stripMargin)),
+
+    // TF-IDF: top-3 terms per document. tf and df are two hash
+    // aggregations; the tiny vocabulary table broadcasts; ranking is on
+    // the ROUNDED score (cross-engine float parity) with term tiebreak.
+    Q("q53_tfidf",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, term, tf, df, tfidf, rk FROM (
+             |  SELECT doc_id, term, tf, df,
+             |    round(tf * ln((n_docs + 1) * 1.0 / (df + 1)), 4) AS tfidf,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY round(tf * ln((n_docs + 1) * 1.0 / (df + 1)), 4) DESC, term) AS rk
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |WHERE rk <= 3""".stripMargin)),
+
+    // Embedding maintenance: L2 norm + symmetric int8 quantization (the
+    // standard compression step before an ANN index build). Quantized
+    // values are exact integers, emitted as a joined string so the oracle
+    // compare is representation-independent.
+    Q("q54_embed_quantize",
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm"),
+        array_join(VectorFunctions.quantizeInt8(col("embedding")), ",").as("quant_i8")),
+      Some("""SELECT vec_id,
+             |round(sqrt(list_dot_product(ed, ed)), 4) AS l2_norm,
+             |array_to_string(list_transform(ed, x -> CAST(round(x * 127.0 / mx) AS BIGINT)), ',') AS quant_i8
+             |FROM (SELECT vec_id, embedding::DOUBLE[] AS ed,
+             |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+             |  FROM embeddings)""".stripMargin)),
+
+    // Copy detection by fingerprint collision: docs sharing >= 2 window
+    // fingerprints (q31's signatures put to work). The join key is the
+    // fingerprint — an inverted index like the shingle join, never an
+    // all-pairs comparison.
+    Q("q55_fingerprint_dupes",
+      (s, d) => {
+        val fps = Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), explode(
+            TextFunctions.windowFingerprints(col("text"), col("n_chars"))).as("fp"))
+          .distinct()
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some("""WITH f AS (SELECT DISTINCT doc_id,
+             |    md5(substr(text, cast(win_idx * 100 + 1 AS INT), 50)) AS fp
+             |  FROM (SELECT doc_id, text,
+             |    unnest(range(greatest((n_chars - 1) // 100, 0) + 1)) AS win_idx
+             |    FROM documents WHERE n_chars > 0))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
   )
 }

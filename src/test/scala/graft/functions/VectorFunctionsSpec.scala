@@ -4,6 +4,29 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class VectorFunctionsSpec extends SparkSpec {
+
+  test("unitNormalize yields norm-1 vectors; zero vector passes through") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), unitNormalize(col("v")).as("u"),
+        norm(unitNormalize(col("v"))).as("n"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    assert(out(0)._2 === Seq(0.6, 0.8) && math.abs(out(0)._3 - 1.0) < 1e-12)
+    assert(out(1)._2 === Seq(0.0, 0.0) && out(1)._3 === 0.0)
+  }
+
+  test("quantizeInt8 scales max-abs to ±127, ties away from zero, zeros stay zero") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val df = Seq((1L, Seq(2.0f, -4.0f, 1.0f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), quantizeInt8(col("v")).as("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(out(0)._2 === Seq(64L, -127L, 32L)) // 2*127/4 = 63.5 → 64 (away from zero)
+    assert(out(1)._2 === Seq(0L, 0L, 0L))
+  }
   import spark.implicits._
 
   private def vecs = Seq(

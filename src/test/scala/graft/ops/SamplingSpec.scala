@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    .toDF("id", "stratum")
+
+  test("hexThreshold maps rates to 1/256-granular hex prefixes") {
+    assert(Sampling.hexThreshold(0.0) === "00")
+    assert(Sampling.hexThreshold(0.5) === "80")
+    assert(Sampling.hexThreshold(0.25) === "40")
+    assert(Sampling.hexThreshold(0.125) === "20")
+  }
+
+  test("stratified sample hits each stratum's rate within sampling error") {
+    val out = Sampling.stratifiedByHash(ids, "id", "stratum",
+        Map("a" -> 0.5), defaultRate = 0.125)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // 1000 ids per stratum; binomial 3σ ≈ 47 at p=.5, ≈ 31 at p=.125
+    assert(math.abs(out("a") - 500L) < 60, out.toString)
+    assert(math.abs(out.getOrElse("b", 0L) - 125L) < 40, out.toString)
+  }
+
+  test("sampling is deterministic and independent of partitioning") {
+    val once = Sampling.stratifiedByHash(ids, "id", "stratum", Map(), 0.25)
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.stratifiedByHash(ids.repartition(13), "id", "stratum",
+        Map(), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(once === again && once.nonEmpty)
+  }
+
+  test("the sample filter pushes down to the scan (no shuffle, no exchange)") {
+    val plan = Sampling.stratifiedByHash(ids, "id", "stratum", Map("a" -> 0.5), 0.125)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
