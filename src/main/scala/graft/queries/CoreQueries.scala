@@ -318,7 +318,9 @@ object CoreQueries {
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderstatus").as("status"))
         .agg(countDistinct(col("o_custkey")).as("n_exact"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("n_hll")),
+          approx_count_distinct(col("o_custkey"), 0.02).as("n_hll"),
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_sketch"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_sketch")),
       None),
 
     // Q48 — formatting + epoch-seconds scalars (§2.8's f"{x:.1f}" /
@@ -338,6 +340,43 @@ object CoreQueries {
              |strftime(to_timestamp(epoch_us(ts) // 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
              |epoch_us(to_timestamp(epoch_us(ts) // 1000000)) AS ts_s_us
              |FROM events""".stripMargin)),
+
+    // Q56 — exact percentile profiling per group (distribution stats, the
+    // data-profiling staple of a corpus pipeline). Exact `percentile`
+    // carries the DuckDB quantile_cont oracle (identical linear-
+    // interpolation semantics); the 100 TB path is the
+    // approx_percentile sketch next to the HLL in q49 (rows-only, like
+    // every sketch).
+    Q("q56_percentiles",
+      (s, d) => Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(min("value"), 4).as("v_min"),
+        round(expr("percentile(value, 0.5)"), 4).as("v_p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("v_p90"),
+        round(max("value"), 4).as("v_max")),
+      Some("""SELECT event_type, count(*) AS n, round(min(value), 4) AS v_min,
+             |round(quantile_cont(value, 0.5), 4) AS v_p50,
+             |round(quantile_cont(value, 0.9), 4) AS v_p90,
+             |round(max(value), 4) AS v_max FROM events GROUP BY 1""".stripMargin)),
+
+    // Q57 — corpus data-quality profile per language: row/null/distinct
+    // counts and length stats — the sanity dashboard every ingest run
+    // emits before training data ships.
+    Q("q57_profile",
+      (s, d) => Tables.documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("n_empty"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(length(col("text"))), 4).as("avg_len"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars")),
+      Some("""SELECT lang, count(*) AS n_rows,
+             |cast(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+             |count(DISTINCT source) AS n_sources,
+             |round(avg(length(text)), 4) AS avg_len,
+             |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
 
     // Q21 — 7-row rolling average per key (§2.9 frame-spec windows).
     Q("q21_rolling_avg",

@@ -75,6 +75,18 @@ object EventStream {
         col("session.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * (not `dropDuplicates`) keeps the state store bounded — seen-key
+    * state is evicted once the watermark passes it, so the job runs
+    * forever; plain dropDuplicates state grows with the whole stream
+    * history. This is the standard at-least-once → effectively-once
+    * repair for replayed sources; the batch twin is `Dedup.exact`/q22.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream WINDOWED join with watermarks: attach each click to
     * EVERY purchase by the same user within the preceding hour (a click
     * fans out to one row per matching purchase). Both sides watermarked

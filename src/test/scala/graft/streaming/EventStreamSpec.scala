@@ -53,6 +53,26 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Seq((10L, 1L), (10L, 2L)))
   }
 
+  test("dedupedEvents: replayed event_ids are dropped across micro-batches, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.dedupedEvents(src.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    src.addData(
+      Ev(1, t(1), 10, "click", 1.0, "{}"),
+      Ev(1, t(1), 10, "click", 1.0, "{}"), // intra-batch dupe
+      Ev(2, t(2), 11, "view", 5.0, "{}"))
+    q.processAllAvailable()
+    // source replay: same event_id arrives again in a later micro-batch
+    src.addData(Ev(1, t(1), 10, "click", 1.0, "{}"),
+      Ev(3, t(3), 10, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM deduped").as[Long].collect().sorted
+    q.stop()
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("readEvents file source: json-lines directory streams through shiftWindowAgg") {
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     val src = dir.resolve("in"); java.nio.file.Files.createDirectories(src)
