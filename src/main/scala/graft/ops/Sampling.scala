@@ -30,7 +30,10 @@ object Sampling {
   /** Keep a row iff its hash bucket falls under its stratum's threshold.
     * `rates` maps stratum values to sampling rates (granularity 1/256);
     * unlisted strata use `defaultRate`. Deterministic, idempotent, and
-    * exactly reproducible by any engine that can compute md5. */
+    * exactly reproducible by any engine that can compute md5. Because the
+    * keep-set at rate r is `bucket < threshold(r)`, samples are NESTED:
+    * raising a rate only ever ADDS rows — the consistency property
+    * mixture/curriculum pipelines rely on when re-weighting a source. */
   def stratifiedByHash(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
@@ -39,5 +42,25 @@ object Sampling {
         when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol)) < thresh)
+  }
+
+  /** Assign every row to exactly one named split (train/val/test …) by
+    * cumulative hash-threshold ranges. Assignment is a pure function of
+    * the id: stable across runs, engines, partitionings, and corpus
+    * growth (a doc never migrates between splits when new docs arrive —
+    * the property that keeps eval sets uncontaminated). `splits` rates
+    * must sum to 1; granularity is 1/256. */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split rates must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val bucket = hashBucket(col(idCol))
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), c)) =>
+          when(bucket < lit(hexThreshold(c)), name).otherwise(acc)
+      }
+    df.withColumn("split", assign)
   }
 }

@@ -318,6 +318,21 @@ object LlmQueries {
              |  CASE WHEN lang = 'en' THEN '80'
              |       WHEN lang IN ('de', 'fr') THEN '40' ELSE '20' END""".stripMargin)),
 
+    // Train/val/test split assignment: cumulative hash ranges over the
+    // same md5 bucket as q52 — a pure function of the id, so a document
+    // never migrates between splits as the corpus grows (eval-set
+    // contamination guard). 80/10/10.
+    Q("q58_train_split",
+      (s, d) => Sampling.splitByHash(
+          Tables.documents(s, d).select("doc_id", "lang"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split")),
+      Some("""SELECT doc_id, lang,
+             |CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |     WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |     ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
     // TF-IDF: top-3 terms per document. tf and df are two hash
     // aggregations; the tiny vocabulary table broadcasts; ranking is on
     // the ROUNDED score (cross-engine float parity) with term tiebreak.

@@ -34,6 +34,36 @@ class SamplingSpec extends SparkSpec {
     assert(once === again && once.nonEmpty)
   }
 
+  test("samples are nested: raising the rate only adds rows (mixture re-weighting consistency)") {
+    val rates = Seq(0.125, 0.25, 0.5, 0.75)
+    val sets = rates.map { r =>
+      Sampling.stratifiedByHash(ids, "id", "stratum", Map(), r)
+        .select("id").as[Long].collect().toSet
+    }
+    sets.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)) }
+    assert(sets.head.nonEmpty && sets.last.size > sets.head.size)
+  }
+
+  test("splitByHash partitions every row into exactly one split at ~the requested rates") {
+    val out = Sampling.splitByHash(ids, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.values.sum === 2000L) // exactly one split per row
+    assert(math.abs(out("train") - 1600L) < 80, out.toString)
+    assert(math.abs(out("val") - 200L) < 60, out.toString)
+    assert(math.abs(out("test") - 200L) < 60, out.toString)
+    // stability under corpus growth: assignments of the first 500 ids are
+    // unchanged when computed over a larger corpus
+    val small = Sampling.splitByHash(ids.filter(col("id") < 500), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val large = Sampling.splitByHash(ids, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("id") < 500)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(small === large)
+  }
+
   test("the sample filter pushes down to the scan (no shuffle, no exchange)") {
     val plan = Sampling.stratifiedByHash(ids, "id", "stratum", Map("a" -> 0.5), 0.125)
       .queryExecution.executedPlan.toString
