@@ -302,6 +302,34 @@ object LlmQueries {
              |  unnest(range(greatest((n_chars - 1) // 100, 0) + 1)) AS win_idx
              |  FROM documents WHERE n_chars > 0)""".stripMargin)),
 
+    // Multimodal decode plumbing, oracle-checked: binary payloads
+    // synthesized from document text (pure ASCII, so byte statistics are
+    // SQL-expressible) run through the REAL partition-batched decode path
+    // (binary column -> typed Dataset -> mapPartitions decode). The
+    // oracle covers the non-stub outputs (length, mean-byte
+    // "brightness"); the fake dimensions/features stay spec-tested
+    // behind the documented stub boundary. Byte sums are integers, so
+    // the double mean is exact on both engines.
+    Q("q59_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id").cast("string").as("path"),
+            lit("binary").as("modality"),
+            octet_length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .as[graft.multimodal.RawAsset]
+        graft.multimodal.Multimodal.decodeBatch(assets, featureDim = 16)
+          .toDF()
+          .select(col("path"), col("modality"), col("length"),
+            round(col("brightness"), 4).as("brightness"))
+      },
+      Some("""SELECT cast(doc_id AS VARCHAR) AS path, 'binary' AS modality,
+             |cast(length(text) AS BIGINT) AS length,
+             |round(list_avg(list_transform(string_split(text, ''), x -> ascii(x))), 4) AS brightness
+             |FROM documents WHERE n_chars > 0""".stripMargin)),
+
     // Deterministic stratified sampling: per-language rates decided by an
     // md5-prefix threshold — replay-safe (same rows every run on any
     // cluster/partitioning), shuffle-free (a scan-level filter), and
