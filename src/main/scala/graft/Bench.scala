@@ -32,7 +32,7 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt, 1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -46,7 +46,11 @@ object Bench {
             None
         }
       }
-      if (runs.nonEmpty) timings(name) = runs.sorted.apply(runs.size / 2)
+      // a query lands in timings XOR errors: a flaky query (some failed
+      // iterations) reports the failure, never a timing over a different
+      // run count than its peers — that would silently skew cross-round
+      // comparisons the medians exist to protect
+      if (runs.size == iters) timings(name) = runs.sorted.apply(runs.size / 2)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ")

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hex threshold for a [0,1] rate at 2-hex-digit (1/256) granularity. */
+  /** Hex threshold for a [0,1] rate at 2-hex-digit (1/256) granularity.
+    * A rate that rounds to 256 must compare above EVERY 2-hex-digit
+    * bucket: "100" would sort below "11".."ff" lexicographically, so the
+    * keep-all sentinel is "g" ('g' > 'f' > '9'). */
   private[ops] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
-    f"${math.round(rate * 256).min(256)}%02x"
+    val n = math.round(rate * 256).min(256)
+    if (n >= 256) "g" else f"$n%02x"
   }
 
   /** The sampling key: first two hex chars of md5 of the id rendered as a

@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sort / limit / top-k operators (SURVEY §2.6, O1–O4).
   *
@@ -38,27 +37,41 @@ object TopK {
     * through a single partition — the classic 100 TB killer):
     *
     *   1. range-shuffle on the ordering (`repartitionByRange`, sampled
-    *      bounds) + per-partition sort — a distributed total sort;
-    *   2. `zipWithIndex`, which runs one lightweight count-per-partition
-    *      job and then streams each partition adding `cumulative offset +
-    *      local index` — the "broadcast partition counts as offsets"
-    *      construction, already provided by Spark at the RDD layer.
+    *      bounds) pins each row to a partition id `p` such that all rows
+    *      in partition p sort before all rows in p+1;
+    *   2. per-partition counts → cumulative offsets (a P×P self-join
+    *      where P = shuffle partitions — cluster-sized, not data-sized,
+    *      and free of single-partition windows), broadcast back;
+    *   3. position = offset(p) + row_number within p.
     *
+    * Everything is a lazy declarative plan — no RDD boundary (which
+    * would block column pruning) and no eager job at construction time
+    * (`rdd.zipWithIndex` runs its count job inside the RDD constructor,
+    * i.e. merely *building* the frame would execute the shuffle).
     * The ordering must be total (include a unique tiebreak) for the
     * positions to be reproducible — same contract as the window version.
-    * Cost: the input lineage is evaluated twice (count job + data job);
-    * callers should project to the needed columns *before* this transform
-    * since the RDD boundary blocks column pruning above it. */
+    *
+    * The ranged frame is PERSISTED because two plan branches (counts +
+    * data) consume it and `RangePartitioner` samples its bounds with an
+    * rddId-derived seed: two independent executions of the exchange can
+    * disagree on partition boundaries, silently corrupting the offsets
+    * (observed: duplicate/shifted positions). The cache pins one
+    * materialized partitioning for both branches — the same staged-
+    * intermediate pattern as the dedup shingle table; MEMORY_AND_DISK
+    * keeps it spill-safe at scale. */
   def withPosition(ordering: Seq[Column], posCol: String)(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
     val ranged = df.repartitionByRange(parts, ordering: _*)
-      .sortWithinPartitions(ordering: _*)
-    val schema = StructType(ranged.schema.fields :+
-      StructField(posCol, LongType, nullable = false))
-    val rows = ranged.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rows, schema)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    val w = Window.partitionBy("__pid").orderBy(ordering: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(posCol, col("__off") + row_number().over(w))
+      .drop("__pid", "__off")
   }
 }

@@ -58,14 +58,19 @@ object JdbcUpsertSink {
     * connection. */
   final case class AnsiMergeUpsert(dummyTable: String = "SYSIBM.SYSDUMMY1")
       extends UpsertDialect {
+    // ANSI double-quoted identifiers — same identifier-safety contract as
+    // the backtick-quoting MySQL arm (a column named VALUE or ORDER must
+    // not break the statement). Quoted names are case-exact, so the
+    // target table must be created with matching quoted identifiers.
+    private def q(id: String): String = "\"" + id + "\""
     def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
       require(columns.exists(!keyCols.contains(_)), "need a non-key column to update")
-      val on = keyCols.map(k => s"$table.$k = ?").mkString(" AND ")
+      val on = keyCols.map(k => s"${q(table)}.${q(k)} = ?").mkString(" AND ")
       val updates = columns.filterNot(keyCols.contains)
-        .map(c => s"$c = ?").mkString(", ")
-      val collist = columns.mkString(", ")
+        .map(c => s"${q(c)} = ?").mkString(", ")
+      val collist = columns.map(q).mkString(", ")
       val placeholders = columns.map(_ => "?").mkString(", ")
-      s"MERGE INTO $table USING $dummyTable ON ($on) " +
+      s"MERGE INTO ${q(table)} USING $dummyTable ON ($on) " +
         s"WHEN MATCHED THEN UPDATE SET $updates " +
         s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($placeholders)"
     }

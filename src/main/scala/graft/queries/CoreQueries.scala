@@ -233,8 +233,7 @@ object CoreQueries {
     // Q17 — total-order sort with explicit global position (O1,
     // reference src/main_01.py:329-331). Two-phase rank (range shuffle +
     // per-partition offsets, TopK.withPosition) — no single-partition
-    // window. Projection happens BEFORE the transform: the RDD boundary
-    // inside withPosition blocks column pruning above it.
+    // window, fully lazy declarative plan.
     Q("q17_total_order",
       (s, d) => Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))

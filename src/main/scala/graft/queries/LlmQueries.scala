@@ -392,20 +392,28 @@ object LlmQueries {
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
              |WHERE rk <= 3""".stripMargin)),
 
-    // Embedding maintenance: L2 norm + symmetric int8 quantization (the
-    // standard compression step before an ANN index build). Quantized
-    // values are exact integers, emitted as a joined string so the oracle
-    // compare is representation-independent.
+    // Embedding maintenance: L2 norm, unit-normalized lead component, and
+    // symmetric int8 quantization (the standard compression step before
+    // an ANN index build). Quantized values are exact integers, emitted
+    // as a joined string so the oracle compare is representation-
+    // independent; the oracle carries the same zero-vector arms as the
+    // guarded Spark functions (pass-through normalize, all-zero quant).
     Q("q54_embed_quantize",
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id"),
         round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm"),
+        round(element_at(VectorFunctions.unitNormalize(col("embedding")), 1), 4).as("unit0"),
         array_join(VectorFunctions.quantizeInt8(col("embedding")), ",").as("quant_i8")),
       Some("""SELECT vec_id,
-             |round(sqrt(list_dot_product(ed, ed)), 4) AS l2_norm,
-             |array_to_string(list_transform(ed, x -> CAST(round(x * 127.0 / mx) AS BIGINT)), ',') AS quant_i8
+             |round(nrm, 4) AS l2_norm,
+             |CASE WHEN nrm = 0 THEN round(ed[1], 4)
+             |     ELSE round(ed[1] / nrm, 4) END AS unit0,
+             |CASE WHEN mx = 0 THEN array_to_string(list_transform(ed, x -> 0), ',')
+             |     ELSE array_to_string(list_transform(ed, x -> CAST(round(x * 127.0 / mx) AS BIGINT)), ',')
+             |END AS quant_i8
              |FROM (SELECT vec_id, embedding::DOUBLE[] AS ed,
-             |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+             |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx,
+             |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
              |  FROM embeddings)""".stripMargin)),
 
     // Copy detection by fingerprint collision: docs sharing >= 2 window

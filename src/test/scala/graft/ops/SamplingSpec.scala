@@ -14,6 +14,16 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexThreshold(0.5) === "80")
     assert(Sampling.hexThreshold(0.25) === "40")
     assert(Sampling.hexThreshold(0.125) === "20")
+    // keep-all sentinel: must sort above every 2-hex-digit bucket
+    assert(Sampling.hexThreshold(1.0) === "g")
+    assert("ff" < Sampling.hexThreshold(1.0))
+  }
+
+  test("rate 1.0 keeps every row of its stratum") {
+    val out = Sampling.stratifiedByHash(ids, "id", "stratum",
+      Map("a" -> 1.0), defaultRate = 0.0)
+    assert(out.count() === 1000L)
+    assert(out.filter(col("stratum") =!= "a").count() === 0L)
   }
 
   test("stratified sample hits each stratum's rate within sampling error") {

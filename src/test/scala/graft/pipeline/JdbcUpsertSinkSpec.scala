@@ -33,14 +33,15 @@ class JdbcUpsertSinkSpec extends SparkSpec {
   }
 
   test("ANSI MERGE upsert against live Derby: insert, last-writer-wins update, idempotent replay") {
+    // quoted DDL: the MERGE dialect emits case-exact quoted identifiers
     val conn = DriverManager.getConnection(url)
     conn.createStatement().execute(
-      """CREATE TABLE tblLoom (
-        |  DataTurno VARCHAR(20) NOT NULL,
-        |  Tear INT NOT NULL,
-        |  Status VARCHAR(10),
-        |  Picks INT,
-        |  PRIMARY KEY (DataTurno, Tear))""".stripMargin)
+      """CREATE TABLE "tblLoom" (
+        |  "DataTurno" VARCHAR(20) NOT NULL,
+        |  "Tear" INT NOT NULL,
+        |  "Status" VARCHAR(10),
+        |  "Picks" INT,
+        |  PRIMARY KEY ("DataTurno", "Tear"))""".stripMargin)
     conn.close()
 
     val keys = Seq("DataTurno", "Tear")
@@ -53,7 +54,7 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       ("2024-01-01 B", 1, "S", 300)
     ).toDF("DataTurno", "Tear", "Status", "Picks")
     JdbcUpsertSink.write(batch1, "tblLoom", factory, keys, batchSize = 2, dialect = merge)
-    assert(query("SELECT * FROM tblLoom ORDER BY DataTurno, Tear") === Seq(
+    assert(query("SELECT * FROM \"tblLoom\" ORDER BY \"DataTurno\", \"Tear\"") === Seq(
       ("2024-01-01 A", 1, "P", 100),
       ("2024-01-01 A", 2, "P", 200),
       ("2024-01-01 B", 1, "S", 300)))
@@ -69,18 +70,18 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       ("2024-01-01 A", 2, "C", 250),
       ("2024-01-01 B", 1, "S", 300),
       ("2024-01-01 B", 2, "P", 400))
-    assert(query("SELECT * FROM tblLoom ORDER BY DataTurno, Tear") === afterUpsert)
+    assert(query("SELECT * FROM \"tblLoom\" ORDER BY \"DataTurno\", \"Tear\"") === afterUpsert)
 
     // replaying the same batch is a no-op (U3 idempotent re-import)
     JdbcUpsertSink.write(batch2, "tblLoom", factory, keys, batchSize = 2, dialect = merge)
-    assert(query("SELECT * FROM tblLoom ORDER BY DataTurno, Tear") === afterUpsert)
+    assert(query("SELECT * FROM \"tblLoom\" ORDER BY \"DataTurno\", \"Tear\"") === afterUpsert)
   }
 
   test("AnsiMergeUpsert statement shape and bind order") {
     val sql = JdbcUpsertSink.AnsiMergeUpsert().sql("t", Seq("k", "a", "b"), Seq("k"))
-    assert(sql === "MERGE INTO t USING SYSIBM.SYSDUMMY1 ON (t.k = ?) " +
-      "WHEN MATCHED THEN UPDATE SET a = ?, b = ? " +
-      "WHEN NOT MATCHED THEN INSERT (k, a, b) VALUES (?, ?, ?)")
+    assert(sql === "MERGE INTO \"t\" USING SYSIBM.SYSDUMMY1 ON (\"t\".\"k\" = ?) " +
+      "WHEN MATCHED THEN UPDATE SET \"a\" = ?, \"b\" = ? " +
+      "WHEN NOT MATCHED THEN INSERT (\"k\", \"a\", \"b\") VALUES (?, ?, ?)")
     assert(JdbcUpsertSink.AnsiMergeUpsert().bindOrder(Seq("k", "a", "b"), Seq("k"))
       === Seq(0, 1, 2, 0, 1, 2))
     assert(JdbcUpsertSink.MySqlUpsert.bindOrder(Seq("k", "a", "b"), Seq("k"))
