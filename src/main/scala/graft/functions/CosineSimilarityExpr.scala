@@ -32,10 +32,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Dimension mismatch is a data bug — failing loudly beats silently
+  // truncating to the shorter array and ranking on a wrong similarity
+  // (DuckDB's list_dot_product errors the same way, so the oracles agree).
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) CosineSimilarityExpr.dimErrorStatic(n, b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble
@@ -57,7 +61,10 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  graft.functions.CosineSimilarityExpr.dimErrorStatic($n, $b.numElements());
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
@@ -79,4 +86,10 @@ object CosineSimilarityExpr {
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSimilarityExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Called from generated code (codegen can't reference the private
+    * instance method). */
+  def dimErrorStatic(an: Int, bn: Int): Unit =
+    throw new IllegalArgumentException(
+      s"cosine_sim: dimension mismatch ($an vs $bn)")
 }

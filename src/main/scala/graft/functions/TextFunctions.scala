@@ -48,16 +48,21 @@ object TextFunctions {
     size(filter(tokens(text), w => w.isInCollection(stopwords)))
 
   /** Quality score components: doc length, token count, mean token length,
-    * stopword ratio. Returned as a struct so one projection computes all. */
+    * stopword ratio. Returned as a struct so one projection computes all.
+    * Ratios are null for empty/whitespace-only docs (n_tokens = 0): the
+    * bare division would throw DIVIDE_BY_ZERO under Spark 4's default
+    * ANSI mode the moment a real corpus contains one empty row. */
   def qualityStruct(text: Column, stopwords: Seq[String]): Column = {
     val ts = tokens(text)
     val n  = size(ts)
     struct(
       length(text).as("n_chars"),
       n.as("n_tokens"),
-      round(aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / n, 4)
+      round(when(n > 0,
+        aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / n), 4)
         .as("mean_token_len"),
-      round(size(filter(ts, w => w.isInCollection(stopwords))).cast("double") / n, 4)
+      round(when(n > 0,
+        size(filter(ts, w => w.isInCollection(stopwords))).cast("double") / n), 4)
         .as("stopword_ratio")
     )
   }
@@ -100,9 +105,11 @@ object TextFunctions {
     bit_count(a.bitwiseXOR(b))
 
   /** Language-ID heuristic: stopword-hit counts per candidate language,
-    * argmax wins (ties → 'und'). N-gram-free but same shape as fasttext-y
-    * heuristics; languages chosen by tiny high-frequency function-word
-    * lists. */
+    * argmax wins; equal-hit ties resolve to the lexicographically LARGEST
+    * language code (fr > es > en > de — the struct-compare order, matched
+    * by the q25 oracle's CASE priority); zero hits → 'und'. N-gram-free
+    * but same shape as fasttext-y heuristics; languages chosen by tiny
+    * high-frequency function-word lists. */
   val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),

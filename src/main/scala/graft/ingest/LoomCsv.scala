@@ -99,9 +99,11 @@ object LoomCsv {
     * Also derives `shift_date` (DateType) and `shift` (A/B/C) from the
     * `YYYY-MM-DD.S` composite key (SURVEY §1.1). */
   def typedView(df: DataFrame): DataFrame = {
+    // the single source of the reference's float(x or 0) coercion —
+    // an inline copy here once drifted from it (no trim before the
+    // empty-check), so the two paths disagreed on whitespace-only cells
     val casted = LoomSchema.metricColumns.foldLeft(df) { (d, c) =>
-      d.withColumn(c,
-        when(col(c).isNull || col(c) === "", 0.0).otherwise(col(c).try_cast("double")))
+      d.withColumn(c, graft.ops.Filters.pyFloatOrZero(c))
     }
     casted
       .withColumn("shift_date", to_date(substring_index(col("DataTurno"), ".", 1)))

@@ -49,7 +49,11 @@ object AsOfJoin {
       keyCols.map(col) ++ Seq(col(tsCol)) ++ leftOther.map(col) ++ Seq(
         lit(1).as("__side"),
         lit(null).cast(payType).as("__pay")): _*)
-    val taggedRight = right.select(
+    // a NULL-timestamp right row must never match (ASOF `l.ts >= r.ts`
+    // is never true for null r.ts) — but nulls sort FIRST in the window,
+    // so an unfiltered one would be carried into every left row of its
+    // key as a phantom match
+    val taggedRight = right.filter(col(tsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol)) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         lit(0).as("__side"),

@@ -182,6 +182,12 @@ object Dedup {
 
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3)
                   (df: DataFrame): DataFrame = {
+    // Pigeonhole over 4 × 16-bit chunks is exhaustive ONLY for Hamming
+    // distance <= 3 (4 differing chunks can hide a distance-4 pair from
+    // every chunk key). A larger radius would silently miss pairs while
+    // presenting a <=maxHamming result — refuse instead of under-recall.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk banding is exhaustive only for maxHamming <= 3, got $maxHamming")
     val sh = simhashSignatures(idCol, textCol)(df)
     val chunks = sh.select(col("doc"), col("sim"),
         posexplode(array((0 until 4).map(c =>

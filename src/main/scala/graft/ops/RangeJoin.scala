@@ -33,10 +33,17 @@ object RangeJoin {
     // so an empty [s,s) or a corrupt inverted interval would explode
     // phantom bands (or, for end << start, try to build a giant array
     // and kill the job) instead of matching nothing.
+    // Last band = floor(end / bw), NOT floor((end-1) / bw): the `-1`
+    // formulation assumes integer-granularity values and silently drops
+    // true matches for fractional inputs (interval [5.0, 10.5) with
+    // bw=10 must cover band 1, where point 10.2 lives). The end-exclusive
+    // bound can over-include one band per interval; the exact residual
+    // filter below removes those candidates — correctness never depends
+    // on the band math, only candidate count does.
     val i = intervals.filter(col(endCol) > col(startCol))
       .withColumn("__bands",
         sequence(floor(col(startCol) / bandWidth).cast("long"),
-          floor((col(endCol) - 1) / bandWidth).cast("long")))
+          floor(col(endCol) / bandWidth).cast("long")))
       .withColumn("__band", explode(col("__bands"))).drop("__bands")
     p.join(i, Seq("__band"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -20,18 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The shared score→rank→truncate tail of every ANN variant. This is
+    * where the cross-engine determinism contract lives — round(sim, 4)
+    * BEFORE ranking, ties broken on neighbor_id, rank cast to long — so
+    * a tweak applied to one variant cannot silently diverge the others
+    * (q50 compares methods under these exact rules). */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
   /** Exact top-k cosine neighbors for each row of `queries` (small,
     * broadcast) against `corpus`. Excludes self-matches on id equality. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** LSH-bucketed approximate top-k: only candidates sharing a
@@ -48,12 +57,7 @@ object Similarity {
       explode(lshProbes(col(vecCol), nBits, nProbe)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nBits).as("bucket"))
-    val scored = c.join(q, "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(c.join(q, "bucket"), k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
@@ -96,12 +100,7 @@ object Similarity {
       .withColumn("__rk", row_number().over(probeW))
       .filter(col("__rk") <= nProbe)
       .select("query_id", "qv", "centroid_id")
-    val scored = assigned.join(probes, "centroid_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(assigned.join(probes, "centroid_id"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH

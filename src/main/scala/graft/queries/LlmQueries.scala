@@ -160,10 +160,11 @@ object LlmQueries {
         .transform(Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.03)),
       None),
 
-    // SimHash near-dup (rows-only check).
+    // SimHash near-dup at the radius the 4-chunk banding makes
+    // EXHAUSTIVE (<= 3; see Dedup.simhashPairs) — rows-only check.
     Q("q28_simhash_pairs",
       (s, d) => Tables.documents(s, d)
-        .transform(Dedup.simhashPairs("doc_id", "text", 16)),
+        .transform(Dedup.simhashPairs("doc_id", "text", 3)),
       None),
 
     // Brute-force cosine top-k — the exact ANN baseline. Query set =

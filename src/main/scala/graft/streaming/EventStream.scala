@@ -195,11 +195,15 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val deduped = Merge.lastWriterWins(Seq("user_id", "event_type"),
-          Seq(col("ts").desc, col("event_id").desc))(batch)
         val hconf = spark.sparkContext.hadoopConfiguration
         val sink = new org.apache.hadoop.fs.Path(sinkPath)
+        val old = new org.apache.hadoop.fs.Path(s"$sinkPath.old")
         val fs = sink.getFileSystem(hconf)
+        // crash recovery: a previous batch may have died between the
+        // rename-aside and the swap-in; the full state lives at .old
+        if (!fs.exists(sink) && fs.exists(old)) fs.rename(old, sink)
+        val deduped = Merge.lastWriterWins(Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))(batch)
         val merged =
           if (fs.exists(sink)) {
             val existing = spark.read.parquet(sinkPath)
@@ -209,11 +213,17 @@ object EventStream {
         // Write-then-swap: never overwrite the path being read — a cache
         // eviction mid-overwrite would recompute `merged` from the
         // truncated sink. The staging dir is fully materialized first,
-        // then atomically renamed over the old sink.
+        // then swapped in via rename-ASIDE (not delete-then-rename,
+        // whose crash window between delete and rename would lose the
+        // whole sink): at every instant either `sink` or `.old` holds
+        // the complete previous state, and the recovery above restores
+        // it on the next batch.
         val staging = new org.apache.hadoop.fs.Path(s"$sinkPath.staging-$batchId")
         merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(sink)) fs.delete(sink, true)
+        fs.delete(old, true)
+        if (fs.exists(sink)) fs.rename(sink, old)
         fs.rename(staging, sink)
+        fs.delete(old, true)
         ()
       }
 }

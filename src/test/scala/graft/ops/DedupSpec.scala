@@ -114,10 +114,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs: exact dupes at Hamming 0; unrelated docs excluded at tight radius") {
-    val pairs = Dedup.simhashPairs("doc_id", "text", maxHamming = 10)(docs)
+    val pairs = Dedup.simhashPairs("doc_id", "text", maxHamming = 3)(docs)
       .as[(Long, Long, Long)].collect().toSeq
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((0L, 1L)) === 0L)
     assert(!m.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("simhash pairs refuses a radius the banding cannot exhaustively cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs("doc_id", "text", maxHamming = 4)(docs)
+    }
   }
 }
