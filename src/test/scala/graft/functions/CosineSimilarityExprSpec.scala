@@ -44,6 +44,19 @@ class CosineSimilarityExprSpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("dimension mismatch raises on both codegen and interpreted paths") {
+    import graft.functions.CosineSimilarityExpr.cosineSim
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    // local mode may surface the IllegalArgumentException directly or
+    // wrapped in a SparkException — accept either, require the message
+    val e = intercept[Exception] {
+      df.select(cosineSim(col("a"), col("b"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("dimension mismatch")), msgs.mkString(" | "))
+  }
+
   test("SQL registration: cosine_sim callable from spark.sql") {
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("cosine_sim"),

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("qualityStruct: empty/whitespace-only docs yield null ratios, no ANSI divide-by-zero") {
+    val qs = TextFunctions.qualityStruct(col("text"), Seq("the"))
+    val out = Seq("", "   ", "the fox").toDF("text")
+      .select(qs.getField("n_tokens").as("n"),
+        qs.getField("mean_token_len").as("mtl"),
+        qs.getField("stopword_ratio").as("sr"))
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out(0) === ((0, None, None)))
+    assert(out(1) === ((0, None, None)))
+    assert(out(2) === ((2, Some(3.0), Some(0.5))))
+  }
+
   test("tokens/tokenCount: whitespace splitting of trimmed text; empty text → 0 tokens") {
     val df = Seq("  a b   c ", "one", "", "   ").toDF("text")
       .select(TextFunctions.tokenCount(col("text")).as("n"))

@@ -32,6 +32,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getLong(1) === 2L)
   }
 
+  test("a NULL-timestamp right row never matches (no phantom carry-forward)") {
+    // null ts sorts FIRST in the window — unfiltered, its payload would
+    // be carried into every left row of the key as a fake match
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], 9.99)).toDF("k", "ts", "v")
+    val out = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"))
+      .select("matched_v", "matched_ts").head()
+    assert(Option(out.get(0)).isEmpty && Option(out.get(1)).isEmpty)
+  }
+
   test("as-of join matches on exactly-equal timestamps") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, 7.0)).toDF("k", "ts", "v")

@@ -19,6 +19,16 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("fractional bounds: a point past the last integer band is still found") {
+    // [5.0, 10.5) with bandWidth 10: the old floor((end-1)/bw) band math
+    // stopped at band 0 and silently dropped point 10.2 in band 1
+    val points = Seq((10.2, "x"), (10.6, "y")).toDF("t", "tag")
+    val intervals = Seq((0L, 5.0, 10.5)).toDF("id", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 10L)
+      .select("tag").as[String].collect().toSeq
+    assert(out === Seq("x")) // 10.2 in [5.0, 10.5); 10.6 out
+  }
+
   test("empty interval [s, s) matches nothing") {
     val points = Seq(5L).toDF("t")
     val intervals = Seq((1L, 5L, 5L)).toDF("id", "s", "e")
