@@ -377,6 +377,27 @@ object CoreQueries {
              |min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Q60 — the custom typed Aggregator (§2.11) on the oracle surface:
+    // quantity-weighted mean price per return flag through
+    // groupByKey(...).agg(Aggregator.toColumn) — the avg-of-avgs trap the
+    // weighted buffer exists to avoid. Mergeable buffers → map-side
+    // partials like any built-in aggregate.
+    Q("q60_weighted_mean",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+          .as[(String, Double, Double)]
+        val wm = graft.functions.WeightedMeanAgg[(String, Double, Double)](
+          r => (r._2, r._3)).toColumn
+        li.groupByKey(_._1).agg(wm.name("wmean"))
+          .toDF("l_returnflag", "wmean")
+          .select(col("l_returnflag"), round(col("wmean"), 4).as("wmean"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // Q21 — 7-row rolling average per key (§2.9 frame-spec windows).
     Q("q21_rolling_avg",
       (s, d) => {

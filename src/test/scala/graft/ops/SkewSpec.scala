@@ -27,4 +27,38 @@ class SkewSpec extends SparkSpec {
     assert(out.exceptAll(direct).count() === 0 &&
       direct.exceptAll(out).count() === 0)
   }
+
+  test("AQE skew join: runtime split of the hot partition, result exact") {
+    // the OTHER skew weapon next to salting: AQE detects the oversized
+    // shuffle partition at runtime and splits it across tasks — no code
+    // change to the join. Thresholds lowered so the toy hot key trips it.
+    import spark.implicits._
+    Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(50000).select(
+        when($"id" < 45000, 7L).otherwise($"id" % 32).as("k"),
+        $"id".as("v"), lit("x" * 64).as("pad"))
+      val dim = spark.range(32).select($"id".as("k"),
+        concat(lit("name"), $"id").as("name"))
+      val joined = skewed.join(dim, "k")
+      // collect() executes joined's OWN query execution, finalizing the
+      // adaptive plan in place (count() would plan a separate query and
+      // leave this one at isFinalPlan=false)
+      assert(joined.collect().length === 50000) // every row matches exactly once
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).foreach(spark.conf.unset)
+  }
 }
