@@ -54,6 +54,32 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (q, n, s, _) => assert(brute((q, n)) === s) }
   }
 
+  test("ivfTopK with a Lloyd round: full probe still reproduces brute-force exactly") {
+    // refinement moves centroids but full probing scores every cell, so
+    // the result must stay exact regardless of where the centroids sit
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 2)
+    val ivf = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 2,
+      nCentroids = 2, nProbe = 2, nIters = 1)
+    assert(brute.exceptAll(ivf).count() === 0 && ivf.exceptAll(brute).count() === 0)
+  }
+
+  test("Lloyd refinement does not worsen cell balance on a clustered fixture") {
+    // two tight clusters; hash-sampled seeds can land lopsided — after a
+    // refinement round centroids move toward cell means, so the cell-size
+    // spread must not grow (and drops whenever the seeds were unbalanced)
+    val clustered = (0L until 20L).map(i => (i, Seq(1.0f, 0.001f * i))) ++
+      (100L until 120L).map(i => (i, Seq(0.001f * (i - 100), 1.0f)))
+    val df = clustered.toDF("vec_id", "embedding")
+    def spread(nIters: Int): Long = {
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 2, nIters)
+      val sizes = Similarity.assignCells(df, "vec_id", "embedding", cents)
+        .groupBy("centroid_id").count().select("count").as[Long].collect()
+      assert(sizes.length === 2, sizes.toSeq.toString)
+      sizes.max - sizes.min
+    }
+    assert(spread(1) <= spread(0), s"refined=${spread(1)} seeded=${spread(0)}")
+  }
+
   test("ANN recall: declared LSH and IVF queries recover >= 0.6 of exact top-5 (sf0.01)") {
     // q50 joins each approximate method's output against the brute-force
     // ground truth; this pins the quantitative floor the rows-only

@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // centroid sample plan
   }
 
+  test("q35 IVF assignment: expression argmax — no corpus shuffle, one window total") {
+    // the round-3 verdict's top finding: the old assignment ran
+    // row_number over partitionBy(neighbor_id) — an Exchange + sort of
+    // N×nCentroids rows carrying the embeddings. The expression argmax
+    // must leave NO hash exchange on neighbor_id anywhere, and the only
+    // window left in the whole plan is rankTopK's per-query ranking.
+    val p = plan("q35_ivf_topk")
+    assert(!p.contains("hashpartitioning(neighbor_id"), p)
+    val windows = SparkEntry.queries("q35_ivf_topk")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.size === 1, windows.mkString("\n"))
+    assert(windows.head.partitionSpec.map(_.sql).mkString.contains("query_id"),
+      windows.head.toString)
+  }
+
   test("q17 global position: no single-partition window, range shuffle instead") {
     assert(emptyPartitionWindows("q17_total_order").isEmpty)
   }
