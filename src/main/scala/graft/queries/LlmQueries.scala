@@ -363,8 +363,14 @@ object LlmQueries {
              |FROM documents""".stripMargin)),
 
     // TF-IDF: top-3 terms per document. tf and df are two hash
-    // aggregations; the tiny vocabulary table broadcasts; ranking is on
-    // the ROUNDED score (cross-engine float parity) with term tiebreak.
+    // aggregations; ranking is on the ROUNDED score (cross-engine float
+    // parity) with term tiebreak. The vocabulary join is deliberately
+    // UNHINTED: dfreq has one row per distinct term — unbounded on a web
+    // corpus — so a broadcast hint would OOM the executors at scale.
+    // Catalyst picks broadcast from stats when the vocabulary is actually
+    // small and a shuffled join on `term` (a shuffle dfreq's own groupBy
+    // already pays) when it isn't. Only the ONE-ROW n_docs count keeps a
+    // broadcast hint (bounded by construction).
     Q("q53_tfidf",
       (s, d) => {
         val toks = Tables.documents(s, d).select(col("doc_id"),
@@ -373,7 +379,7 @@ object LlmQueries {
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDocs))
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
           .withColumn("tfidf", round(col("tf") *
             log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -420,14 +426,24 @@ object LlmQueries {
     // Copy detection by fingerprint collision: docs sharing >= 2 window
     // fingerprints (q31's signatures put to work). The join key is the
     // fingerprint — an inverted index like the shingle join, never an
-    // all-pairs comparison.
+    // all-pairs comparison. Degenerate common windows (whitespace runs,
+    // boilerplate headers) would explode the self-join quadratically on
+    // one hot fp, so fingerprints whose document frequency exceeds maxDf
+    // are dropped first — the same stop-term cap as the shingle join
+    // (Dedup.ngramJaccardPairs), mirrored in the oracle's HAVING.
     Q("q55_fingerprint_dupes",
       (s, d) => {
+        val maxDf = 1000L
         val fps = Tables.documents(s, d).filter(col("n_chars") > 0)
           .select(col("doc_id"), explode(
             TextFunctions.windowFingerprints(col("text"), col("n_chars"))).as("fp"))
           .distinct()
-        fps.as("a").join(fps.as("b"),
+        // df via groupBy (map-side partial counts), never a window over
+        // the hot key — same rationale as Dedup.ngramJaccardPairs
+        val rare = fps.join(
+          fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDf).drop("__df"), "fp")
+        rare.as("a").join(rare.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
@@ -437,9 +453,11 @@ object LlmQueries {
              |    md5(substr(text, cast(win_idx * 100 + 1 AS INT), 50)) AS fp
              |  FROM (SELECT doc_id, text,
              |    unnest(range(greatest((n_chars - 1) // 100, 0) + 1)) AS win_idx
-             |    FROM documents WHERE n_chars > 0))
+             |    FROM documents WHERE n_chars > 0)),
+             |r AS (SELECT f.* FROM f JOIN (
+             |    SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000) ok USING (fp))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-             |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
   )
 }

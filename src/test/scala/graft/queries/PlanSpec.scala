@@ -96,6 +96,31 @@ class PlanSpec extends SparkSpec {
     assert(emptyPartitionWindows("q50_ann_recall").isEmpty)
   }
 
+  test("q53 TF-IDF: vocabulary join is stats-driven, never hint-forced broadcast") {
+    // dfreq (one row per distinct term) is unbounded on a web corpus — a
+    // broadcast HINT would pin an executor-OOM plan at scale. With auto-
+    // broadcast disabled the term join must fall back to a shuffle join,
+    // proving no hint survives; the one-row n_docs broadcast (bounded by
+    // construction) legitimately stays.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q53_tfidf")
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q55 fingerprint collisions: hot-fp cap via groupBy, no window on fp") {
+    // the df cap must aggregate (map-side partials), not window over the
+    // fingerprint — a window would funnel every occurrence of a hot fp
+    // into one task, re-creating the skew the cap exists to kill
+    val df = SparkEntry.queries("q55_fingerprint_dupes")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, windows.mkString("\n"))
+  }
+
   test("q51 LSH near-dup: bucket equi-join, never a nested-loop cross join") {
     val p = plan("q51_cosine_near_dup_lsh")
     assert(!p.contains("CartesianProduct"), p)
