@@ -38,7 +38,11 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val runs = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // withStaged: each iteration builds fresh plans, so each must
+        // also release the intermediates it pinned — the unpersist is
+        // inside the timed region because a real deployment pays it too
+        try { graft.ops.Staged.withStaged { fn(spark, sfDir).count() }
+          Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             errors.getOrElseUpdate(name,

@@ -88,16 +88,15 @@ object Dedup {
     // shingle key: the window would shuffle-sort every occurrence of a
     // hot shingle into one task — exactly the skew the maxDf cap exists
     // to kill — while groupBy keeps map-side partial counts. The shingle
-    // table is persisted because multiple plan branches consume it; at
-    // cluster scale the same role is played by a staged intermediate
-    // table; MEMORY_AND_DISK keeps it spill-safe.
-    val sh = explodedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.join(
+    // table is staged (persisted + registered with [[Staged]] so the
+    // per-query releaseAll unpins it) because multiple plan branches
+    // consume it; at cluster scale the same role is played by a staged
+    // intermediate table; MEMORY_AND_DISK keeps it spill-safe.
+    val sh = Staged.stage(explodedShingles(df, idCol, textCol, n))
+    val rare = Staged.stage(sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df"),
-        "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        "shingle"))
     // Sizes over the SAME capped vocabulary as the intersections: when
     // maxDf engages, jaccard is "Jaccard over sub-maxDf shingles" —
     // consistent numerator and denominator (sizes over the uncapped set

@@ -58,12 +58,12 @@ object TopK {
     * (observed: duplicate/shifted positions). The cache pins one
     * materialized partitioning for both branches — the same staged-
     * intermediate pattern as the dedup shingle table; MEMORY_AND_DISK
-    * keeps it spill-safe at scale. */
+    * keeps it spill-safe at scale. It is registered with [[Staged]] so
+    * the per-query releaseAll unpins it once the query's action ran. */
   def withPosition(ordering: Seq[Column], posCol: String)(df: DataFrame): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df.repartitionByRange(parts, ordering: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = Staged.stage(df.repartitionByRange(parts, ordering: _*)
+      .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")

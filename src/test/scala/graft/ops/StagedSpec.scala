@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The round-3 review flagged the persisted intermediates in
+  * Dedup.ngramJaccardPairs and TopK.withPosition as session leaks: no
+  * MEMORY_AND_DISK relation may outlive its query in a multi-query
+  * session. [[Staged]] is the release path; this spec runs two staging
+  * queries back-to-back the way the Verify/Bench drivers do.
+  */
+class StagedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cachedRddCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("staged intermediates are pinned during the query, gone after releaseAll") {
+    Staged.releaseAll() // isolate from anything an earlier suite staged
+    val before = cachedRddCount
+
+    // q26 stages the shingle table + capped-vocabulary join
+    Staged.withStaged {
+      val n = SparkEntry.queries("q26_ngram_jaccard")(spark, sf).count()
+      assert(cachedRddCount > before, "query should pin staged intermediates while running")
+      n
+    }
+    assert(cachedRddCount === before, "q26 staged caches must be released after the action")
+
+    // q17 stages the range-partitioned frame for the two-phase rank
+    Staged.withStaged {
+      SparkEntry.queries("q17_total_order")(spark, sf).count()
+      assert(cachedRddCount > before)
+    }
+    assert(cachedRddCount === before, "q17 staged cache must be released after the action")
+  }
+
+  test("withStaged releases even when the body throws") {
+    val before = cachedRddCount
+    intercept[RuntimeException] {
+      Staged.withStaged {
+        val df = SparkEntry.queries("q26_ngram_jaccard")(spark, sf)
+        df.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(cachedRddCount === before)
+  }
+}
