@@ -1,17 +1,23 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CSV ingestion with the reference's exact input semantics
   * (SURVEY §2.1 S1–S5):
   *
   *  - S1: header-less positional read against the 71-col schema.
-  *  - S2: encoding fallback utf-8 → latin-1 (reference
-  *    src/main_01.py:372-387 tries utf-8 → latin-1 → cp1252; Spark never
-  *    throws on malformed bytes, it substitutes U+FFFD — so the fallback
-  *    trigger is "any replacement char decoded", and latin-1 maps every
-  *    byte, terminating the chain like the reference's latin-1 arm).
+  *  - S2: encoding fallback utf-8 → cp1252 → latin-1 (reference
+  *    src/main_01.py:374 lists ['utf-8', 'latin-1', 'cp1252']; its cp1252
+  *    arm is DEAD CODE because Python's latin-1 decodes any byte and
+  *    never raises. We keep three arms but try cp1252 before latin-1 so
+  *    the arm is reachable: cp1252 matches latin-1 on every byte both
+  *    define and additionally maps 0x80–0x9F to the Windows punctuation
+  *    (smart quotes, em dash) those files actually contain; latin-1 stays
+  *    the decode-anything terminal arm. Spark never throws on malformed
+  *    bytes, it substitutes U+FFFD — so each arm's failure trigger is
+  *    "any replacement char decoded", which for cp1252 fires on its five
+  *    undefined bytes 0x81/0x8D/0x8F/0x90/0x9D).
   *  - S3: BOM strip (Spark's CSV reader handles a file-level BOM; a
   *    mid-file BOM'd line is scrubbed in the normalize projection).
   *  - S4: recursive case-insensitive `*.csv`/`*.CSV` discovery.
@@ -40,25 +46,83 @@ object LoomCsv {
       .option("pathGlobFilter", csvGlob)
       .csv(paths: _*)
 
+  /** cp1252 differs from latin-1 ONLY on bytes 0x80–0x9F: 27 of them map
+    * to Windows punctuation/letters, 5 (0x81 8D 8F 90 9D) are undefined.
+    * Decoding as latin-1 (which maps those bytes to the C1 controls
+    * U+0080–U+009F, reversibly) and then `translate`-ing the 27 defined
+    * ones IS a byte-exact cp1252 decode — Spark 4's CSV charset
+    * whitelist has latin-1 but not cp1252, and this costs one scan
+    * instead of two. */
+  private val cp1252From =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e" +
+    "\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+  private val cp1252To =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d" +
+    "\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+  private val cp1252UndefinedRe = "[\u0081\u008d\u008f\u0090\u009d]"
+
   /** S2 — encoding-fallback read, PER FILE like the reference
     * (src/main_01.py:372-387 retries each file independently): files
     * whose utf-8 decode produced replacement chars (U+FFFD) are re-read
-    * as latin-1 (which decodes any byte sequence); clean utf-8 files are
-    * left untouched — a dataset-global fallback would mojibake the
-    * multi-byte utf-8 in every good file. The driver-side file list is
-    * bounded by the number of *corrupt* files, not data size. */
+    * as cp1252 (the latin-1 + translate emulation above); files cp1252
+    * also cannot decode — they contain one of its five undefined bytes —
+    * keep the raw latin-1 decode, which accepts anything. Clean files
+    * are never touched by a fallback arm — a dataset-global fallback
+    * would mojibake the multi-byte utf-8 in every good file. (The
+    * reference lists utf-8 → latin-1 → cp1252, but its cp1252 arm is
+    * dead code — Python's latin-1 never raises — so we order the arms
+    * so each is reachable; latin-1 stays the terminal decode-anything.)
+    *
+    * Fully distributed: the corrupt-file set stays a DataFrame joined
+    * against `input_file_name()` (materialized in a projection — the
+    * expression is nondeterministic and may not sit in a join condition)
+    * — never a driver-collected list baked into an `isin` literal, so a
+    * systematically mis-encoded tree cannot OOM the driver or build a
+    * giant In-expression. The bad-file frames are tiny (one row per
+    * corrupt FILE) and broadcast, so no fallback pass shuffles the data;
+    * the cost is one extra distributed scan of the tree in latin-1 when
+    * any corrupt file exists (a filter on a file-name column cannot
+    * prune the file listing) — the right trade at scale, where driver
+    * memory is the scarce resource. The clean-tree common case
+    * short-circuits on an `isEmpty` probe (a bounded driver boolean).
+    *
+    * The result carries a `_source_file` column — materialized directly
+    * above each single-source scan, where `input_file_name()` is
+    * unambiguous. Callers needing row provenance (the import job's
+    * later-file-wins tiebreak) MUST use it rather than re-deriving
+    * `input_file_name()` above this frame: the fallback plan unions and
+    * joins several file sources, where the expression cannot bind. */
   def readWithFallback(spark: SparkSession, root: String): DataFrame = {
-    val utf8 = readRaw(spark, root, "UTF-8")
-    val badFiles = utf8
-      .filter(LoomSchema.columnNames.take(5).map(c => col(c).contains("�")).reduce(_ || _))
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0))
-    if (badFiles.isEmpty) utf8
+    def withFile(df: DataFrame): DataFrame =
+      df.withColumn(sourceFileCol, input_file_name())
+    // replacement-char probe over EVERY column (a stray byte can sit in
+    // any field); concat_ws skips nulls
+    def hasChar(re: String): Column =
+      concat_ws("", LoomSchema.columnNames.map(col): _*).rlike(re)
+    val utf8 = withFile(readRaw(spark, root, "UTF-8"))
+    val bad1 = graft.ops.Staged.stage(
+      utf8.filter(hasChar("�")).select(sourceFileCol).distinct())
+    if (bad1.isEmpty) utf8
     else {
-      val good = utf8.filter(!input_file_name().isin(badFiles.toSeq: _*))
-      good.unionByName(readPaths(spark, badFiles.toSeq, "ISO-8859-1", recursive = false))
+      val good = utf8.join(broadcast(bad1), Seq(sourceFileCol), "left_anti")
+      val latin1 = graft.ops.Staged.stage(
+        withFile(readRaw(spark, root, "ISO-8859-1"))
+          .join(broadcast(bad1), Seq(sourceFileCol), "left_semi"))
+      // the cp1252 arm "fails" for files holding a byte cp1252 leaves
+      // undefined — those keep the raw latin-1 decode instead
+      val bad2 = graft.ops.Staged.stage(
+        latin1.filter(hasChar(cp1252UndefinedRe)).select(sourceFileCol).distinct())
+      val cpArm = LoomSchema.columnNames.foldLeft(
+          latin1.join(broadcast(bad2), Seq(sourceFileCol), "left_anti")) { (d, c) =>
+        d.withColumn(c, translate(col(c), cp1252From, cp1252To))
+      }
+      val latinArm = latin1.join(broadcast(bad2), Seq(sourceFileCol), "left_semi")
+      good.unionByName(cpArm).unionByName(latinArm)
     }
   }
+
+  /** Row-provenance column emitted by [[readWithFallback]]. */
+  val sourceFileCol = "_source_file"
 
   /** S5 — partition-pruned read: only `root/YYYY-MM/<datasetType>/` dirs
     * for the requested months. Builds explicit per-month paths so the

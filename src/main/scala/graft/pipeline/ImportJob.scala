@@ -28,8 +28,11 @@ object ImportJob {
   def importCsvTree(spark: SparkSession, root: String,
                     sinkKeys: Option[DataFrame] = None,
                     applyPoweredOffGate: Boolean = true): DataFrame = {
+    // provenance comes from the reader's _source_file column:
+    // input_file_name() cannot bind above the fallback plan's
+    // union/join of several file sources
     val parsed = LoomCsv.normalize(LoomCsv.readWithFallback(spark, root))
-      .withColumn("__file", input_file_name())
+      .withColumnRenamed(LoomCsv.sourceFileCol, "__file")
     val gated = (sinkKeys, applyPoweredOffGate) match {
       case (Some(sink), true) =>
         // P4+P5: drop powered-off rows whose key already exists in the sink

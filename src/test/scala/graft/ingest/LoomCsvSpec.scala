@@ -39,7 +39,13 @@ class LoomCsvSpec extends SparkSpec {
       mkRow("2026-07-01.A", "00042", "ART1", "999", "0", eficiencia = "88"))) // dup key, later file wins
     write("2026-08/daily/latin.csv",
       Seq(mkRow("2026-08-02.A", "00050", "CAFÉ", "480", "0")),
-      StandardCharsets.ISO_8859_1) // é as 0xC9 — invalid UTF-8
+      StandardCharsets.ISO_8859_1) // É as 0xC9 — invalid UTF-8, decodes under cp1252
+    write("2026-08/daily/smart.csv",
+      Seq(mkRow("2026-08-03.A", "00052", "\u0093Q\u0094", "480", "0")),
+      StandardCharsets.ISO_8859_1) // bytes 0x93/0x94 — cp1252 smart quotes, invalid UTF-8
+    write("2026-08/daily/ctrl.csv",
+      Seq(mkRow("2026-08-03.B", "00053", "A\u0081B", "480", "0")),
+      StandardCharsets.ISO_8859_1) // byte 0x81 — undefined in cp1252 too → latin-1 arm
     write("2026-08/daily/UPPER.CSV",
       Seq(mkRow("2026-08-02.B", "00051", "ART5", "480", "0")))
     write("2026-13-bad/daily/bad.csv",
@@ -50,14 +56,37 @@ class LoomCsvSpec extends SparkSpec {
   test("S4: recursive discovery picks up .csv and .CSV, all month dirs") {
     val files = LoomCsv.readRaw(spark, root.toString)
       .select(input_file_name().as("f")).distinct().as[String].collect()
-    assert(files.length === 5)
+    assert(files.length === 7)
     assert(files.exists(_.endsWith("UPPER.CSV")))
   }
 
-  test("S2: charset fallback recovers latin-1 accented text") {
+  test("S2: charset fallback recovers non-utf8 accented text") {
     val df = LoomCsv.normalize(LoomCsv.readWithFallback(spark, root.toString))
     val artigos = df.select("Artigo").as[String].collect().toSet
     assert(artigos.contains("CAFÉ"), s"got $artigos")
+    assert(!artigos.exists(_.contains("�")), s"got $artigos")
+  }
+
+  test("S2: cp1252 arm decodes smart quotes; latin-1 terminal arm catches 0x81") {
+    val df = LoomCsv.normalize(LoomCsv.readWithFallback(spark, root.toString))
+    val artigos = df.select("Artigo").as[String].collect().toSet
+    // byte 0x93/0x94 must surface as the cp1252 smart quotes, not the
+    // latin-1 C1 control chars (U+0093/U+0094) or U+FFFD
+    assert(artigos.contains("\u201cQ\u201d"), s"got $artigos")
+    // byte 0x81 is undefined even in cp1252 → the latin-1 arm keeps it
+    // as the C1 control char rather than dropping the row
+    assert(artigos.contains("A\u0081B"), s"got $artigos")
+  }
+
+  test("S2: clean trees take the utf-8 path and fallback scans add no rows") {
+    val clean = Files.createTempDirectory("tmsclean")
+    Files.createDirectories(clean.resolve("2026-07/daily"))
+    Files.write(clean.resolve("2026-07/daily/ok.csv"),
+      Seq(mkRow("2026-07-02.A", "00060", "ÁGUA", "480", "0"))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = LoomCsv.readWithFallback(spark, clean.toString)
+    assert(df.count() === 1)
+    assert(LoomCsv.normalize(df).select("Artigo").as[String].head() === "ÁGUA")
   }
 
   test("S3+P3: normalize strips BOM and drops short rows") {
