@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * Scale: ONE shuffle on the key (same as any join on that key), no
   * range-explosion, no driver involvement; the window scan is linear per
   * key partition. This beats a theta/range join (O(n·m) pairs) and is the
-  * standard formulation for distributed as-of joins. Skewed keys: salt
-  * the key into time buckets and carry across bucket heads — deferred
-  * until data demands it.
+  * standard formulation for distributed as-of joins. Skewed keys: opt
+  * into `timeBucket` — the window then partitions on (key, bucket) so a
+  * hot key's rows spread across its time buckets, and matches that cross
+  * a bucket boundary are recovered by carrying each bucket's last right
+  * payload forward through a per-key window over BUCKETS (one row per
+  * bucket — cluster-small even for the hottest key).
   */
 object AsOfJoin {
 
@@ -37,9 +40,19 @@ object AsOfJoin {
     * @param payloadCols right columns carried to the matched left row
     *                    (emitted with a `matched_` prefix, plus
     *                    `matched_ts` for the matched timestamp)
+    * @param timeBucket  opt-in hot-key mitigation: a MONOTONE
+    *                    NON-DECREASING function of the timestamp column
+    *                    (e.g. `ts => date_trunc("hour", ts)`) used to
+    *                    sub-partition each key's window. Monotonicity is
+    *                    what makes "carry across bucket heads" correct —
+    *                    every right row in an earlier bucket precedes
+    *                    every row of a later one. Output-identical to
+    *                    the default path (proven by AsOfJoinSpec's
+    *                    equivalence test on a skewed fixture).
     */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           tsCol: String, payloadCols: Seq[String]): DataFrame = {
+           tsCol: String, payloadCols: Seq[String],
+           timeBucket: Option[Column => Column] = None): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
     val payType = StructType(
       payloadCols.map(c => StructField(c, right.schema(c).dataType)) :+
@@ -59,11 +72,41 @@ object AsOfJoin {
         lit(0).as("__side"),
         struct(payloadCols.map(col) :+ col(tsCol).as("__m_ts"): _*).as("__pay")): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedLeft.unionByName(taggedRight)
-      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val carried = timeBucket match {
+      case None =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      case Some(bucketOf) =>
+        // hot-key path: carry within (key, bucket), then stitch across
+        // buckets. The cross-bucket state is ONE row per (key, bucket) —
+        // each bucket's last right payload, max_by over right rows only —
+        // so the per-key carry window ranks buckets, not rows, and the
+        // hottest key costs O(#buckets) in one task, not O(#rows).
+        val bucketed = unioned.withColumn("__b", bucketOf(col(tsCol)))
+        val wB = Window.partitionBy((keyCols :+ "__b").map(col): _*)
+          .orderBy(col(tsCol), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = bucketed
+          .withColumn("__m0", last(col("__pay"), ignoreNulls = true).over(wB))
+        // every (key, bucket) gets a row (left-only buckets too — their
+        // null __blast is skipped by the ignoreNulls carry)
+        val heads = bucketed.groupBy((keyCols :+ "__b").map(col): _*)
+          .agg(max_by(col("__pay"),
+            when(col("__side") === 0, col(tsCol))).as("__blast"))
+        val wC = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = heads
+          .withColumn("__c", last(col("__blast"), ignoreNulls = true).over(wC))
+          .select((keyCols :+ "__b").map(col) :+ col("__c"): _*)
+        // left join: a null bucket (null-ts left row) matches nothing and
+        // keeps its null carry — same "never matches" contract as the
+        // default path
+        within.join(carryIn, keyCols :+ "__b", "left")
+          .withColumn("__m", coalesce(col("__m0"), col("__c")))
+    }
     carried.filter(col("__side") === 1)
       .select(
         keyCols.map(col) ++ Seq(col(tsCol)) ++ leftOther.map(col) ++

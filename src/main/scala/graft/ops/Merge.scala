@@ -20,12 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** U1 — last-writer-wins dedup on `keys`, latest by `version` ordering. */
-  def lastWriterWins(keys: Seq[String], version: Seq[Column])(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  /** U1 — last-writer-wins dedup on `keys`, latest by `version` ordering.
+    *
+    * `saltBuckets > 1` opts into the two-phase skew variant for
+    * pathologically hot keys: phase 1 splits each key's rows across
+    * `saltBuckets` deterministic sub-buckets (content hash over all
+    * columns — no RNG, so re-runs are identical) and keeps each bucket's
+    * winner; phase 2 picks the global winner among the ≤ saltBuckets
+    * survivors. Output-identical to the unsalted path whenever `version`
+    * is a TOTAL ordering per key (the determinism contract this operator
+    * already requires); the hot key's rows now spread over saltBuckets
+    * tasks instead of funneling into one reducer. The default stays
+    * single-phase: WindowGroupLimit's map-side partial already bounds
+    * shuffled bytes by distinct keys, so salting only pays when one
+    * key's row count dwarfs a task. */
+  def lastWriterWins(keys: Seq[String], version: Seq[Column],
+                     saltBuckets: Int = 1)(df: DataFrame): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    def keep1(d: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(parts.map(col): _*).orderBy(version: _*)
+      d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+    if (saltBuckets == 1) keep1(df, keys)
+    else {
+      val salted = df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      keep1(keep1(salted, keys :+ "__salt"), keys).drop("__salt")
+    }
   }
 
   /** U1 as a two-sided MERGE: new rows win over existing rows with the same

@@ -49,6 +49,19 @@ class AsOfJoinPropertySpec extends SparkSpec {
       }.toMap
 
       assert(out === expected, s"seed=$seed")
+
+      // the hot-key bucketed variant must satisfy the same reference;
+      // bucket width 7 over ts 0..20 forces cross-bucket carries
+      val bucketed = AsOfJoin.join(
+          left.toDF("user_id", "ts", "event_id"),
+          right.toDF("user_id", "ts", "v"),
+          Seq("user_id"), "ts", Seq("v"),
+          timeBucket = Some(ts =>
+            org.apache.spark.sql.functions.floor(
+              ts / org.apache.spark.sql.functions.lit(7L))))
+        .select("event_id", "matched_v")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(bucketed === expected, s"bucketed seed=$seed")
     }
   }
 }

@@ -48,4 +48,35 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"))
     assert(out.select("matched_v").as[Option[Double]].head() === Some(7.0))
   }
+
+  test("time-bucketed hot-key variant is output-identical on a skewed fixture") {
+    import org.apache.spark.sql.functions._
+    // one pathologically hot key (800 left rows, right rows every 7 ticks,
+    // so many buckets have no right row and need the cross-bucket carry)
+    // plus a sparse key and a right-only key
+    val left = ((0L until 800L).map(t => (1L, t * 3 % 997, s"e$t")) ++
+      Seq((2L, 50L, "x"), (2L, 3L, "y"))).toDF("k", "ts", "tag")
+    val right = ((0L until 120L).map(i => (1L, i * 7, i * 1.0)) ++
+      Seq((2L, 40L, -1.0), (3L, 5L, -2.0))).toDF("k", "ts", "v")
+    val plain = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"))
+    val bucketed = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"),
+      timeBucket = Some(ts => floor(ts / lit(50L))))
+    assert(plain.exceptAll(bucketed).count() === 0 &&
+      bucketed.exceptAll(plain).count() === 0)
+    assert(bucketed.count() === left.count())
+  }
+
+  test("bucketed variant keeps the null-ts contracts (left row kept, right row never matches)") {
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, Some(10L)), (1L, Option.empty[Long])).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], 9.99), (1L, Some(4L), 1.0))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"),
+        timeBucket = Some(ts => floor(ts / lit(50L))))
+      .select("ts", "matched_v").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(out === Set(
+      (Some(10L), Some(1.0)),  // normal match survives bucketing
+      (None, None)))           // null-ts left row kept, never matched
+  }
 }

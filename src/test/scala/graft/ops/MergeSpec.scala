@@ -34,6 +34,25 @@ class MergeSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("salted two-phase LWW is output-identical on a hot-key fixture") {
+    // one key holds 90% of the rows — the shape where the single-window
+    // merge funnels into one reducer and the salted variant spreads it
+    val skewed = ((0L until 900L).map(i => (1L, "hot", i, i * 0.5)) ++
+      (0L until 100L).map(i => (2L + i % 7, "cold", i, i * 1.0)))
+      .toDF("user_id", "event_type", "ts", "value")
+    val keys = Seq("user_id", "event_type")
+    val plain = Merge.lastWriterWins(keys, Seq(col("ts").desc))(skewed)
+    val salted = Merge.lastWriterWins(keys, Seq(col("ts").desc), saltBuckets = 16)(skewed)
+    assert(plain.exceptAll(salted).count() === 0 &&
+      salted.exceptAll(plain).count() === 0)
+    // and the salted plan really partitions phase 1 on the salt column
+    val windows = salted.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.exists(_.partitionSpec.exists(_.sql.contains("__salt"))),
+      windows.mkString("\n"))
+  }
+
   test("upsert: incoming beats existing on key collision; both sides' unique keys survive") {
     val existing = Seq((1L, "click", 100L, 9.0), (3L, "view", 1L, 5.0))
       .toDF("user_id", "event_type", "ts", "value")
