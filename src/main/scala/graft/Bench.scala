@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * A warmup action runs first so JVM/codegen startup cost isn't charged
   * to whichever query happens to run first; queries run in name order so
   * per-query timings are comparable across rounds. Each query runs
-  * SPARK_GRAFT_ITERS times (default 3) and reports the MEDIAN, defusing
-  * noisy-neighbor swings on shared boxes; a failing query lands in
-  * `errors` with its exception (never a silent fake timing).
+  * SPARK_GRAFT_ITERS times (default 5) and reports the MEDIAN, defusing
+  * noisy-neighbor swings on shared boxes (identical binaries measured
+  * 2× apart across rounds on this box — hence 5, not 3); a failing
+  * query lands in `errors` with its exception (never a silent fake
+  * timing). The system load average before and after the run is
+  * recorded in the JSON so a noisy co-tenant is visible in the record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,7 +35,9 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
 
-    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt, 1)
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt, 1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -63,7 +68,9 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,6 +153,37 @@ object LlmQueries {
              |FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
              |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03""".stripMargin)),
 
+    // Duplicate-cluster assignment: connected components over the exact
+    // n-gram Jaccard pair graph (q26's edges) — every document in a
+    // duplicate cluster labeled with the cluster's min doc_id, the step
+    // that turns pairwise near-dup hits into "keep one per cluster".
+    // Oracle: DuckDB recursive-CTE transitive closure + min over the
+    // reachable set (quadratic closure — fine at verify scale; the
+    // Spark side is the iterative min-label propagation that scales).
+    Q("q61_dup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+        Tables.documents(s, d)
+          .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+        "doc_a", "doc_b"),
+      Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+             |SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin)),
+
     // MinHash + LSH banding near-dup (rows-only check: DuckDB lacks
     // Spark's xxhash64). 32 perms, 8 bands × 4 rows.
     Q("q27_minhash_lsh",

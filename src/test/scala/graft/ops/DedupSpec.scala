@@ -35,6 +35,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getDouble(2) === 1.0)
   }
 
+  test("duplicateClusters: transitive pairs collapse to min-id clusters") {
+    // {1,2,3,4} connect through 2 and 3; {10,11} is a separate pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // "keep one per cluster" is the doc === cluster filter
+    val keep = out.filter { case (d, c) => d == c }.keySet
+    assert(keep === Set(1L, 10L))
+  }
+
+  test("duplicateClusters converges on a path graph needing many rounds") {
+    // a 13-node path has diameter 12 — exercises the early-stop loop well
+    // past one propagation round
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(out.length === 13 && out.forall(_._2 === 0L), out.toSeq.toString)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")
