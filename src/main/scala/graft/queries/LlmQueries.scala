@@ -184,6 +184,80 @@ object LlmQueries {
              |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
              |SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin)),
 
+    // Flagship composition: the full training-corpus build as ONE lazy
+    // plan — normalize → quality gate (>= 5 tokens) → language-ID gate →
+    // exact dedup (min doc per content hash) → near-dup cluster removal
+    // (Jaccard pairs → connected components → keep representatives) →
+    // deterministic train/val/test split. Every stage is an operator the
+    // engine already oracle-checks in isolation (q47/q23/q25/q22/q26/
+    // q61/q58); this row proves they COMPOSE — the end-to-end pipeline a
+    // real 100 TB corpus run executes, hash-checked against one DuckDB
+    // query (recursive CTE for the cluster step).
+    Q("q62_corpus_pipeline",
+      (s, d) => {
+        val norm = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          regexp_replace(
+            regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
+            "  +", " ").as("norm_text"))
+        val gated = norm
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("norm_text")).cast("long"))
+          .withColumn("lang_pred", TextFunctions.langId(col("norm_text")))
+          .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+        val keep = gated.join(
+          gated.groupBy(md5(col("norm_text")).as("__h")).agg(min("doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val clusters = Dedup.duplicateClusters(
+          keep.transform(Dedup.ngramJaccardPairs("doc_id", "norm_text", 3, 0.03)),
+          "doc_a", "doc_b")
+        val reps = keep.join(
+          clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        Sampling.splitByHash(reps.select("doc_id", "lang", "lang_pred", "n_tokens"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      },
+      Some("""WITH RECURSIVE
+             |norm AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text FROM documents),
+             |scored AS (SELECT doc_id, lang, norm_text,
+             |  string_split_regex(trim(norm_text), '\s+') AS w FROM norm),
+             |langed AS (SELECT doc_id, lang, norm_text, w,
+             |  cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored))),
+             |gated AS (SELECT * FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+             |keepd AS (SELECT g.* FROM gated g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)) k USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle FROM keepd)),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |dropset AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src)
+             |SELECT doc_id, lang, lang_pred, n_tokens,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
+
     // MinHash + LSH banding near-dup (rows-only check: DuckDB lacks
     // Spark's xxhash64). 32 perms, 8 bands × 4 rows.
     Q("q27_minhash_lsh",
