@@ -147,6 +147,33 @@ object Similarity {
     (0 until nIters).foldLeft(seeded)((cs, _) => lloydStep(c, cs))
   }
 
+  /** Stage an embedding corpus for SHUFFLE-FREE ANN serving: materialize
+    * the LSH bucket id and bucket the table by it at write time — the
+    * same pay-the-shuffle-once-at-ingest layout as
+    * [[Dedup.writeHashBucketed]]. Every query batch then candidate-joins
+    * against the staged table with NO Exchange on the corpus side
+    * (`BucketedAnnSpec` counts the exchanges), which is the difference
+    * between re-shuffling 100 TB of vectors per query batch and
+    * streaming them straight out of the scan. */
+  def writeLshBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+                       table: String, nBits: Int, nBuckets: Int): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nBits))
+      .write.mode("overwrite").bucketBy(nBuckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
+
+  /** [[lshTopK]] over a [[writeLshBucketed]] staging table —
+    * output-identical for the same nBits, but the corpus arrives
+    * pre-partitioned on the bucket id so only the (small) probe side
+    * ever shuffles. */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nBits: Int, nProbe: Int = 1): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(lshProbes(col(vecCol), nBits, nProbe)).as("bucket"))
+    rankTopK(spark.table(table).join(q, "bucket"), k)
+  }
+
   /** Nearest-centroid cell per corpus row — the IVF assignment pass.
     * Pure projection over a broadcast one-row centroid pack: NO shuffle,
     * no window, regardless of corpus size. */

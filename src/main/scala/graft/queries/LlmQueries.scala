@@ -362,6 +362,12 @@ object LlmQueries {
             Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
               nCentroids = 16, nProbe = 8)
             .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+          .union(
+            // one Lloyd round — measures whether density-adapted cells
+            // help recall at the same probe budget (spec floors it too)
+            Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+              nCentroids = 16, nProbe = 8, nIters = 1)
+            .select(lit("ivf_lloyd").as("method"), col("query_id"), col("neighbor_id")))
         approx
           .join(exact.withColumn("__hit", lit(1L)),
             Seq("query_id", "neighbor_id"), "left")

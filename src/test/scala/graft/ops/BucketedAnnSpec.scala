@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+
+/** The 100 TB ANN serving story (SCALE.md): stage the embedding corpus
+  * bucketed by its LSH bucket id once, then every query batch's
+  * candidate join runs with no Exchange on the corpus side — only the
+  * small probe side shuffles.
+  */
+class BucketedAnnSpec extends SparkSpec {
+
+  test("lshTopK over an LSH-bucketed staging table: one fewer Exchange, output identical") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    try {
+      Similarity.writeLshBucketed(emb, "vec_id", "embedding",
+        "graft_emb_lsh", nBits = 4, nBuckets = 8)
+
+      val staged = Similarity.lshTopKBucketed(spark, "graft_emb_lsh",
+        queries, "vec_id", "embedding", 3, nBits = 4, nProbe = 2)
+      val direct = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        3, nBits = 4, nProbe = 2)
+
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.explainString(SimpleMode)).size
+      // the staged plan drops exactly the corpus-side bucket shuffle;
+      // the probe-side exchange and the per-query ranking exchange stay
+      assert(exchanges(staged) === exchanges(direct) - 1,
+        s"staged=${exchanges(staged)} direct=${exchanges(direct)}")
+
+      assert(direct.exceptAll(staged).count() === 0 &&
+        staged.exceptAll(direct).count() === 0)
+      assert(staged.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_emb_lsh")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -86,7 +86,7 @@ class SimilaritySpec extends SparkSpec {
     // CORRECTNESS entries for q30/q35 can't express
     val rec = graft.SparkEntry.queries("q50_ann_recall")(spark, "/root/testdata/sf0.01")
       .select("method", "recall").as[(String, Double)].collect().toMap
-    assert(rec.keySet === Set("lsh", "ivf"), rec.toString)
+    assert(rec.keySet === Set("lsh", "ivf", "ivf_lloyd"), rec.toString)
     assert(rec.values.forall(_ >= 0.6), rec.toString)
   }
 
