@@ -61,6 +61,18 @@ object EtlPipeline {
     results.result()
   }
 
+  /** [[run]] with the S10 log sink attached: one entry per step result
+    * (success/error level mirrors the reference's add_log calls around
+    * each ETL step, src/main_01.py:1148-1189). */
+  def runLogged(spark: SparkSession, steps: Seq[Step], log: RunLog): Seq[StepResult] = {
+    val results = run(spark, steps)
+    results.foreach { r =>
+      if (r.ok) log.add(s"${r.name} completed in ${r.durationMs} ms", "success")
+      else log.add(s"${r.name} failed: ${r.error.getOrElse("unknown")}", "error")
+    }
+    results
+  }
+
   /** The reference's import-only pipeline (D2,
     * reference src/main_01.py:1191-1262) as a canned two-step run:
     * import+merge then summarize. */
