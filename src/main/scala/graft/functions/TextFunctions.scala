@@ -117,9 +117,17 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "des", "et", "est", "une")
   )
 
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an already-tokenized array column. Callers that
+    * also need the token count should materialize `tokens(text)` in ONE
+    * projection and feed it here: higher-order lambdas are interpreted
+    * and Catalyst does not CSE them, so `langId(text)` re-tokenizes the
+    * row once per candidate language. */
+  def langIdFromTokens(ws: Column): Column = {
     val scores = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+      struct(size(filter(ws, w => w.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))

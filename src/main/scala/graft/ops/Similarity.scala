@@ -204,10 +204,14 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBits: Int = 8,
                          nTables: Int = 1): DataFrame = {
-    val buckets = corpus.select(col(idCol).as("id"),
+    // staged: the self-join consumes this twice, and the nTables × nBits
+    // hyperplane projections behind each bucket id are the expensive part
+    // of the whole operator — recomputing them on the probe side doubled
+    // q51's cost
+    val buckets = Staged.stage(corpus.select(col(idCol).as("id"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col(vecCol), nBits, seed = t)): _*)))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -199,13 +199,22 @@ object LlmQueries {
           regexp_replace(
             regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
             "  +", " ").as("norm_text"))
+        // tokenize ONCE per row: the token array feeds both the count
+        // and the 4-language stopword scorer (interpreted lambdas, no
+        // CSE — re-deriving it per consumer is 5 tokenizations/row)
         val gated = norm
-          .withColumn("n_tokens", TextFunctions.tokenCount(col("norm_text")).cast("long"))
-          .withColumn("lang_pred", TextFunctions.langId(col("norm_text")))
+          .withColumn("__w", TextFunctions.tokens(col("norm_text")))
+          .withColumn("n_tokens", size(col("__w")).cast("long"))
+          .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
           .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
-        val keep = gated.join(
+          .drop("__w")
+        // staged: the survivor set feeds BOTH the pair-graph branch and
+        // the final representative anti-join — without the cache the
+        // whole gate chain (normalize + interpreted langId lambdas)
+        // recomputes per consumer
+        val keep = graft.ops.Staged.stage(gated.join(
           gated.groupBy(md5(col("norm_text")).as("__h")).agg(min("doc_id").as("doc_id")),
-          Seq("doc_id"), "left_semi")
+          Seq("doc_id"), "left_semi"))
         val clusters = Dedup.duplicateClusters(
           keep.transform(Dedup.ngramJaccardPairs("doc_id", "norm_text", 3, 0.03)),
           "doc_a", "doc_b")
