@@ -102,7 +102,9 @@ object LoomCsv {
     val utf8 = withFile(readRaw(spark, root, "UTF-8"))
     val bad1 = graft.ops.Staged.stage(
       utf8.filter(hasChar("�")).select(sourceFileCol).distinct())
-    if (bad1.isEmpty) utf8
+    // clean tree: the probe is fully consumed — drop its pin right away
+    // instead of waiting for the caller's release scope
+    if (bad1.isEmpty) { bad1.unpersist(blocking = false); utf8 }
     else {
       val good = utf8.join(broadcast(bad1), Seq(sourceFileCol), "left_anti")
       val latin1 = graft.ops.Staged.stage(

@@ -100,11 +100,18 @@ object AsOfJoin {
           .rowsBetween(Window.unboundedPreceding, -1)
         val carryIn = heads
           .withColumn("__c", last(col("__blast"), ignoreNulls = true).over(wC))
-          .select((keyCols :+ "__b").map(col) :+ col("__c"): _*)
-        // left join: a null bucket (null-ts left row) matches nothing and
-        // keeps its null carry — same "never matches" contract as the
-        // default path
-        within.join(carryIn, keyCols :+ "__b", "left")
+          .select(keyCols.map(c => col(c).as(s"__ck_$c")) ++
+            Seq(col("__b").as("__cb"), col("__c")): _*)
+        // NULL-SAFE join back: window partitioning groups NULL keys like
+        // groupBy does, so a plain equality join here would silently
+        // drop the carry for null-key rows — diverging from the default
+        // path. <=> matches them; the null BUCKET (null-ts left rows)
+        // also null-safe-matches its heads row, whose carry is null by
+        // construction (nothing precedes the first-ordered bucket), so
+        // "a null ts never matches" still holds on this path too.
+        val cond = (keyCols.map(c => col(c) <=> col(s"__ck_$c")) :+
+          (col("__b") <=> col("__cb"))).reduce(_ && _)
+        within.join(carryIn, cond, "left")
           .withColumn("__m", coalesce(col("__m0"), col("__c")))
     }
     carried.filter(col("__side") === 1)

@@ -212,23 +212,38 @@ object Dedup {
     * Output: (doc, cluster) — one row per distinct node appearing in
     * `pairs`, cluster = min doc id reachable through the pair graph.
     */
+  /** Free a localCheckpoint's blocks through its RDD handle —
+    * `Dataset.unpersist` goes through the CacheManager and cannot reach
+    * them. The blocks are NOT recomputable: only superseded frames that
+    * nothing will read again may be freed. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 20): DataFrame = {
     val edges = Staged.stage(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
         .distinct())
-    // convergence probe: labels only ever DECREASE (min-propagation is
-    // monotone per row), so the label sum strictly drops until the
-    // fixpoint — an aggregate over the checkpointed frame, much cheaper
-    // than a changed-rows join per round. decimal(38) cannot overflow
-    // for any realistic id space.
+    // convergence probe, by id type: labels only ever DECREASE
+    // (min-propagation is monotone per row), so for numeric ids the
+    // label sum strictly drops until the fixpoint — an aggregate over
+    // the checkpointed frame. Non-numeric ids (string/UUID docs) have
+    // no overflow-safe monotone aggregate, so they fall back to the
+    // changed-rows join probe; the cast-based sum would throw under
+    // ANSI (or silently null out and fake instant convergence without).
+    val numericIds =
+      pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(d: DataFrame): java.math.BigDecimal = Option(
       d.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0))
       .getOrElse(java.math.BigDecimal.ZERO)
     var labels = edges.select(col("u").as("doc"), col("u").as("cluster"))
       .distinct().localCheckpoint()
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -236,14 +251,27 @@ object Dedup {
           edges.join(labels.withColumnRenamed("doc", "v"), "v")
             .select(col("u").as("doc"), col("cluster")))
         .groupBy("doc").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+        .localCheckpoint() // eager: next is self-contained after this
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = next.join(labels.withColumnRenamed("cluster", "__prev"), "doc")
+          .filter(col("cluster") =!= col("__prev")).isEmpty
+      }
+      // the superseded round is unreachable from `next` (already
+      // materialized) — free its blocks instead of waiting for GC,
+      // bounding pinned storage to 2 label tables at any instant
+      freeCheckpoint(labels)
       labels = next
       i += 1
     }
-    labels
+    // the final table stays pinned for the caller's action; release
+    // with the query like every other staged intermediate
+    val result = labels
+    Staged.registerRelease(() => freeCheckpoint(result))
+    result
   }
 
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3)

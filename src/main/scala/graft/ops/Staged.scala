@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-/** Lifecycle registry for staged (persisted) intermediates.
+/** Lifecycle registry for staged (persisted/checkpointed) intermediates.
   *
   * Some operators pin a mid-plan DataFrame because two plan branches
   * consume it and re-execution would be either wasteful
@@ -13,34 +13,60 @@ import org.apache.spark.storage.StorageLevel
   * long-lived session or streaming driver — the round-3 review flagged
   * the pins as a leak with no release path.
   *
-  * Operators register every persist here ([[stage]]); the driver loop
-  * (graft.Verify / graft.Bench — or any caller running query-at-a-time)
-  * calls [[releaseAll]] once a query's action completes. [[withStaged]]
-  * scopes the same contract around a block. Unpersist is non-blocking:
-  * Spark drops the blocks asynchronously; correctness never depends on a
-  * cache being present, only on it being pinned *during* its query.
+  * Operators register every pin here ([[stage]] for persists,
+  * [[registerRelease]] for anything else, e.g. a localCheckpoint's
+  * block-level free); the driver loop (graft.Verify / graft.Bench — or
+  * any caller running query-at-a-time) calls [[releaseAll]] once a
+  * query's action completes, or scopes the same contract with
+  * [[withStaged]].
+  *
+  * The registry is THREAD-LOCAL: an operator builds its plan on the
+  * caller's thread, so pins land in that thread's registry and a
+  * concurrent pipeline on another thread (EtlPipeline's D4 background
+  * execution) can neither release them early nor have its own pins
+  * released from here. [[withStaged]] additionally scopes to a MARK —
+  * nested blocks release only what they themselves staged. Release is
+  * non-blocking for plain persists (correctness never depends on a
+  * cache being present, only on it being pinned *during* its query);
+  * checkpoint releases registered via [[registerRelease]] may free
+  * non-recomputable blocks, so a released frame must not be reused.
   */
 object Staged {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val live = new ThreadLocal[java.util.ArrayDeque[() => Unit]] {
+    override def initialValue(): java.util.ArrayDeque[() => Unit] =
+      new java.util.ArrayDeque[() => Unit]()
+  }
 
   /** Persist `df` at MEMORY_AND_DISK (spill-safe) and register it for
-    * the next [[releaseAll]]. */
+    * release at the end of the enclosing [[withStaged]] scope (or the
+    * next [[releaseAll]]). */
   def stage(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(df)
+    live.get.addLast(() => df.unpersist(blocking = false))
     df
   }
 
-  /** Unpersist every staged intermediate registered since the last call.
-    * Call between queries, after the consuming action has run. */
+  /** Register an arbitrary release action (e.g. freeing a
+    * localCheckpoint's blocks through its RDD handle, which
+    * `Dataset.unpersist` cannot reach). */
+  def registerRelease(release: () => Unit): Unit = live.get.addLast(release)
+
+  /** Release every pin registered on THIS thread, oldest first. */
   def releaseAll(): Unit = {
-    var d = live.poll()
-    while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    val q = live.get
+    var f = q.pollFirst()
+    while (f != null) { f(); f = q.pollFirst() }
   }
 
-  /** Run `body` (build + execute a query), then release everything it
-    * staged — the scoped form of the Verify/Bench per-query release. */
-  def withStaged[T](body: => T): T =
-    try body finally releaseAll()
+  /** Run `body` (build + execute a query), then release exactly what it
+    * staged: entries registered before the block (an outer scope's
+    * pins) are left alone. */
+  def withStaged[T](body: => T): T = {
+    val q = live.get
+    val mark = q.size
+    try body finally {
+      while (q.size > mark) q.pollLast().apply()
+    }
+  }
 }

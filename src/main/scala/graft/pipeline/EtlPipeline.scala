@@ -36,42 +36,53 @@ object EtlPipeline {
   /** Run steps sequentially under the D3 mutex; returns per-step results.
     * A failing step aborts the pipeline unless marked continueOnError
     * (D5). Each step is tagged as a Spark job group for cancellation /
-    * UI attribution (D4). */
-  def run(spark: SparkSession, steps: Seq[Step]): Seq[StepResult] = lock.synchronized {
-    val results = Seq.newBuilder[StepResult]
-    var aborted = false
-    steps.foreach { step =>
-      if (!aborted || step.alwaysRun) {
-        spark.sparkContext.setJobGroup(s"etl-${step.name}", step.name,
-          interruptOnCancel = true)
-        val t0 = System.nanoTime()
-        try {
-          step.run(spark)
-          results += StepResult(step.name, ok = true, (System.nanoTime() - t0) / 1000000, None)
-        } catch {
-          case e: Exception =>
-            results += StepResult(step.name, ok = false,
-              (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
-            if (!step.continueOnError) aborted = true
-        } finally spark.sparkContext.clearJobGroup()
-      } else {
-        results += StepResult(step.name, ok = false, 0, Some("skipped: earlier step failed"))
-      }
-    }
-    results.result()
-  }
+    * UI attribution (D4). The whole run is a [[graft.ops.Staged]] scope:
+    * intermediates operators staged during any step (fallback bad-file
+    * frames, shingle tables) are released when the pipeline ends —
+    * frames a step wants to carry PAST the pipeline must use their own
+    * explicit persist (as importOnly's merged frame does). */
+  def run(spark: SparkSession, steps: Seq[Step]): Seq[StepResult] =
+    runWith(spark, steps, _ => ())
 
-  /** [[run]] with the S10 log sink attached: one entry per step result
-    * (success/error level mirrors the reference's add_log calls around
-    * each ETL step, src/main_01.py:1148-1189). */
-  def runLogged(spark: SparkSession, steps: Seq[Step], log: RunLog): Seq[StepResult] = {
-    val results = run(spark, steps)
-    results.foreach { r =>
+  /** [[run]] with the S10 log sink attached: one entry appended AS EACH
+    * STEP FINISHES (success/error level mirrors the reference's add_log
+    * calls around each ETL step, src/main_01.py:1148-1189) — so a
+    * mid-pipeline hang still leaves the completed steps' entries
+    * time-stamped at their real completion, exportable by saveTo. */
+  def runLogged(spark: SparkSession, steps: Seq[Step], log: RunLog): Seq[StepResult] =
+    runWith(spark, steps, r => {
       if (r.ok) log.add(s"${r.name} completed in ${r.durationMs} ms", "success")
       else log.add(s"${r.name} failed: ${r.error.getOrElse("unknown")}", "error")
-    }
-    results
-  }
+    })
+
+  private def runWith(spark: SparkSession, steps: Seq[Step],
+                      onResult: StepResult => Unit): Seq[StepResult] =
+    lock.synchronized { graft.ops.Staged.withStaged {
+      val results = Seq.newBuilder[StepResult]
+      var aborted = false
+      steps.foreach { step =>
+        val r =
+          if (!aborted || step.alwaysRun) {
+            spark.sparkContext.setJobGroup(s"etl-${step.name}", step.name,
+              interruptOnCancel = true)
+            val t0 = System.nanoTime()
+            try {
+              step.run(spark)
+              StepResult(step.name, ok = true, (System.nanoTime() - t0) / 1000000, None)
+            } catch {
+              case e: Exception =>
+                if (!step.continueOnError) aborted = true
+                StepResult(step.name, ok = false,
+                  (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+            } finally spark.sparkContext.clearJobGroup()
+          } else {
+            StepResult(step.name, ok = false, 0, Some("skipped: earlier step failed"))
+          }
+        results += r
+        onResult(r)
+      }
+      results.result()
+    }}
 
   /** The reference's import-only pipeline (D2,
     * reference src/main_01.py:1191-1262) as a canned two-step run:

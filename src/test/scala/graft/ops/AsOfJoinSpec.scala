@@ -66,6 +66,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bucketed.count() === left.count())
   }
 
+  test("bucketed variant matches NULL join keys like the default path (window-group semantics)") {
+    import org.apache.spark.sql.functions._
+    // window partitionBy groups NULL keys (like groupBy), so the default
+    // path matches them; the bucketed carry join must be null-safe or it
+    // silently drops the cross-bucket carry for null-key rows
+    val left = Seq((Option.empty[Long], 100L), (Some(1L), 100L)).toDF("k", "ts")
+    val right = Seq((Option.empty[Long], 10L, 5.0), (Some(1L), 10L, 7.0)).toDF("k", "ts", "v")
+    val plain = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"))
+    val bucketed = AsOfJoin.join(left, right, Seq("k"), "ts", Seq("v"),
+      timeBucket = Some(ts => floor(ts / lit(50L)))) // carry must cross buckets
+    assert(plain.exceptAll(bucketed).count() === 0 &&
+      bucketed.exceptAll(plain).count() === 0)
+    val nullKeyMatch = bucketed.filter(col("k").isNull)
+      .select("matched_v").as[Option[Double]].head()
+    assert(nullKeyMatch === Some(5.0))
+  }
+
   test("bucketed variant keeps the null-ts contracts (left row kept, right row never matches)") {
     import org.apache.spark.sql.functions._
     val left = Seq((1L, Some(10L)), (1L, Option.empty[Long])).toDF("k", "ts")

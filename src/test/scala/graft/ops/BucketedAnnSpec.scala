@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 class BucketedAnnSpec extends SparkSpec {
 
   test("lshTopK over an LSH-bucketed staging table: one fewer Exchange, output identical") {
+    val oldThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 20)
@@ -37,7 +38,10 @@ class BucketedAnnSpec extends SparkSpec {
       assert(staged.count() > 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_emb_lsh")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      oldThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
   }
 }

@@ -28,6 +28,7 @@ class BucketedDedupSpec extends SparkSpec {
   }
 
   test("incremental batch vs staged corpus: anti-join on content_hash has no Exchange on either side") {
+    val oldThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
@@ -44,7 +45,10 @@ class BucketedDedupSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_docs_seen")
       spark.sql("DROP TABLE IF EXISTS graft_docs_incoming")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      oldThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
   }
 }

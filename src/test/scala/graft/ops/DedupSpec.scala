@@ -57,6 +57,25 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 13 && out.forall(_._2 === 0L), out.toSeq.toString)
   }
 
+  test("duplicateClusters handles string ids (no numeric-sum convergence shortcut)") {
+    // the sum-based probe would throw (ANSI) or fake instant convergence
+    // (non-ANSI) on a string id; the fallback join probe must propagate
+    // a 4-node chain all the way to 'a'
+    val pairs = Seq(("b", "a"), ("b", "c"), ("c", "d")).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
+  test("duplicateClusters frees its checkpoints with the staged-release scope") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Staged.withStaged {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      Dedup.duplicateClusters(pairs, "doc_a", "doc_b").count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")

@@ -34,6 +34,25 @@ class StagedSpec extends SparkSpec {
     assert(cachedRddCount === before, "q17 staged cache must be released after the action")
   }
 
+  test("nested withStaged scopes release only their own pins") {
+    import spark.implicits._
+    Staged.releaseAll()
+    val before = cachedRddCount
+    Staged.withStaged {
+      val outer = Staged.stage((1 to 10).toDF("x"))
+      outer.count()
+      val pinned = cachedRddCount
+      Staged.withStaged {
+        Staged.stage((1 to 5).toDF("y")).count()
+        assert(cachedRddCount === pinned + 1)
+      }
+      // the inner scope must NOT have released the outer frame
+      assert(cachedRddCount === pinned)
+      assert(outer.storageLevel.useMemory, "outer pin survived the inner scope")
+    }
+    assert(cachedRddCount === before)
+  }
+
   test("withStaged releases even when the body throws") {
     val before = cachedRddCount
     intercept[RuntimeException] {
