@@ -67,6 +67,30 @@ object TextFunctions {
     )
   }
 
+  /** Repetition signals (the repeated-n-gram family of corpus quality
+    * filters): fraction of duplicate tokens and duplicate word-bigrams
+    * within the document — high values flag boilerplate / degenerate
+    * text. Pure per-row array expressions, no shuffle. Fractions are
+    * null when the doc has no tokens (resp. no bigrams): the bare
+    * division would throw under Spark 4's default ANSI mode. */
+  def repetitionStruct(text: Column): Column = {
+    val ws = tokens(text)
+    val n  = size(ws)
+    // bigrams WITHOUT dedup (unlike [[shingles]]): the duplicate count
+    // is the signal here
+    val bg = when(n >= 2,
+      transform(sequence(lit(0), n - 2), i => array_join(slice(ws, i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val nb = size(bg)
+    struct(
+      n.cast("long").as("n_tokens"),
+      round(when(n > 0,
+        lit(1.0) - size(array_distinct(ws)).cast("double") / n), 4).as("dup_token_frac"),
+      round(when(nb > 0,
+        lit(1.0) - size(array_distinct(bg)).cast("double") / nb), 4).as("dup_bigram_frac")
+    )
+  }
+
   /** Deterministic document fingerprint: md5 of a 50-char window sampled
     * every 100 chars — a cheap locality-preserving signature usable for
     * chunk-level exact dedup at scale. */

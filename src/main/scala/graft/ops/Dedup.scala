@@ -115,6 +115,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark decontamination: drop every `train` document that shares
+    * at least one n-word shingle with the `heldOut` benchmark set — the
+    * train/test-overlap filter an LLM corpus build runs before training
+    * (reference corpora document the same n-gram overlap rule; behavior
+    * only, engine is ours).
+    *
+    * Scale: the held-out side is a benchmark suite — bounded (thousands
+    * of documents) while `train` is the 100 TB side — so its distinct
+    * shingle set is BROADCAST and the contamination probe is a map-side
+    * semi-join on the streaming train shingles; hot shingles cannot skew
+    * a broadcast probe. The only shuffles left are the contaminated-id
+    * distinct (ids only, map-side combined) and the final anti-join on
+    * the id. If the held-out set ever outgrows broadcast range, drop the
+    * hint and the same plan degrades gracefully to a shuffled semi-join.
+    *
+    * Output: the clean subset of `train`, original schema. */
+  def decontaminate(idCol: String, textCol: String, n: Int)
+                   (train: DataFrame, heldOut: DataFrame): DataFrame = {
+    val heldOutShingles = heldOut
+      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    val contaminated = explodedShingles(train, idCol, textCol, n)
+      .join(broadcast(heldOutShingles), Seq("shingle"), "left_semi")
+      .select(col("doc").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** MinHash + LSH banding candidate pairs.
     * numPerms permutations via xxhash64(shingle, seed p); bands of
     * `rowsPerBand` minhashes hash to a bucket; docs colliding in any band

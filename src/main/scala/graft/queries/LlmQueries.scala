@@ -578,6 +578,55 @@ object LlmQueries {
              |    SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000) ok USING (fp))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
              |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    // Benchmark decontamination: remove training documents sharing any
+    // 3-word shingle with a held-out benchmark set (fixture: every 50th
+    // doc plays the benchmark). The held-out shingle set is broadcast —
+    // benchmarks are bounded while train is the 100 TB side — so the
+    // probe is a map-side semi-join; see Dedup.decontaminate.
+    Q("q63_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate("doc_id", "text", 3)(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |contaminated AS (SELECT DISTINCT t.doc AS doc_id FROM sh t
+             |  WHERE t.doc % 50 <> 0 AND t.shingle IN (
+             |    SELECT shingle FROM sh WHERE doc % 50 = 0))
+             |SELECT doc_id, lang, cast(n_chars AS BIGINT) AS n_chars FROM documents
+             |WHERE doc_id % 50 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin)),
+
+    // Repetition profiling: duplicate-token and duplicate-bigram
+    // fractions per document (the repeated-n-gram family of quality
+    // filters — boilerplate and degenerate text score high). Pure
+    // per-row array expressions: zero shuffle at any scale.
+    Q("q64_repetition",
+      (s, d) => {
+        val rep = TextFunctions.repetitionStruct(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          rep.getField("n_tokens").as("n_tokens"),
+          rep.getField("dup_token_frac").as("dup_token_frac"),
+          rep.getField("dup_bigram_frac").as("dup_bigram_frac"))
+      },
+      Some("""SELECT doc_id,
+             |cast(len(w) AS BIGINT) AS n_tokens,
+             |CASE WHEN len(w) > 0 THEN
+             |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) END AS dup_token_frac,
+             |CASE WHEN len(w) >= 2 THEN
+             |  round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4) END AS dup_bigram_frac
+             |FROM (SELECT doc_id, w,
+             |  list_transform(range(greatest(len(w) - 1, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2]) AS bg
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))""".stripMargin))
   )
 }

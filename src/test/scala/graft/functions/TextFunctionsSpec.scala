@@ -46,6 +46,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q._3 === 0.6)
   }
 
+  test("repetitionStruct: duplicate token/bigram fractions; null on empty/short docs") {
+    val rep = TextFunctions.repetitionStruct(col("text"))
+    val out = Seq("a a a b", "a b c", "one", "").toDF("text")
+      .select(rep.getField("n_tokens").as("n"),
+        rep.getField("dup_token_frac").as("dt"),
+        rep.getField("dup_bigram_frac").as("db"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    // "a a a b": tokens 4 distinct 2 → 0.5; bigrams [a a, a a, a b] distinct 2/3 → 0.3333
+    assert(out(0) === ((4L, Some(0.5), Some(0.3333))))
+    assert(out(1) === ((3L, Some(0.0), Some(0.0))))
+    assert(out(2) === ((1L, Some(0.0), None))) // one token: no bigrams
+    assert(out(3) === ((0L, None, None)))      // empty: no divisions at all
+  }
+
   test("simhash: per-row expression equals distributed explode/groupBy variant") {
     val docs = Seq((0L, "spark shuffles data across the cluster"),
       (1L, "spark shuffles data across the network"),

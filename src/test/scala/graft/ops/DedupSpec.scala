@@ -76,6 +76,31 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
+  test("decontaminate drops train docs sharing a shingle with the held-out set, keeps the rest") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "quick brown fox"
+      (2L, "completely unrelated clean text here"),
+      (3L, "too short"),                        // < n tokens: no shingles, never contaminated
+      (4L, "benchmark suite leaked question verbatim")) // shares full 3-gram
+      .toDF("doc_id", "text")
+    val heldOut = Seq(
+      (100L, "a quick brown fox appears"),
+      (101L, "the benchmark suite leaked question"))
+      .toDF("doc_id", "text")
+    val clean = Dedup.decontaminate("doc_id", "text", 3)(train, heldOut)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(2L, 3L))
+  }
+
+  test("decontaminate broadcasts the held-out shingle set (no shuffle on the probe)") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val heldOut = Seq((2L, "c d e f")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate("doc_id", "text", 3)(train, heldOut)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"held-out shingles must broadcast:\n$plan")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")
