@@ -67,4 +67,28 @@ object Sampling {
       }
     df.withColumn("split", assign)
   }
+
+  /** Deterministic global shuffle + round-robin shard layout — how a
+    * training run turns a corpus into dataloader shards: rows get a
+    * pseudo-random but reproducible total order (md5 of seed+id, id as
+    * tiebreak for md5-collision safety), then deal round-robin into
+    * `nShards` shards balanced to within one row; within-shard order is
+    * the shuffle order. A new `seed` is a fresh permutation (per-epoch
+    * reshuffle) with zero state kept between runs.
+    *
+    * Scale: built on the two-phase rank ([[TopK.withPosition]]) — one
+    * range shuffle plus a cluster-sized offsets join, never a
+    * single-partition window. The output feeds
+    * `repartition(shard) + sortWithinPartitions(pos)` as the physical
+    * write layout, which adds the one hash shuffle any sharded write
+    * pays. Adds `pos` (0-based global shuffle position, long) and
+    * `shard` (int). */
+  def shuffleShards(idCol: String, nShards: Int, seed: String = "")
+                   (df: DataFrame): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    TopK.withPosition(Seq(key, col(idCol)), "pos")(df)
+      .withColumn("pos", col("pos") - 1)
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
+  }
 }

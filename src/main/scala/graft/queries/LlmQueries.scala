@@ -627,6 +627,19 @@ object LlmQueries {
              |  list_transform(range(greatest(len(w) - 1, 0)),
              |    i -> w[i+1] || ' ' || w[i+2]) AS bg
              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-             |        FROM documents))""".stripMargin))
+             |        FROM documents))""".stripMargin)),
+
+    // Dataloader shard layout: deterministic global shuffle (md5 of
+    // seed+id) dealt round-robin into 4 shards — reproducible across
+    // runs/engines, reshuffled per epoch by the seed. Two-phase rank
+    // underneath: no single-partition window (PlanSpec guards it).
+    Q("q65_shuffle_shards",
+      (s, d) => Tables.documents(s, d)
+        .transform(Sampling.shuffleShards("doc_id", 4, "epoch0"))
+        .select(col("doc_id"), col("pos"), col("shard")),
+      Some("""SELECT doc_id,
+             |row_number() OVER (ORDER BY md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1 AS pos,
+             |cast((row_number() OVER (ORDER BY md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1) % 4 AS INT) AS shard
+             |FROM documents""".stripMargin))
   )
 }

@@ -74,6 +74,28 @@ class SamplingSpec extends SparkSpec {
     assert(small === large)
   }
 
+  test("shuffleShards: a permutation, balanced round-robin shards, seed reshuffles") {
+    Staged.withStaged {
+      val out = Sampling.shuffleShards("id", 3, "epoch0")(ids.select("id"))
+        .select("id", "pos", "shard").as[(Long, Long, Int)].collect()
+      // pos is exactly 0..n-1 (a permutation), shard = pos mod 3
+      assert(out.map(_._2).sorted.toSeq === (0L until 2000L))
+      assert(out.forall { case (_, p, s) => s === (p % 3).toInt })
+      // round-robin deals shards balanced to within one row
+      val sizes = out.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, sizes.toString)
+      // reproducible: a second run is byte-identical
+      val again = Sampling.shuffleShards("id", 3, "epoch0")(ids.select("id"))
+        .select("id", "pos", "shard").as[(Long, Long, Int)].collect()
+      assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+      // a new seed is a genuinely different permutation
+      val epoch1 = Sampling.shuffleShards("id", 3, "epoch1")(ids.select("id"))
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      val same = out.count { case (id, p, _) => epoch1(id) == p }
+      assert(same < out.length / 10, s"$same of ${out.length} positions unchanged")
+    }
+  }
+
   test("the sample filter pushes down to the scan (no shuffle, no exchange)") {
     val plan = Sampling.stratifiedByHash(ids, "id", "stratum", Map("a" -> 0.5), 0.125)
       .queryExecution.executedPlan.toString

@@ -96,6 +96,10 @@ class PlanSpec extends SparkSpec {
     assert(emptyPartitionWindows("q50_ann_recall").isEmpty)
   }
 
+  test("q65 shard layout: two-phase rank, no single-partition window") {
+    assert(emptyPartitionWindows("q65_shuffle_shards").isEmpty)
+  }
+
   test("q53 TF-IDF: vocabulary join is stats-driven, never hint-forced broadcast") {
     // dfreq (one row per distinct term) is unbounded on a web corpus — a
     // broadcast HINT would pin an executor-OOM plan at scale. With auto-
