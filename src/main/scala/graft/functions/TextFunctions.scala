@@ -67,20 +67,35 @@ object TextFunctions {
     )
   }
 
+  /** Word bigrams WITHOUT dedup (unlike [[shingles]]) — the duplicate
+    * count is the whole signal for [[repetitionStruct]]. */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2), i => array_join(slice(ws, i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Repetition signals (the repeated-n-gram family of corpus quality
     * filters): fraction of duplicate tokens and duplicate word-bigrams
     * within the document — high values flag boilerplate / degenerate
     * text. Pure per-row array expressions, no shuffle. Fractions are
     * null when the doc has no tokens (resp. no bigrams): the bare
-    * division would throw under Spark 4's default ANSI mode. */
+    * division would throw under Spark 4's default ANSI mode.
+    *
+    * Convenience form — it re-derives the token and bigram arrays per
+    * extracted field (interpreted lambdas, no CSE: same rule as
+    * [[langIdFromTokens]]). On a hot scan, materialize `tokens(text)`
+    * and [[bigrams]] as their own columns first and use
+    * [[repetitionStructFromArrays]]. */
   def repetitionStruct(text: Column): Column = {
     val ws = tokens(text)
+    repetitionStructFromArrays(ws, bigrams(ws))
+  }
+
+  /** [[repetitionStruct]] over pre-materialized token/bigram array
+    * columns: every field reads plain attributes, so the expensive
+    * tokenize/bigram lambdas run exactly once per row. */
+  def repetitionStructFromArrays(ws: Column, bg: Column): Column = {
     val n  = size(ws)
-    // bigrams WITHOUT dedup (unlike [[shingles]]): the duplicate count
-    // is the signal here
-    val bg = when(n >= 2,
-      transform(sequence(lit(0), n - 2), i => array_join(slice(ws, i + 1, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
     val nb = size(bg)
     struct(
       n.cast("long").as("n_tokens"),

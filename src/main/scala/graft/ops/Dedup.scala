@@ -125,16 +125,18 @@ object Dedup {
     * of documents) while `train` is the 100 TB side — so its distinct
     * shingle set is BROADCAST and the contamination probe is a map-side
     * semi-join on the streaming train shingles; hot shingles cannot skew
-    * a broadcast probe. The only shuffles left are the contaminated-id
-    * distinct (ids only, map-side combined) and the final anti-join on
-    * the id. If the held-out set ever outgrows broadcast range, drop the
-    * hint and the same plan degrades gracefully to a shuffled semi-join.
+    * a broadcast probe. Shuffles: the held-out shingle distinct (bounded
+    * by the benchmark side), the contaminated-id distinct (ids only,
+    * map-side combined), and the final anti-join on the id — nothing
+    * train-sized ever moves. If the held-out set ever outgrows broadcast
+    * range, drop the hint and the same plan degrades gracefully to a
+    * shuffled semi-join.
     *
     * Output: the clean subset of `train`, original schema. */
   def decontaminate(idCol: String, textCol: String, n: Int)
                    (train: DataFrame, heldOut: DataFrame): DataFrame = {
-    val heldOutShingles = heldOut
-      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    val heldOutShingles = explodedShingles(heldOut, idCol, textCol, n)
+      .select("shingle").distinct()
     val contaminated = explodedShingles(train, idCol, textCol, n)
       .join(broadcast(heldOutShingles), Seq("shingle"), "left_semi")
       .select(col("doc").as(idCol)).distinct()
@@ -205,6 +207,17 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("sim"))
   }
 
+  /** Free a localCheckpoint's blocks through its RDD handle —
+    * `Dataset.unpersist` goes through the CacheManager and cannot reach
+    * them. The blocks are NOT recomputable: only superseded frames that
+    * nothing will read again may be freed. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Connected components over an undirected near-dup pair list —
     * the clustering step between pair generation (Jaccard/MinHash/LSH)
     * and representative selection: every document in a duplicate
@@ -223,9 +236,11 @@ object Dedup {
     * than the rounds it saves on small-diameter dup graphs (sf0.1:
     * 7.4 s → 9.7 s) — so it is deliberately absent; it becomes the
     * right trade only on long-chain graphs at web scale. The loop
-    * stops early on a converged round: label sums are strictly
-    * decreasing until fixpoint, so the probe is an aggregate over the
-    * checkpointed frame, far cheaper than a changed-rows join;
+    * stops early on a converged round: for NUMERIC ids label sums are
+    * strictly decreasing until fixpoint, so the probe is an aggregate
+    * over the checkpointed frame, far cheaper than a changed-rows
+    * join; non-numeric ids (string/UUID docs) have no overflow-safe
+    * monotone aggregate and fall back to the changed-rows join probe;
     * `maxIter` bounds the pathological case. Each round's labels are
     * `localCheckpoint`ed: iterating on raw DataFrames nests every
     * previous round's plan inside the next (persist skips recompute but
@@ -238,17 +253,6 @@ object Dedup {
     * Output: (doc, cluster) — one row per distinct node appearing in
     * `pairs`, cluster = min doc id reachable through the pair graph.
     */
-  /** Free a localCheckpoint's blocks through its RDD handle —
-    * `Dataset.unpersist` goes through the CacheManager and cannot reach
-    * them. The blocks are NOT recomputable: only superseded frames that
-    * nothing will read again may be freed. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ =>
-    }
-
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 20): DataFrame = {
     val edges = Staged.stage(

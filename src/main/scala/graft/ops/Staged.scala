@@ -37,6 +37,18 @@ object Staged {
     override def initialValue(): java.util.ArrayDeque[() => Unit] =
       new java.util.ArrayDeque[() => Unit]()
   }
+  // innermost enclosing withStaged mark (0 = no scope): releaseAll must
+  // never reach past it — an operator or Step calling releaseAll inside
+  // a pipeline scope would otherwise free the OUTER scope's pins
+  // (including non-recomputable checkpoint blocks a later step reads)
+  private val floor = new ThreadLocal[java.util.ArrayDeque[Integer]] {
+    override def initialValue(): java.util.ArrayDeque[Integer] =
+      new java.util.ArrayDeque[Integer]()
+  }
+  private def currentFloor: Int = {
+    val f = floor.get.peekLast()
+    if (f == null) 0 else f.intValue()
+  }
 
   /** Persist `df` at MEMORY_AND_DISK (spill-safe) and register it for
     * release at the end of the enclosing [[withStaged]] scope (or the
@@ -52,20 +64,25 @@ object Staged {
     * `Dataset.unpersist` cannot reach). */
   def registerRelease(release: () => Unit): Unit = live.get.addLast(release)
 
-  /** Release every pin registered on THIS thread, oldest first. */
+  /** Release every pin registered on THIS thread since the innermost
+    * enclosing [[withStaged]] scope opened (all of them when no scope is
+    * active), newest first. Outer scopes' pins are never touched. */
   def releaseAll(): Unit = {
     val q = live.get
-    var f = q.pollFirst()
-    while (f != null) { f(); f = q.pollFirst() }
+    val stop = currentFloor
+    while (q.size > stop) q.pollLast().apply()
   }
 
   /** Run `body` (build + execute a query), then release exactly what it
     * staged: entries registered before the block (an outer scope's
-    * pins) are left alone. */
+    * pins) are left alone, and a [[releaseAll]] issued INSIDE the block
+    * drains only the block's own pins. */
   def withStaged[T](body: => T): T = {
     val q = live.get
     val mark = q.size
+    floor.get.addLast(Integer.valueOf(mark))
     try body finally {
+      floor.get.pollLast()
       while (q.size > mark) q.pollLast().apply()
     }
   }

@@ -607,15 +607,20 @@ object LlmQueries {
     // Repetition profiling: duplicate-token and duplicate-bigram
     // fractions per document (the repeated-n-gram family of quality
     // filters — boilerplate and degenerate text score high). Pure
-    // per-row array expressions: zero shuffle at any scale.
+    // per-row array expressions: zero shuffle at any scale. Token and
+    // bigram arrays are hoisted into their own projections so the
+    // interpreted lambdas run once per row (no CSE — q62's rule).
     Q("q64_repetition",
       (s, d) => {
-        val rep = TextFunctions.repetitionStruct(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          rep.getField("n_tokens").as("n_tokens"),
-          rep.getField("dup_token_frac").as("dup_token_frac"),
-          rep.getField("dup_bigram_frac").as("dup_bigram_frac"))
+        val rep = TextFunctions.repetitionStructFromArrays(col("__w"), col("__bg"))
+        Tables.documents(s, d)
+          .withColumn("__w", TextFunctions.tokens(col("text")))
+          .withColumn("__bg", TextFunctions.bigrams(col("__w")))
+          .select(
+            col("doc_id"),
+            rep.getField("n_tokens").as("n_tokens"),
+            rep.getField("dup_token_frac").as("dup_token_frac"),
+            rep.getField("dup_bigram_frac").as("dup_bigram_frac"))
       },
       Some("""SELECT doc_id,
              |cast(len(w) AS BIGINT) AS n_tokens,

@@ -60,6 +60,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3) === ((0L, None, None)))      // empty: no divisions at all
   }
 
+  test("repetitionStructFromArrays over hoisted columns equals repetitionStruct") {
+    val docs = Seq("a a a b", "a b c", "one", "", "x y x y x").toDF("text")
+    val conv = docs.select(TextFunctions.repetitionStruct(col("text")).as("r"))
+    val hoisted = docs
+      .withColumn("__w", TextFunctions.tokens(col("text")))
+      .withColumn("__bg", TextFunctions.bigrams(col("__w")))
+      .select(TextFunctions.repetitionStructFromArrays(col("__w"), col("__bg")).as("r"))
+    assert(conv.exceptAll(hoisted).count() === 0 && hoisted.exceptAll(conv).count() === 0)
+  }
+
   test("simhash: per-row expression equals distributed explode/groupBy variant") {
     val docs = Seq((0L, "spark shuffles data across the cluster"),
       (1L, "spark shuffles data across the network"),

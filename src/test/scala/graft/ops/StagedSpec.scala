@@ -53,6 +53,25 @@ class StagedSpec extends SparkSpec {
     assert(cachedRddCount === before)
   }
 
+  test("releaseAll inside a withStaged scope drains only that scope's own pins") {
+    import spark.implicits._
+    Staged.releaseAll()
+    val before = cachedRddCount
+    Staged.withStaged {
+      val outer = Staged.stage((1 to 10).toDF("x"))
+      outer.count()
+      Staged.withStaged {
+        Staged.stage((1 to 5).toDF("y")).count()
+        Staged.releaseAll() // a Step's own per-query release (documented API)
+        assert(cachedRddCount === before + 1, "inner pin dropped, outer kept")
+      }
+      // the outer pin must have survived the inner releaseAll AND the
+      // inner scope exit, and still be releasable by this scope
+      assert(outer.storageLevel.useMemory, "outer pin must survive an inner releaseAll")
+    }
+    assert(cachedRddCount === before)
+  }
+
   test("withStaged releases even when the body throws") {
     val before = cachedRddCount
     intercept[RuntimeException] {
