@@ -143,6 +143,32 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Corpus snapshot diff: classify every document as added / removed /
+    * changed between two ingests — the primitive an incremental corpus
+    * pipeline runs to re-process only what moved instead of rebuilding
+    * 100 TB from scratch (changed+added feed the dedup/quality stages;
+    * removed feeds tombstones).
+    *
+    * Plan: contents collapse to md5 fingerprints in a scan-level
+    * projection, then ONE full-outer equi-join on the id — both sides
+    * shuffle once on the key they would shuffle on anyway; unchanged
+    * documents (the overwhelming majority between consecutive
+    * snapshots) are filtered out before anything downstream runs.
+    *
+    * Output: (idCol, status ∈ added|removed|changed). */
+  def snapshotDiff(idCol: String, textCol: String)
+                  (oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("__h_old"))
+    val nw = newSnap.select(col(idCol), md5(col(textCol)).as("__h_new"))
+    o.join(nw, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** MinHash + LSH banding candidate pairs.
     * numPerms permutations via xxhash64(shingle, seed p); bands of
     * `rowsPerBand` minhashes hash to a bucket; docs colliding in any band

@@ -645,6 +645,32 @@ object LlmQueries {
       Some("""SELECT doc_id,
              |row_number() OVER (ORDER BY md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1 AS pos,
              |cast((row_number() OVER (ORDER BY md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1) % 4 AS INT) AS shard
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Corpus snapshot diff: added/removed/changed between two ingests —
+    // the incremental-reprocessing primitive. Fixture snapshots derive
+    // deterministically from the one corpus: the "old" ingest is missing
+    // every 10th doc (those become added), the "new" ingest drops every
+    // 9th (removed) and rewrites every 7th's content (changed).
+    Q("q66_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(lit("v2 "), col("text")))
+              .otherwise(col("text")))
+        Dedup.snapshotDiff("doc_id", "text")(oldSnap, newSnap)
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+             |n AS (SELECT doc_id,
+             |  md5(CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 9 <> 0)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN o.h <> n.h THEN 'changed' END AS status
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)""".stripMargin))
   )
 }

@@ -101,6 +101,14 @@ class DedupSpec extends SparkSpec {
       s"held-out shingles must broadcast:\n$plan")
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff("doc_id", "text")(oldSnap, newSnap)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")
