@@ -68,6 +68,67 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Uniform [0,1) hash fraction from the first 16 bits of md5 of the id
+    * rendered as a string — the finer-grained (1/65536) numeric twin of
+    * [[hashBucket]], portable to any engine that parses hex (DuckDB:
+    * `('0x' || substr(md5(x), 1, 4))::BIGINT / 65536.0`). */
+  def hashFraction(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+
+  /** Mixture building, step 1: sample each source down to a WEIGHT
+    * budget (tokens, chars, bytes — any additive column). The per-source
+    * keep rate is min(1, budget / total_weight); rows keep or drop by
+    * [[hashFraction]] of their id, so the sample is deterministic,
+    * replayable, and NESTED across budget changes (raising a budget only
+    * adds rows). Sources without a budget are kept in full.
+    *
+    * Scale: one tiny per-source aggregate (rows = #sources) broadcast
+    * back; the keep decision is then a scan-level filter — no shuffle of
+    * the corpus itself. Budgets are hit in expectation (hash sampling),
+    * which is how mixture specs are stated at corpus scale. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
+                        weightCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    val totals = df.groupBy(sourceCol).agg(sum(col(weightCol)).as("__total"))
+    val budget = budgets.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b.toDouble)).otherwise(acc)
+    }
+    df.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__rate", when(budget.isNull, lit(1.0))
+        .otherwise(least(lit(1.0), budget / col("__total"))))
+      .filter(hashFraction(col(idCol)) < col("__rate"))
+      .drop("__total", "__rate")
+  }
+
+  /** Mixture building, step 2: deterministic fractional upsampling —
+    * repeat each row per its source's epoch factor (e.g. 2.5 = every row
+    * twice, half the rows a third time). The fractional copy is decided
+    * by [[hashFraction]] of a salted id (independent of any sampling
+    * decision on the same id), so the blow-up is exact in expectation
+    * and replayable row-by-row. Factors below 1 downsample (0 copies for
+    * the unlucky fraction). Adds `rep` (0-based copy index, long) so
+    * (id, rep) stays a key for downstream shuffling/sharding.
+    *
+    * Scale: a per-row explode of at most ceil(factor) elements — no
+    * shuffle; the output size is the mixture's intended token count. */
+  def repeatByFactor(df: DataFrame, idCol: String, sourceCol: String,
+                     factors: Map[String, Double],
+                     defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0.0),
+      "repeat factors must be non-negative")
+    val f = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (s, x)) => when(col(sourceCol) === s, lit(x)).otherwise(acc)
+    }
+    val base = floor(f).cast("long")
+    val extra = (hashFraction(concat(lit("rep:"), col(idCol).cast("string")))
+      < (f - floor(f))).cast("long")
+    df.withColumn("__n", base + extra)
+      .filter(col("__n") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

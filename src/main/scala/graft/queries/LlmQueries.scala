@@ -671,6 +671,43 @@ object LlmQueries {
              |       WHEN n.doc_id IS NULL THEN 'removed'
              |       WHEN o.h <> n.h THEN 'changed' END AS status
              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-             |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)""".stripMargin))
+             |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)""".stripMargin)),
+
+    // Mixture building 1/2: sample each source down to a char budget —
+    // keep rate min(1, budget/total) per source, decided per row by the
+    // 16-bit md5 hash fraction (deterministic, nested across budget
+    // changes). src0/src1 get tight budgets (partial keep), src2 an
+    // ample one (keep-all), unlisted sources keep everything.
+    Q("q67_token_budget_mix",
+      (s, d) => Sampling.tokenBudgetSample(
+          Tables.documents(s, d), "doc_id", "source", "n_chars",
+          Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 10000000L))
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars")),
+      Some("""WITH tot AS (SELECT source, sum(n_chars) AS total FROM documents GROUP BY source)
+             |SELECT d.doc_id, d.source, cast(d.n_chars AS BIGINT) AS n_chars
+             |FROM documents d JOIN tot USING (source)
+             |WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0 <
+             |  CASE d.source
+             |    WHEN 'src0' THEN least(1.0, 3000.0 / total)
+             |    WHEN 'src1' THEN least(1.0, 2000.0 / total)
+             |    WHEN 'src2' THEN least(1.0, 10000000.0 / total)
+             |    ELSE 1.0 END""".stripMargin)),
+
+    // Mixture building 2/2: deterministic fractional upsampling — src0
+    // runs 2.5 epochs (all rows twice, a hash-chosen half a third time),
+    // src1 half an epoch (hash-chosen half once), everything else 1.
+    Q("q68_epoch_repeat",
+      (s, d) => Sampling.repeatByFactor(
+          Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5))
+        .select(col("doc_id"), col("source"), col("rep")),
+      Some("""WITH f AS (SELECT doc_id, source,
+             |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS fac
+             |  FROM documents),
+             |e AS (SELECT doc_id, source,
+             |  cast(floor(fac) AS BIGINT) +
+             |  (CASE WHEN ('0x' || substr(md5('rep:' || cast(doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0
+             |        < fac - floor(fac) THEN 1 ELSE 0 END) AS n FROM f)
+             |SELECT doc_id, source, unnest(range(n)) AS rep FROM e WHERE n > 0""".stripMargin))
   )
 }

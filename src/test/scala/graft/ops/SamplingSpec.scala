@@ -96,6 +96,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: budgets hit in expectation, keep-all elsewhere, nested") {
+    val docs = ids.withColumn("source",
+        when(col("id") < 1000, "capped").otherwise("free"))
+      .withColumn("w", lit(10L))
+    // capped: 1000 rows x 10 = 10000 total, budget 2500 -> rate 0.25
+    val out = Sampling.tokenBudgetSample(docs, "id", "source", "w",
+      Map("capped" -> 2500L))
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("free") === 1000L) // unlisted source keeps everything
+    assert(math.abs(kept("capped") - 250L) < 60, kept.toString)
+    // nested: a tighter budget selects a subset of the looser budget
+    val tight = Sampling.tokenBudgetSample(docs, "id", "source", "w",
+      Map("capped" -> 1000L)).select("id").as[Long].collect().toSet
+    val loose = out.select("id").as[Long].collect().toSet
+    assert(tight.subsetOf(loose))
+  }
+
+  test("repeatByFactor: fractional epochs in expectation, rep is a copy index") {
+    val docs = ids.withColumn("source",
+      when(col("id") < 1000, "up").otherwise("down"))
+    val out = Sampling.repeatByFactor(docs, "id", "source",
+        Map("up" -> 2.5, "down" -> 0.5))
+      .select("id", "source", "rep").as[(Long, String, Long)].collect()
+    val up = out.filter(_._2 == "up")
+    val down = out.filter(_._2 == "down")
+    // up: 1000 ids -> ~2500 rows, every id at least twice, rep in 0..n-1
+    assert(math.abs(up.length - 2500) < 150, up.length.toString)
+    val byId = up.groupBy(_._1).values
+    assert(byId.forall(rs => rs.map(_._3).sorted.toSeq == (0L until rs.size)))
+    assert(byId.forall(rs => rs.size == 2 || rs.size == 3))
+    // down: ~500 of 1000 ids survive, exactly once
+    assert(math.abs(down.length - 500) < 120, down.length.toString)
+    assert(down.groupBy(_._1).values.forall(_.size == 1))
+    // deterministic: a second run is identical
+    val again = Sampling.repeatByFactor(docs, "id", "source",
+        Map("up" -> 2.5, "down" -> 0.5))
+      .select("id", "source", "rep").as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("the sample filter pushes down to the scan (no shuffle, no exchange)") {
     val plan = Sampling.stratifiedByHash(ids, "id", "stratum", Map("a" -> 0.5), 0.125)
       .queryExecution.executedPlan.toString
