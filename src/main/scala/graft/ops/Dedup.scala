@@ -158,13 +158,20 @@ object Dedup {
     * Output: (idCol, status ∈ added|removed|changed). */
   def snapshotDiff(idCol: String, textCol: String)
                   (oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("__h_old"))
-    val nw = newSnap.select(col(idCol), md5(col(textCol)).as("__h_new"))
+    // presence is an explicit marker, NOT hash nullness: md5(NULL) is
+    // NULL, so inferring presence from the hash would misread a
+    // null-text row as an absent one (added/removed flips)
+    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("__h_old"),
+      lit(true).as("__in_old"))
+    val nw = newSnap.select(col(idCol), md5(col(textCol)).as("__h_new"),
+      lit(true).as("__in_new"))
     o.join(nw, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__h_old").isNull, "added")
-          .when(col("__h_new").isNull, "removed")
-          .when(col("__h_old") =!= col("__h_new"), "changed"))
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          // null-safe inequality: a null-text side only counts as
+          // changed against a non-null side, never against itself
+          .when(!(col("__h_old") <=> col("__h_new")), "changed"))
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }

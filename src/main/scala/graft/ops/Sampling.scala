@@ -77,11 +77,17 @@ object Sampling {
       .cast("double") / 65536.0
 
   /** Mixture building, step 1: sample each source down to a WEIGHT
-    * budget (tokens, chars, bytes — any additive column). The per-source
-    * keep rate is min(1, budget / total_weight); rows keep or drop by
-    * [[hashFraction]] of their id, so the sample is deterministic,
+    * budget (tokens, chars, bytes — any additive column; null weights
+    * count as 0). The per-source keep rate is min(1, budget /
+    * total_weight); rows keep or drop by a SALTED [[hashFraction]] of
+    * their id — the salt decorrelates this decision from
+    * [[splitByHash]]/[[stratifiedByHash]] on the same id (which read the
+    * unsalted hash; composing with them unsalted would bias the kept
+    * fraction by the upstream keep rate). The sample stays deterministic,
     * replayable, and NESTED across budget changes (raising a budget only
-    * adds rows). Sources without a budget are kept in full.
+    * adds rows). Sources without a budget — including a null source —
+    * are kept in full; a source whose total weight is 0 has nothing to
+    * budget and is kept in full too.
     *
     * Scale: one tiny per-source aggregate (rows = #sources) broadcast
     * back; the keep decision is then a scan-level filter — no shuffle of
@@ -90,14 +96,18 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
                         weightCol: String,
                         budgets: Map[String, Long]): DataFrame = {
-    val totals = df.groupBy(sourceCol).agg(sum(col(weightCol)).as("__total"))
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(coalesce(col(weightCol), lit(0L))).as("__total"))
     val budget = budgets.foldLeft(lit(null).cast("double")) {
       case (acc, (s, b)) => when(col(sourceCol) === s, lit(b.toDouble)).otherwise(acc)
     }
-    df.join(broadcast(totals), Seq(sourceCol))
-      .withColumn("__rate", when(budget.isNull, lit(1.0))
+    // left join: a null source never equi-matches its totals row — it
+    // must still flow through (budget is null there → rate 1.0)
+    df.join(broadcast(totals), Seq(sourceCol), "left")
+      .withColumn("__rate", when(budget.isNull || !(col("__total") > 0), lit(1.0))
         .otherwise(least(lit(1.0), budget / col("__total"))))
-      .filter(hashFraction(col(idCol)) < col("__rate"))
+      .filter(hashFraction(concat(lit("budget:"), col(idCol).cast("string")))
+        < col("__rate"))
       .drop("__total", "__rate")
   }
 

@@ -686,7 +686,7 @@ object LlmQueries {
       Some("""WITH tot AS (SELECT source, sum(n_chars) AS total FROM documents GROUP BY source)
              |SELECT d.doc_id, d.source, cast(d.n_chars AS BIGINT) AS n_chars
              |FROM documents d JOIN tot USING (source)
-             |WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0 <
+             |WHERE ('0x' || substr(md5('budget:' || cast(d.doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0 <
              |  CASE d.source
              |    WHEN 'src0' THEN least(1.0, 3000.0 / total)
              |    WHEN 'src1' THEN least(1.0, 2000.0 / total)

@@ -109,6 +109,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("snapshotDiff: null texts classify by presence, not hash nullness") {
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("x"))).toDF("doc_id", "text")
+    val newSnap = Seq((2L, Option("now set")), (3L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff("doc_id", "text")(oldSnap, newSnap)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 2L -> "changed",
+      3L -> "changed", 4L -> "added"))
+    // null text on BOTH sides is unchanged, not a phantom diff
+    val same = Dedup.snapshotDiff("doc_id", "text")(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"),
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    assert(same.isEmpty)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val out = Dedup.exact("doc_id", "text")(docs)
       .orderBy("keep_id").select("keep_id", "n_dupes")

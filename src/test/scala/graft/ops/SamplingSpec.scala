@@ -113,6 +113,23 @@ class SamplingSpec extends SparkSpec {
     assert(tight.subsetOf(loose))
   }
 
+  test("tokenBudgetSample: null sources kept in full, null weights count as zero") {
+    val docs = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("a"), Option.empty[Long]),
+      (3L, Option.empty[String], Option(10L)), (4L, Option.empty[String], Option.empty[Long]))
+      .toDF("id", "source", "w")
+    // null-source rows have no budget -> rate 1.0, never dropped by the join
+    val out = Sampling.tokenBudgetSample(docs, "id", "source", "w", Map("a" -> 10L))
+    assert(out.filter(col("source").isNull).count() === 2)
+    assert(out.count() === 4) // budget 10 covers a's non-null total of 10
+    // a budgeted source whose weights are ALL null: total 0 -> nothing to
+    // budget, keep in full (and no divide-by-zero path)
+    val allNull = Seq((1L, "z", Option.empty[Long]), (2L, "z", Option.empty[Long]))
+      .toDF("id", "source", "w")
+    assert(Sampling.tokenBudgetSample(allNull, "id", "source", "w", Map("z" -> 5L))
+      .count() === 2)
+  }
+
   test("repeatByFactor: fractional epochs in expectation, rep is a copy index") {
     val docs = ids.withColumn("source",
       when(col("id") < 1000, "up").otherwise("down"))
