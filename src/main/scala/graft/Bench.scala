@@ -38,9 +38,14 @@ object Bench {
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val iters = math.max(sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt, 1)
+    // optional comma-separated name-prefix filter for targeted local
+    // measurement (the per-round driver run leaves it unset = all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       val runs = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         // withStaged: each iteration builds fresh plans, so each must
@@ -63,14 +68,19 @@ object Bench {
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ")
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal timings: millisecond precision is already below box
+    // noise, and the shorter line keeps the driver's capture window
+    // from truncating the tail (round-4 BENCH lost q01–q06 to a
+    // 17-digit-double line)
+    def f3(v: Double) = f"$v%.3f"
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"load_before":$loadBefore,"load_after":$loadAfter,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","iters":$iters,"load_before":${f3(loadBefore)},"load_after":${f3(loadAfter)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

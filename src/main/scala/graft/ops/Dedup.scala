@@ -268,74 +268,106 @@ object Dedup {
     * MEASURED SLOWER here — the extra self-join per round costs more
     * than the rounds it saves on small-diameter dup graphs (sf0.1:
     * 7.4 s → 9.7 s) — so it is deliberately absent; it becomes the
-    * right trade only on long-chain graphs at web scale. The loop
-    * stops early on a converged round: for NUMERIC ids label sums are
-    * strictly decreasing until fixpoint, so the probe is an aggregate
-    * over the checkpointed frame, far cheaper than a changed-rows
-    * join; non-numeric ids (string/UUID docs) have no overflow-safe
-    * monotone aggregate and fall back to the changed-rows join probe;
-    * `maxIter` bounds the pathological case. Each round's labels are
-    * `localCheckpoint`ed: iterating on raw DataFrames nests every
-    * previous round's plan inside the next (persist skips recompute but
-    * does NOT truncate the logical plan — 12 rounds OOM'd the driver
-    * just RENDERING the plan string), while the checkpoint replaces the
-    * lineage with the materialized partitions. At cluster scale swap in
-    * reliable `checkpoint` (HDFS dir) for executor-loss fault tolerance
-    * — same one-line shape, same plan truncation.
+    * right trade only on long-chain graphs at web scale.
+    *
+    * The loop stops early on a converged round, and the convergence
+    * probe costs ZERO extra jobs: the propagation aggregation carries
+    * each node's previous label alongside the new min (the self row is
+    * tagged before the union, so `min(when(self, cluster))` recovers it
+    * — no extra join), and a changed-row count over the two is collected
+    * as an `observe()` metric DURING the round's own checkpoint job.
+    * One job per round, works for any id type — the previous
+    * numeric-sum shortcut needed a second aggregate action per round
+    * and a decimal cast that could round fractional ids into a false
+    * early convergence. `maxIter` bounds the pathological case.
+    * Batching two propagation steps per checkpoint (fewer driver
+    * round-trips) is deliberately absent: the unmaterialized first step
+    * feeds BOTH branches of the second step's union, so it either
+    * recomputes per branch or needs its own pin — trading
+    * data-proportional work for job count, the wrong direction at
+    * cluster scale now that each round is already a single job.
+    *
+    * Each round's labels are checkpointed: iterating on raw DataFrames
+    * nests every previous round's plan inside the next (persist skips
+    * recompute but does NOT truncate the logical plan — 12 rounds OOM'd
+    * the driver just RENDERING the plan string), while the checkpoint
+    * replaces the lineage with the materialized partitions. By default
+    * the checkpoint is `localCheckpoint` (executor-local blocks, no
+    * extra I/O — right for single-app runs where an executor loss fails
+    * the job anyway); pass `checkpointDir` to use reliable `checkpoint`
+    * instead, which writes each round to the (HDFS-visible) directory so
+    * a multi-hour 100 TB clustering survives executor loss. Superseded
+    * rounds are freed either way — block-level unpersist locally,
+    * file deletion on the reliable path — bounding live storage to two
+    * label tables at any instant.
     *
     * Output: (doc, cluster) — one row per distinct node appearing in
     * `pairs`, cluster = min doc id reachable through the pair graph.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 20,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def free(df: DataFrame): Unit =
+      if (reliable) deleteCheckpointFiles(df) else freeCheckpoint(df)
     val edges = Staged.stage(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
         .distinct())
-    // convergence probe, by id type: labels only ever DECREASE
-    // (min-propagation is monotone per row), so for numeric ids the
-    // label sum strictly drops until the fixpoint — an aggregate over
-    // the checkpointed frame. Non-numeric ids (string/UUID docs) have
-    // no overflow-safe monotone aggregate, so they fall back to the
-    // changed-rows join probe; the cast-based sum would throw under
-    // ANSI (or silently null out and fake instant convergence without).
-    val numericIds =
-      pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def labelSum(d: DataFrame): java.math.BigDecimal = Option(
-      d.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0))
-      .getOrElse(java.math.BigDecimal.ZERO)
-    var labels = edges.select(col("u").as("doc"), col("u").as("cluster"))
-      .distinct().localCheckpoint()
-    var prevSum = if (numericIds) labelSum(labels) else null
+    var labels = materialize(
+      edges.select(col("u").as("doc"), col("u").as("cluster")).distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = labels.unionByName(
+      // every node's self row is in the union (labels covers all nodes),
+      // so min(when(__self, ...)) is exactly the previous label — the
+      // changed-row count falls out of the same hash aggregate
+      val prop = labels.withColumn("__self", lit(true))
+        .unionByName(
           edges.join(labels.withColumnRenamed("doc", "v"), "v")
-            .select(col("u").as("doc"), col("cluster")))
-        .groupBy("doc").agg(min("cluster").as("cluster"))
-        .localCheckpoint() // eager: next is self-contained after this
-      if (numericIds) {
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-      } else {
-        converged = next.join(labels.withColumnRenamed("cluster", "__prev"), "doc")
-          .filter(col("cluster") =!= col("__prev")).isEmpty
-      }
+            .select(col("u").as("doc"), col("cluster"))
+            .withColumn("__self", lit(false)))
+        .groupBy("doc").agg(
+          min("cluster").as("cluster"),
+          min(when(col("__self"), col("cluster"))).as("__prev"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = materialize(
+        prop.observe(obs, coalesce(
+            sum(when(col("cluster") =!= col("__prev"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+          .select("doc", "cluster"))
+      // the eager checkpoint IS the observed action — obs.get returns
+      // without scheduling anything
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       // the superseded round is unreachable from `next` (already
-      // materialized) — free its blocks instead of waiting for GC,
-      // bounding pinned storage to 2 label tables at any instant
-      freeCheckpoint(labels)
+      // materialized) — free it instead of waiting for GC
+      free(labels)
       labels = next
       i += 1
     }
     // the final table stays pinned for the caller's action; release
     // with the query like every other staged intermediate
     val result = labels
-    Staged.registerRelease(() => freeCheckpoint(result))
+    Staged.registerRelease(() => free(result))
     result
   }
+
+  /** Delete a reliable checkpoint's files once the round it fed is
+    * materialized — the reliable-path twin of [[freeCheckpoint]]. */
+  private def deleteCheckpointFiles(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+      case _ =>
+    }
 
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3)
                   (df: DataFrame): DataFrame = {

@@ -57,14 +57,49 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 13 && out.forall(_._2 === 0L), out.toSeq.toString)
   }
 
-  test("duplicateClusters handles string ids (no numeric-sum convergence shortcut)") {
-    // the sum-based probe would throw (ANSI) or fake instant convergence
-    // (non-ANSI) on a string id; the fallback join probe must propagate
-    // a 4-node chain all the way to 'a'
+  test("duplicateClusters handles string ids (type-agnostic convergence probe)") {
+    // the observed changed-row count works on any orderable id type;
+    // a 4-node chain must propagate all the way to 'a'
     val pairs = Seq(("b", "a"), ("b", "c"), ("c", "d")).toDF("doc_a", "doc_b")
     val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
       .as[(String, String)].collect().toMap
     assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
+  test("duplicateClusters handles fractional ids without false early convergence") {
+    // round-4 advice: a decimal(38,0)-cast sum probe could round a changed
+    // fractional label back onto the previous sum and stop early; the
+    // changed-row probe compares labels exactly, so a double-id chain
+    // whose labels differ only in the fraction still converges correctly
+    val pairs = Seq((2.4, 2.1), (2.4, 2.7), (2.7, 3.1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .as[(Double, Double)].collect().toMap
+    assert(out === Map(2.1 -> 2.1, 2.4 -> 2.1, 2.7 -> 2.1, 3.1 -> 2.1))
+  }
+
+  test("duplicateClusters reliable-checkpoint path matches the default and cleans its files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val expected = Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val out = Staged.withStaged {
+      val r = Dedup.duplicateClusters(pairs, "doc_a", "doc_b",
+        checkpointDir = Some(dir)).as[(Long, Long)].collect().toSet
+      // while the result is live, exactly one round's files remain
+      assert(countFiles(dir) > 0)
+      r
+    }
+    assert(out === expected)
+    // the staged-release scope deleted the final round's checkpoint too
+    assert(countFiles(dir) === 0)
+  }
+
+  private def countFiles(dir: String): Int = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else 1
+    walk(root)
   }
 
   test("duplicateClusters frees its checkpoints with the staged-release scope") {
