@@ -29,8 +29,13 @@ object TextFunctions {
   /** `n`-word shingles: array of space-joined n-grams, distinct.
     * transform(sequence(...)) keeps this a single-pass array expression —
     * no explode/shuffle until the caller chooses one. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over a pre-tokenized array — lets a pipeline that
+    * already materialized the token array (quality gate, langId) feed
+    * the dedup stages without re-tokenizing the corpus. */
+  def shinglesFromTokens(ws: Column, n: Int): Column =
     // size-n+1 shingles (positions 1..size-n+1); guard avoids Spark's
     // descending sequence(0, -1) when the doc has fewer than n tokens.
     when(size(ws) >= n,
@@ -41,7 +46,6 @@ object TextFunctions {
         )
       )
     ).otherwise(array().cast("array<string>"))
-  }
 
   /** Stopword hits: number of tokens present in `stopwords`. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus build: normalize → token/language gate → exact
+  * dedup → near-dup pair graph → duplicate clusters → representative
+  * selection → deterministic split. q62 runs it with the exact
+  * n-gram-Jaccard pair generator (oracle-checkable in DuckDB); q69 runs
+  * the SAME pipeline with MinHash+LSH pairs — the variant a 100 TB build
+  * actually executes, where exact shingle-intersection counting is the
+  * one stage you would never run at corpus scale
+  * (`CorpusPipelineSpec` proves both variants keep the same documents on
+  * the sf0.01 corpus at a realistic near-dup threshold).
+  *
+  * Cost discipline, in pipeline order:
+  *   - the corpus is tokenized ONCE — the token array from the quality
+  *     gate feeds langId, the token counts, and (via `tokensCol`) the
+  *     shingle/minhash stages, instead of re-splitting the text per
+  *     consumer (interpreted higher-order lambdas are never CSE'd);
+  *   - exact dedup is ONE `min_by` aggregation — no groupBy + semi-join
+  *     back; over a content-hash-bucketed staging table
+  *     ([[Dedup.writeHashBucketed]]) the same stage plans with zero
+  *     Exchange ([[keepMinPerHash]]);
+  *   - per-hash duplicate counts ride along as a column, so the
+  *     gate/keep/final row counters are all `observe()` metrics of the
+  *     single action that runs the pipeline — no extra jobs
+  *     ([[graft.pipeline.ObservedMetricsLog]] surfaces them).
+  */
+object CorpusPipeline {
+
+  /** q47's normalization: lowercase, strip control chars, collapse runs
+    * of spaces. */
+  def normalize(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(text)), "[\\x00-\\x1F\\x7F]", " "),
+      "  +", " ")
+
+  /** Exact-dedup keep set: the full row with the minimum `idCol` per
+    * value of `hashCol`, plus the group size as `__n_dupes` — one
+    * aggregation, no join-back. Grouping on a materialized
+    * `content_hash` column of a [[Dedup.writeHashBucketed]] staging
+    * table satisfies the required distribution from the scan, so the
+    * stage plans with ZERO Exchange (`CorpusPipelineSpec` pins it). */
+  def keepMinPerHash(df: DataFrame, idCol: String, hashCol: Column): DataFrame = {
+    val cols = df.columns.map(col)
+    df.groupBy(hashCol.as("__h"))
+      .agg(min_by(struct(cols: _*), col(idCol)).as("__r"),
+        count(lit(1)).as("__n_dupes"))
+      .select(col("__r.*"), col("__n_dupes"))
+  }
+
+  /** Run the pipeline over `docs` (doc_id, lang, text).
+    *
+    * `pairGen` sees the staged keep set — columns (doc_id, lang,
+    * norm_text, __w, n_tokens, lang_pred, __n_dupes) — and returns the
+    * near-dup pair graph as (doc_a, doc_b, ...); pass the token array
+    * `__w` as `tokensCol` to the shingle-based generators to reuse the
+    * gate's tokenization.
+    *
+    * Observability: the returned frame carries three named `observe()`
+    * metric sets — `corpus_keep` (rows_kept + rows_gated, the latter
+    * recovered as sum(__n_dupes) so it costs no extra pass),
+    * `corpus_final` (rows_final) — collected during whatever action the
+    * caller runs; register an [[graft.pipeline.ObservedMetricsLog]] to
+    * land them in a RunLog. They sit ABOVE the staged cache in the
+    * final action's plan: metrics buried inside a cached subtree are
+    * invisible to `QueryExecution.observedMetrics`, so the gate count
+    * is carried through the aggregation instead of observed in place.
+    */
+  def run(docs: DataFrame,
+          pairGen: DataFrame => DataFrame,
+          minTokens: Int = 5,
+          splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+         : DataFrame = {
+    val norm = docs.select(col("doc_id"), col("lang"),
+      normalize(col("text")).as("norm_text"))
+    val gated = norm
+      .withColumn("__w", TextFunctions.tokens(col("norm_text")))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
+      .filter(col("n_tokens") >= minTokens && col("lang_pred") =!= "und")
+    // staged: the keep set feeds BOTH the pair-graph branch and the
+    // final representative anti-join — without the pin the whole gate
+    // chain (normalize + interpreted langId lambdas) recomputes per
+    // consumer
+    val keep = Staged.stage(keepMinPerHash(gated, "doc_id", md5(col("norm_text"))))
+    val clusters = Dedup.duplicateClusters(pairGen(keep), "doc_a", "doc_b")
+    val keepObserved = keep.observe("corpus_keep",
+      count(lit(1)).as("rows_kept"),
+      sum(col("__n_dupes")).as("rows_gated"))
+    val reps = keepObserved.join(
+      clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    Sampling.splitByHash(reps.select("doc_id", "lang", "lang_pred", "n_tokens"),
+      "doc_id", splits)
+      .observe("corpus_final", count(lit(1)).as("rows_final"))
+  }
+}

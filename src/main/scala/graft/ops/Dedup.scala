@@ -72,6 +72,38 @@ object Dedup {
     }
   }
 
+  /** [[explodedShingles]] over a pre-tokenized array column — the reuse
+    * path for pipelines whose earlier stages (quality gate, langId)
+    * already materialized the token array: shingling from it skips a
+    * full re-tokenize pass over the corpus. Same typed fast path /
+    * expression fallback split, same output (spec-pinned). */
+  def explodedShinglesFromTokens(df: DataFrame, idCol: String,
+                                 tokensCol: String, n: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.select(col(idCol).as("doc"), col(tokensCol).as("toks"))
+          .as[(Long, Seq[String])]
+          .flatMap { case (id, toks) =>
+            if (toks == null || toks.length < n) Iterator.empty
+            else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+              .map((s: String) => (id, s))
+          }.toDF("doc", "shingle")
+      case _ =>
+        df.select(col(idCol).as("doc"),
+          explode(shinglesFromTokens(col(tokensCol), n)).as("shingle"))
+    }
+  }
+
+  /** Shingle rows for the pair generators: from the pre-tokenized array
+    * when the caller has one, from the raw text otherwise. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          tokensCol: Option[String], n: Int): DataFrame =
+    tokensCol match {
+      case Some(tc) => explodedShinglesFromTokens(df, idCol, tc, n)
+      case None => explodedShingles(df, idCol, textCol, n)
+    }
+
   /** Exact n-word-shingle Jaccard near-dup pairs.
     * Plan: explode distinct shingles → self equi-join on shingle (only
     * docs sharing ≥1 shingle ever meet) → per-pair intersection count →
@@ -82,7 +114,8 @@ object Dedup {
     * frequency filter (maxDf) exactly like search engines drop stop terms.
     */
   def ngramJaccardPairs(idCol: String, textCol: String, n: Int,
-                        threshold: Double, maxDf: Long = 1000L)
+                        threshold: Double, maxDf: Long = 1000L,
+                        tokensCol: Option[String] = None)
                        (df: DataFrame): DataFrame = {
     // Document frequency via groupBy + join, NOT a window over the
     // shingle key: the window would shuffle-sort every occurrence of a
@@ -92,7 +125,7 @@ object Dedup {
     // per-query releaseAll unpins it) because multiple plan branches
     // consume it; at cluster scale the same role is played by a staged
     // intermediate table; MEMORY_AND_DISK keeps it spill-safe.
-    val sh = Staged.stage(explodedShingles(df, idCol, textCol, n))
+    val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
     val rare = Staged.stage(sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df"),
@@ -184,7 +217,8 @@ object Dedup {
     * Scale: candidates come from equi-join on (band, bucket) — no O(N²).
     */
   def minhashLshPairs(idCol: String, textCol: String, n: Int,
-                      numPerms: Int, rowsPerBand: Int, threshold: Double)
+                      numPerms: Int, rowsPerBand: Int, threshold: Double,
+                      tokensCol: Option[String] = None)
                      (df: DataFrame): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val numBands = numPerms / rowsPerBand
@@ -197,7 +231,7 @@ object Dedup {
     // 8-byte base hash (xxhash64 of a long is far cheaper than of a
     // ~20-char string × numPerms). Signature quality is unchanged —
     // permutation hashes stay uniform and independent.
-    val exploded = explodedShingles(df, idCol, textCol, n)
+    val exploded = shingleRows(df, idCol, textCol, tokensCol, n)
       .select(col("doc"), xxhash64(col("shingle")).as("h"))
     val minAggs = (0 until numPerms).map(p => min(xxhash64(col("h"), lit(p))).as(s"h$p"))
     val sigs = exploded.groupBy("doc")

@@ -194,36 +194,10 @@ object LlmQueries {
     // real 100 TB corpus run executes, hash-checked against one DuckDB
     // query (recursive CTE for the cluster step).
     Q("q62_corpus_pipeline",
-      (s, d) => {
-        val norm = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          regexp_replace(
-            regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
-            "  +", " ").as("norm_text"))
-        // tokenize ONCE per row: the token array feeds both the count
-        // and the 4-language stopword scorer (interpreted lambdas, no
-        // CSE — re-deriving it per consumer is 5 tokenizations/row)
-        val gated = norm
-          .withColumn("__w", TextFunctions.tokens(col("norm_text")))
-          .withColumn("n_tokens", size(col("__w")).cast("long"))
-          .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
-          .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
-          .drop("__w")
-        // staged: the survivor set feeds BOTH the pair-graph branch and
-        // the final representative anti-join — without the cache the
-        // whole gate chain (normalize + interpreted langId lambdas)
-        // recomputes per consumer
-        val keep = graft.ops.Staged.stage(gated.join(
-          gated.groupBy(md5(col("norm_text")).as("__h")).agg(min("doc_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
-        val clusters = Dedup.duplicateClusters(
-          keep.transform(Dedup.ngramJaccardPairs("doc_id", "norm_text", 3, 0.03)),
-          "doc_a", "doc_b")
-        val reps = keep.join(
-          clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
-          Seq("doc_id"), "left_anti")
-        Sampling.splitByHash(reps.select("doc_id", "lang", "lang_pred", "n_tokens"),
-          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      },
+      (s, d) => graft.ops.CorpusPipeline.run(
+        Tables.documents(s, d),
+        keep => keep.transform(Dedup.ngramJaccardPairs(
+          "doc_id", "norm_text", 3, 0.03, tokensCol = Some("__w")))),
       Some("""WITH RECURSIVE
              |norm AS (SELECT doc_id, lang,
              |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
