@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *     gate feeds langId, the token counts, and (via `tokensCol`) the
   *     shingle/minhash stages, instead of re-splitting the text per
   *     consumer (interpreted higher-order lambdas are never CSE'd);
-  *   - exact dedup is ONE `min_by` aggregation — no groupBy + semi-join
-  *     back; over a content-hash-bucketed staging table
-  *     ([[Dedup.writeHashBucketed]]) the same stage plans with zero
-  *     Exchange ([[keepMinPerHash]]);
+  *   - exact dedup shuffles IDS, not documents: an id-only
+  *     `min(id)`/`count(*)` aggregation per content hash plus a
+  *     join-back on the id ([[keepMinPerHash]]) — the corpus text never
+  *     rides through the hash Exchange; over a content-hash-bucketed
+  *     staging table ([[Dedup.writeHashBucketed]]) the aggregation
+  *     plans with zero Exchange;
   *   - per-hash duplicate counts ride along as a column, so the
   *     gate/keep/final row counters are all `observe()` metrics of the
   *     single action that runs the pipeline — no extra jobs
@@ -37,18 +39,26 @@ object CorpusPipeline {
       regexp_replace(lower(trim(text)), "[\\x00-\\x1F\\x7F]", " "),
       "  +", " ")
 
-  /** Exact-dedup keep set: the full row with the minimum `idCol` per
-    * value of `hashCol`, plus the group size as `__n_dupes` — one
-    * aggregation, no join-back. Grouping on a materialized
-    * `content_hash` column of a [[Dedup.writeHashBucketed]] staging
-    * table satisfies the required distribution from the scan, so the
-    * stage plans with ZERO Exchange (`CorpusPipelineSpec` pins it). */
+  /** Exact-dedup keep set: every row whose `idCol` is the minimum of its
+    * `hashCol` group, plus the group size as `__n_dupes`.
+    *
+    * Shuffle discipline: the aggregation is ID-ONLY — `min(id)` +
+    * `count(*)` per hash — so the Exchange moves (hash, id, count)
+    * triples, never the document text or token arrays. The keep set is
+    * then joined back on `idCol` to recover the full rows (broadcast at
+    * any realistic keep-set size; the alternative `min_by(struct(*))`
+    * single-aggregation shape pushes the ENTIRE corpus through the hash
+    * Exchange and buffers full rows in the aggregation map — a
+    * scale-killer at 100 TB). Grouping on a materialized `content_hash`
+    * column of a [[Dedup.writeHashBucketed]] staging table satisfies the
+    * aggregate's required distribution straight from the scan, so the
+    * dedup stage plans with ZERO content-hash Exchange
+    * (`CorpusPipelineSpec` pins both claims). */
   def keepMinPerHash(df: DataFrame, idCol: String, hashCol: Column): DataFrame = {
-    val cols = df.columns.map(col)
-    df.groupBy(hashCol.as("__h"))
-      .agg(min_by(struct(cols: _*), col(idCol)).as("__r"),
-        count(lit(1)).as("__n_dupes"))
-      .select(col("__r.*"), col("__n_dupes"))
+    val keep = df.groupBy(hashCol)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n_dupes"))
+      .select(col(idCol), col("__n_dupes"))
+    df.join(keep, Seq(idCol))
   }
 
   /** Run the pipeline over `docs` (doc_id, lang, text).

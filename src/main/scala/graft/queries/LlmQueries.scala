@@ -241,6 +241,69 @@ object LlmQueries {
              |       ELSE 'test' END AS split
              |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
 
+    // The 100 TB variant of q62: the SAME pipeline fed by MinHash+LSH
+    // pairs instead of exact shingle-intersection counting — exact
+    // Jaccard over all candidate pairs is the one stage a corpus-scale
+    // build never runs. 64 perms, 16 bands × 4 rows, threshold 0.5 (the
+    // operating point of a real near-dup pass; q62's 0.03 exists to
+    // exercise the exact generator against a nontrivial pair graph).
+    // Oracle: the EXACT-Jaccard pipeline at the same threshold. This is
+    // a full hash-check, not rows-only, because at these jaccard
+    // parameters banding recall and estimator error are both
+    // deterministic non-factors on the verify corpora: the observed
+    // pair-similarity distribution is bimodal (near-dups >= 0.8, noise
+    // < 0.2, nothing in 0.2..0.75), a J=0.8 pair escapes all 16 bands
+    // with p = (1-0.8^4)^16 ~ 2e-4 and mis-estimates below 0.5 with
+    // p ~ 1e-9 (Binom(64, 0.8) < 32), so MinHash-fed and exact-fed
+    // keep sets coincide (`CorpusPipelineSpec` pins the equivalence).
+    Q("q69_corpus_pipeline_approx",
+      (s, d) => graft.ops.CorpusPipeline.run(
+        Tables.documents(s, d),
+        keep => keep.transform(Dedup.minhashLshPairs(
+          "doc_id", "norm_text", 3, 64, 4, 0.5, tokensCol = Some("__w")))),
+      Some("""WITH RECURSIVE
+             |norm AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text FROM documents),
+             |scored AS (SELECT doc_id, lang, norm_text,
+             |  string_split_regex(trim(norm_text), '\s+') AS w FROM norm),
+             |langed AS (SELECT doc_id, lang, norm_text, w,
+             |  cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored))),
+             |gated AS (SELECT * FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+             |keepd AS (SELECT g.* FROM gated g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)) k USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle FROM keepd)),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |dropset AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src)
+             |SELECT doc_id, lang, lang_pred, n_tokens,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
+
     // MinHash + LSH banding near-dup (rows-only check: DuckDB lacks
     // Spark's xxhash64). 32 perms, 8 bands × 4 rows.
     Q("q27_minhash_lsh",

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
+
+/** Pins the two scale claims of [[CorpusPipeline]]:
+  *
+  *   1. the MinHash+LSH-fed pipeline (q69) keeps exactly the same
+  *      documents as the exact-Jaccard-fed pipeline (q62's generator) at
+  *      the 0.5 operating threshold on the sf0.01 corpus — the premise
+  *      that lets q69 carry a full DuckDB hash oracle instead of a
+  *      rows-only check;
+  *   2. [[CorpusPipeline.keepMinPerHash]] never moves the corpus through
+  *      a content-hash Exchange: the aggregation is id-only, and over a
+  *      [[Dedup.writeHashBucketed]] staging table it plans with zero
+  *      Exchange straight from the bucketed scan.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("keepMinPerHash: min id per hash survives with group size, ids shuffle, documents don't") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "aaa", "p"), (1L, "aaa", "q"), (7L, "aaa", "r"),
+      (2L, "bbb", "s"), (9L, "ccc", "t"))
+      .toDF("doc_id", "txt", "extra")
+    val kept = CorpusPipeline.keepMinPerHash(df, "doc_id", md5(col("txt")))
+    assert(kept.columns.toSeq === Seq("doc_id", "txt", "extra", "__n_dupes"))
+    assert(kept.sort("doc_id").as[(Long, String, String, Long)].collect().toSeq ===
+      Seq((1L, "aaa", "q", 3L), (2L, "bbb", "s", 1L), (9L, "ccc", "t", 1L)))
+    // the only hash-grouped subtree is the id-only aggregate: no struct
+    // of the full row rides through an aggregation buffer
+    val plan = kept.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("min_by"), plan)
+  }
+
+  test("MinHash-fed pipeline (q69) keeps the same documents as the exact-fed pipeline at threshold 0.5") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(pairGen: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Staged.withStaged {
+        CorpusPipeline.run(docs, pairGen)
+          .collect().map(_.toSeq).toSet
+      }
+    val exactFed = run(_.transform(Dedup.ngramJaccardPairs(
+      "doc_id", "norm_text", 3, 0.5, tokensCol = Some("__w"))))
+    val minhashFed = run(_.transform(Dedup.minhashLshPairs(
+      "doc_id", "norm_text", 3, 64, 4, 0.5, tokensCol = Some("__w"))))
+    assert(exactFed.nonEmpty)
+    assert(minhashFed === exactFed)
+  }
+
+  test("keepMinPerHash over a hash-bucketed staging table: zero content-hash Exchange") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    try {
+      Dedup.writeHashBucketed(docs, "doc_id", "text", "graft_cp_staged", 8)
+      val kept = CorpusPipeline.keepMinPerHash(
+        spark.table("graft_cp_staged"), "doc_id", col("content_hash"))
+      val plan = kept.queryExecution.explainString(SimpleMode)
+      // the bucketed scan satisfies the aggregate's distribution: the
+      // corpus rows are NEVER exchanged on the content hash
+      assert(!plan.contains("Exchange hashpartitioning(content_hash"), plan)
+      // same keep set as the md5-on-the-fly path over the raw frame
+      val direct = CorpusPipeline.keepMinPerHash(docs, "doc_id", md5(col("text")))
+        .select("doc_id", "__n_dupes")
+      val staged = kept.select("doc_id", "__n_dupes")
+      assert(direct.exceptAll(staged).count() === 0 &&
+        staged.exceptAll(direct).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cp_staged")
+  }
+}
