@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   * A warmup action runs first so JVM/codegen startup cost isn't charged
   * to whichever query happens to run first; queries run in name order so
   * per-query timings are comparable across rounds. Each query runs
-  * SPARK_GRAFT_ITERS times (default 5) and reports the MEDIAN, defusing
-  * noisy-neighbor swings on shared boxes (identical binaries measured
-  * 2× apart across rounds on this box — hence 5, not 3); a failing
+  * SPARK_GRAFT_ITERS times (default 5) — 3× that when its median is
+  * sub-second, where box noise swamps the signal — and reports the
+  * MEDIAN, defusing noisy-neighbor swings on shared boxes (identical
+  * binaries measured 2× apart across rounds on this box); a failing
   * query lands in `errors` with its exception (never a silent fake
   * timing). The system load average before and after the run is
   * recorded in the JSON so a noisy co-tenant is visible in the record.
@@ -46,7 +47,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      val runs = (1 to iters).flatMap { _ =>
+      def timed(): Option[Double] = {
         val t0 = System.nanoTime()
         // withStaged: each iteration builds fresh plans, so each must
         // also release the intermediates it pinned — the unpersist is
@@ -60,11 +61,22 @@ object Bench {
             None
         }
       }
+      var runs = (1 to iters).flatMap(_ => timed())
+      var attempted = iters
+      // sub-second queries sit entirely inside this box's noise band
+      // (round 5→6 measured a 0.5 s query 13× apart on identical
+      // binaries): triple the sample for them so the reported median is
+      // adjudicable against a 2× gate — the extra iterations cost
+      // little precisely because the queries are sub-second
+      if (runs.size == attempted && runs.sorted.apply(runs.size / 2) < 1.0) {
+        runs ++= (1 to 2 * iters).flatMap(_ => timed())
+        attempted += 2 * iters
+      }
       // a query lands in timings XOR errors: a flaky query (some failed
       // iterations) reports the failure, never a timing over a different
       // run count than its peers — that would silently skew cross-round
       // comparisons the medians exist to protect
-      if (runs.size == iters) timings(name) = runs.sorted.apply(runs.size / 2)
+      if (runs.size == attempted) timings(name) = runs.sorted.apply(runs.size / 2)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ")

@@ -621,6 +621,50 @@ object CoreQueries {
       Some("""SELECT n_name AS nation, o_orderstatus AS status, count(*) AS n
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY CUBE(n_name, o_orderstatus)""".stripMargin))
+             |GROUP BY CUBE(n_name, o_orderstatus)""".stripMargin)),
+
+    // Q70 — the S1–S5 ingest path, oracle-checked end to end for the
+    // first time: month-pruned recursive discovery (`LoomCsv.readMonths`
+    // lists only the requested `YYYY-MM/daily/` dirs — 2024-01/monthly
+    // and 2024-03 never enter the file listing), case-insensitive
+    // `*.{csv,CSV}` glob, header-less 71-col positional schema,
+    // trim-all + short-row skip (`normalize`), and the reference's
+    // `float(x or 0)` coercion (`typedView`). Input is the committed
+    // fixture tree under fixtures/loom (the driver's parquet testdata
+    // has no CSV surface), mirrored in DuckDB by `read_csv` over the
+    // same files — absolute paths so both engines resolve identically
+    // regardless of working directory.
+    Q("q70_loom_csv_ingest",
+      (s, _) => {
+        val t = graft.ingest.LoomCsv.typedView(graft.ingest.LoomCsv.normalize(
+          graft.ingest.LoomCsv.readMonths(s, "/root/repo/fixtures/loom",
+            Seq("2024-01", "2024-02"))))
+        t.select(col("month"), col("DataTurno").as("data_turno"),
+          col("Tear").as("tear"), col("Artigo").as("artigo"), col("shift"),
+          col("Rpm").as("rpm"), col("Eficiencia").as("eficiencia"),
+          col("Metros").as("metros"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT DataTurno, Tear, Artigo, Rpm, Eficiencia, Metros,
+             |         regexp_extract(filename, '(\d{4}-\d{2})/[^/]+/[^/]+$', 1) AS month
+             |  FROM read_csv(['/root/repo/fixtures/loom/2024-01/daily/*.[cC][sS][vV]',
+             |                 '/root/repo/fixtures/loom/2024-02/daily/*.[cC][sS][vV]'],
+             |       header=false, all_varchar=true, filename=true,
+             |       names=['DataTurno','Tear','Artigo','Filler','ArtigoGen','Rpm','Eficiencia',
+             |              'Funcionando','Parado','Pontos','Metros'])),
+             |trimmed AS (
+             |  SELECT month,
+             |    trim(coalesce(DataTurno,'')) AS data_turno,
+             |    trim(coalesce(Tear,'')) AS tear, trim(coalesce(Artigo,'')) AS artigo,
+             |    trim(coalesce(Rpm,'')) AS rpm_s, trim(coalesce(Eficiencia,'')) AS ef_s,
+             |    trim(coalesce(Metros,'')) AS metros_s
+             |  FROM raw),
+             |kept AS (SELECT * FROM trimmed WHERE data_turno <> '' AND tear <> '' AND artigo <> '')
+             |SELECT month, data_turno, tear, artigo,
+             |  split_part(data_turno, '.', -1) AS shift,
+             |  CASE WHEN rpm_s = '' THEN 0.0 ELSE try_cast(rpm_s AS DOUBLE) END AS rpm,
+             |  CASE WHEN ef_s = '' THEN 0.0 ELSE try_cast(ef_s AS DOUBLE) END AS eficiencia,
+             |  CASE WHEN metros_s = '' THEN 0.0 ELSE try_cast(metros_s AS DOUBLE) END AS metros
+             |FROM kept""".stripMargin))
   )
 }

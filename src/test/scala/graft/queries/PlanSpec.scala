@@ -130,4 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q62 corpus dedup: id-only aggregate — documents never ride the hash Exchange") {
+    // the round-5 refactor's min_by(struct(*)) pushed norm_text + the
+    // token array through the content-hash Exchange; the dedup stage
+    // must stay min(id)/count(*) with the full rows joined back by id
+    val p = graft.ops.Staged.withStaged { plan("q62_corpus_pipeline") }
+    assert(!p.contains("min_by"), p)
+    assert(p.contains("functions=[min(doc_id"), p)
+  }
 }
