@@ -86,15 +86,17 @@ object CorpusPipeline {
          : DataFrame = {
     val norm = docs.select(col("doc_id"), col("lang"),
       normalize(col("text")).as("norm_text"))
-    val gated = norm
+    // staged: the gate chain (normalize + interpreted langId lambdas —
+    // the most expensive per-row work in the pipeline) feeds BOTH sides
+    // of keepMinPerHash's join-back (the id-only aggregate and the
+    // full-row probe); without the pin it runs twice
+    val gated = Staged.stage(norm
       .withColumn("__w", TextFunctions.tokens(col("norm_text")))
       .withColumn("n_tokens", size(col("__w")).cast("long"))
       .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
-      .filter(col("n_tokens") >= minTokens && col("lang_pred") =!= "und")
+      .filter(col("n_tokens") >= minTokens && col("lang_pred") =!= "und"))
     // staged: the keep set feeds BOTH the pair-graph branch and the
-    // final representative anti-join — without the pin the whole gate
-    // chain (normalize + interpreted langId lambdas) recomputes per
-    // consumer
+    // final representative anti-join
     val keep = Staged.stage(keepMinPerHash(gated, "doc_id", md5(col("norm_text"))))
     val clusters = Dedup.duplicateClusters(pairGen(keep), "doc_a", "doc_b")
     val keepObserved = keep.observe("corpus_keep",
