@@ -165,24 +165,19 @@ object LlmQueries {
         Tables.documents(s, d)
           .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
         "doc_a", "doc_b"),
-      Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
-             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
-             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
-             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
-             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
-             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-             |  GROUP BY 1, 2),
-             |pairs AS (SELECT doc_a, doc_b FROM inter
-             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
-             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
-             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(src, dst) AS (
-             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-             |  UNION
-             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
-             |SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin)),
+      Some(dupClustersOracle)),
+
+    // Same clustering, web-scale formulation: alternating large-star /
+    // small-star edge contraction (SCALE.md's designated 100 TB path —
+    // the edge set SHRINKS across rounds instead of shuffling a full
+    // label table every round). Output-identical to q61 by construction
+    // and by oracle: both share the DuckDB recursive-CTE closure.
+    Q("q71_dup_clusters_stars",
+      (s, d) => Dedup.duplicateClustersStars(
+        Tables.documents(s, d)
+          .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+        "doc_a", "doc_b"),
+      Some(dupClustersOracle)),
 
     // Flagship composition: the full training-corpus build as ONE lazy
     // plan — normalize → quality gate (>= 5 tokens) → language-ID gate →
@@ -747,4 +742,28 @@ object LlmQueries {
              |        < fac - floor(fac) THEN 1 ELSE 0 END) AS n FROM f)
              |SELECT doc_id, source, unnest(range(n)) AS rep FROM e WHERE n > 0""".stripMargin))
   )
+
+  /** Transitive closure + min over the reachable set — shared by q61 and
+    * q71 (two clustering formulations, one contract). Quadratic closure
+    * is fine at verify scale; the Spark sides are the iterative
+    * formulations that scale. */
+  private lazy val dupClustersOracle: String =
+    """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+      |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+      |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+      |SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin
 }

@@ -77,6 +77,34 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(2.1 -> 2.1, 2.4 -> 2.1, 2.7 -> 2.1, 3.1 -> 2.1))
   }
 
+  test("duplicateClustersStars ≡ duplicateClusters on every graph shape") {
+    // the star-contraction twin must produce the identical (doc, cluster)
+    // labeling — clique-dense, long-path (worst case for round count),
+    // string ids, fractional ids, and a self-pair
+    val graphs = Seq(
+      Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L)).toDF("doc_a", "doc_b"),
+      (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+    graphs.foreach { pairs =>
+      val minLabel = Staged.withStaged {
+        Dedup.duplicateClusters(pairs, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet }
+      val stars = Staged.withStaged {
+        Dedup.duplicateClustersStars(pairs, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet }
+      assert(stars === minLabel)
+    }
+    val strPairs = Seq(("b", "a"), ("b", "c"), ("c", "d")).toDF("doc_a", "doc_b")
+    val strOut = Staged.withStaged {
+      Dedup.duplicateClustersStars(strPairs, "doc_a", "doc_b")
+        .as[(String, String)].collect().toMap }
+    assert(strOut === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+    val fracPairs = Seq((2.4, 2.1), (2.4, 2.7), (2.7, 3.1)).toDF("doc_a", "doc_b")
+    val fracOut = Staged.withStaged {
+      Dedup.duplicateClustersStars(fracPairs, "doc_a", "doc_b")
+        .as[(Double, Double)].collect().toMap }
+    assert(fracOut === Map(2.1 -> 2.1, 2.4 -> 2.1, 2.7 -> 2.1, 3.1 -> 2.1))
+  }
+
   test("duplicateClusters reliable-checkpoint path matches the default and cleans its files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
