@@ -69,6 +69,13 @@ object CorpusPipeline {
     * `__w` as `tokensCol` to the shingle-based generators to reuse the
     * gate's tokenization.
     *
+    * `clusterer` turns that pair graph into (doc, cluster) labels —
+    * [[Dedup.duplicateClusters]] (min-label, the default) or
+    * [[Dedup.duplicateClustersStars]] (edge contraction, the 100 TB
+    * choice; both emit identical labelings, `DedupSpec`). Only
+    * non-representatives (doc ≠ cluster) are consumed, so any clusterer
+    * honoring the component-min contract slots in.
+    *
     * Observability: the returned frame carries three named `observe()`
     * metric sets — `corpus_keep` (rows_kept + rows_gated, the latter
     * recovered as sum(__n_dupes) so it costs no extra pass),
@@ -82,7 +89,9 @@ object CorpusPipeline {
   def run(docs: DataFrame,
           pairGen: DataFrame => DataFrame,
           minTokens: Int = 5,
-          splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          clusterer: (DataFrame, String, String) => DataFrame =
+            Dedup.duplicateClusters(_, _, _))
          : DataFrame = {
     val norm = docs.select(col("doc_id"), col("lang"),
       normalize(col("text")).as("norm_text"))
@@ -98,7 +107,7 @@ object CorpusPipeline {
     // staged: the keep set feeds BOTH the pair-graph branch and the
     // final representative anti-join
     val keep = Staged.stage(keepMinPerHash(gated, "doc_id", md5(col("norm_text"))))
-    val clusters = Dedup.duplicateClusters(pairGen(keep), "doc_a", "doc_b")
+    val clusters = clusterer(pairGen(keep), "doc_a", "doc_b")
     val keepObserved = keep.observe("corpus_keep",
       count(lit(1)).as("rows_kept"),
       sum(col("__n_dupes")).as("rows_gated"))

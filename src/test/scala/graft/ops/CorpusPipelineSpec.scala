@@ -36,9 +36,11 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("MinHash-fed pipeline (q69) keeps the same documents as the exact-fed pipeline at threshold 0.5") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
-    def run(pairGen: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+    def run(pairGen: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            clusterer: (org.apache.spark.sql.DataFrame, String, String) =>
+              org.apache.spark.sql.DataFrame = Dedup.duplicateClusters(_, _, _)) =
       Staged.withStaged {
-        CorpusPipeline.run(docs, pairGen)
+        CorpusPipeline.run(docs, pairGen, clusterer = clusterer)
           .collect().map(_.toSeq).toSet
       }
     val exactFed = run(_.transform(Dedup.ngramJaccardPairs(
@@ -47,6 +49,12 @@ class CorpusPipelineSpec extends SparkSpec {
       "doc_id", "norm_text", 3, 64, 4, 0.5, tokensCol = Some("__w"))))
     assert(exactFed.nonEmpty)
     assert(minhashFed === exactFed)
+    // the 100 TB clusterer slots in without changing the corpus: stars-fed
+    // pipeline ≡ min-label-fed pipeline end to end
+    val starsFed = run(_.transform(Dedup.minhashLshPairs(
+      "doc_id", "norm_text", 3, 64, 4, 0.5, tokensCol = Some("__w"))),
+      clusterer = Dedup.duplicateClustersStars(_, _, _))
+    assert(starsFed === exactFed)
   }
 
   test("keepMinPerHash over a hash-bucketed staging table: zero content-hash Exchange") {
