@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline north star:
@@ -492,6 +492,64 @@ object Dedup {
     * Checkpointing/free semantics are identical to [[duplicateClusters]]
     * (localCheckpoint by default, reliable via `checkpointDir`).
     */
+  /** Passage-level dedup: split every document into consecutive
+    * `chunkTokens`-token chunks, drop every chunk whose exact text
+    * already occurred earlier in the corpus (earlier = smaller
+    * (id, position), the global keep-first rule), and rebuild each
+    * document from its surviving chunks. This is the boilerplate /
+    * repeated-passage removal pass of a training-data build — exact
+    * whole-document dedup ([[exact]]) never touches the shared header,
+    * license block, or copied paragraph INSIDE otherwise-distinct
+    * documents; this operator does, at token-window granularity (the
+    * scalable stand-in for suffix-array substring dedup, which needs a
+    * global sort no engine runs at corpus scale). Intra-document
+    * repetition collapses too: the second identical chunk of one doc is
+    * dropped like any other re-occurrence. Documents whose every chunk
+    * is repeated elsewhere disappear from the output (pure boilerplate);
+    * empty/whitespace-only documents are excluded up front.
+    *
+    * Output: (id, clean_text, n_chunks, n_kept).
+    *
+    * Shuffle discipline (the file's id-only rule): chunk text is hashed
+    * to a 128-bit md5 fingerprint BEFORE the fingerprint Exchange — the
+    * groupBy moves (fp, id, pos) triples, never text (md5, not a 64-bit
+    * hash: at 10^10+ chunks birthday collisions on 64 bits would silently
+    * delete unique passages). The keep set then collapses to one
+    * position-array row per doc (second id-only shuffle), and the ONLY
+    * shuffle that carries document text is the final rebuild equi-join
+    * on the id — unavoidable, and free over an id-bucketed staging
+    * table. The tokenization feeding both the chunk explode and the
+    * rebuild is staged, so the corpus is tokenized once. */
+  def dropRepeatedPassages(idCol: String, textCol: String,
+                           chunkTokens: Int = 16,
+                           tokensCol: Option[String] = None)
+                          (docs: DataFrame): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val cw = chunkTokens
+    def chunkAt(w: Column, p: Column): Column =
+      array_join(slice(w, (p * cw + 1).cast("int"), lit(cw)), " ")
+    val toks = Staged.stage(docs
+      .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .withColumn("__nc", ceil(size(col("__w")) / lit(cw.toDouble)).cast("long")))
+    val occ = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("__nc") - 1),
+          i => md5(chunkAt(col("__w"), i)))))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp"))
+    // global keep-first: min (id, pos) per fingerprint — ids only
+    val keepOcc = occ.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
+      .select(col(s"__k.$idCol").as(idCol), col("__k.__pos").as("__pos"))
+    val keptPos = keepOcc.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    toks.join(keptPos, Seq(idCol))
+      .select(col(idCol),
+        array_join(transform(col("__keep"), p => chunkAt(col("__w"), p)), " ")
+          .as("clean_text"),
+        col("__nc").as("n_chunks"),
+        size(col("__keep")).cast("long").as("n_kept"))
+  }
+
   def duplicateClustersStars(pairs: DataFrame, aCol: String, bCol: String,
                              maxIter: Int = 30,
                              checkpointDir: Option[String] = None): DataFrame = {

@@ -179,6 +179,30 @@ object LlmQueries {
         "doc_a", "doc_b"),
       Some(dupClustersOracle)),
 
+    // Passage-level dedup: drop every 16-token chunk whose exact text
+    // already occurred earlier in the corpus (keep-first), rebuild docs
+    // from the survivors — the repeated-passage/boilerplate removal pass
+    // whole-document dedup can't do. Chunk text is fingerprinted before
+    // the Exchange; only the rebuild join moves text.
+    Q("q72_passage_dedup",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.dropRepeatedPassages("doc_id", "text", 16)),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |tt AS (SELECT doc_id, w, cast(ceil(len(w) / 16.0) AS BIGINT) AS nc
+             |  FROM t WHERE len(w) > 0),
+             |occ AS (SELECT doc_id, nc, w, unnest(range(nc)) AS pos FROM tt),
+             |ch AS (SELECT doc_id, nc, pos,
+             |    array_to_string(w[(pos*16 + 1):(pos*16 + 16)], ' ') AS chunk FROM occ),
+             |k AS (SELECT doc_id, nc, pos, chunk,
+             |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+             |SELECT doc_id,
+             |  string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+             |  min(nc) AS n_chunks,
+             |  cast(count(*) AS BIGINT) AS n_kept
+             |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
+
     // Flagship composition: the full training-corpus build as ONE lazy
     // plan — normalize → quality gate (>= 5 tokens) → language-ID gate →
     // exact dedup (min doc per content hash) → near-dup cluster removal

@@ -77,6 +77,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(2.1 -> 2.1, 2.4 -> 2.1, 2.7 -> 2.1, 3.1 -> 2.1))
   }
 
+  test("dropRepeatedPassages: keep-first across docs, intra-doc collapse, tail chunks, full-boilerplate removal") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = toks("a", 16)                      // one full chunk
+    val docs = Seq(
+      (1L, shared + " " + toks("x", 16)),           // first occurrence: keeps both chunks
+      (2L, shared + " " + toks("b", 16)),           // chunk 0 repeated → dropped, b-chunk kept
+      (3L, shared),                                 // pure boilerplate → vanishes
+      (4L, toks("c", 16) + " " + toks("c", 16)),    // intra-doc repeat → second copy dropped
+      (5L, toks("d", 20)),                          // 16-token chunk + 4-token tail, both unique
+      (6L, "   ")                                   // whitespace-only → excluded
+    ).toDF("doc_id", "text")
+    val out = Staged.withStaged {
+      docs.transform(Dedup.dropRepeatedPassages("doc_id", "text", 16))
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    }
+    assert(out.keySet === Set(1L, 2L, 4L, 5L))
+    assert(out(1L) === (shared + " " + toks("x", 16), 2L, 2L))
+    assert(out(2L) === (toks("b", 16), 2L, 1L))
+    assert(out(4L) === (toks("c", 16), 2L, 1L))
+    assert(out(5L) === (toks("d", 20), 2L, 2L))
+  }
+
   test("duplicateClustersStars ≡ duplicateClusters on every graph shape") {
     // the star-contraction twin must produce the identical (doc, cluster)
     // labeling — clique-dense, long-path (worst case for round count),
