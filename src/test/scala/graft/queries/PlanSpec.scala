@@ -139,4 +139,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("min_by"), p)
     assert(p.contains("functions=[min(doc_id"), p)
   }
+
+  test("q72 passage dedup: text never rides the fingerprint Exchange") {
+    // chunk text is md5'd into __fp before the groupBy; every shuffle
+    // Exchange must carry only (fp, id, pos)-level columns — the rebuild
+    // join on doc_id is the single text-carrying boundary (broadcast or
+    // shuffle, but never an Exchange of text keyed by fingerprint)
+    val p = graft.ops.Staged.withStaged {
+      SparkEntry.queries("q72_passage_dedup")(spark, sf)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    val exchangeInputs = raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]+)\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("__w#")), p)
+  }
 }
