@@ -575,6 +575,35 @@ object LlmQueries {
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
              |WHERE rk <= 3""".stripMargin)),
 
+    // Unigram LM quality score: per-doc mean log probability of its
+    // tokens under the corpus's own unigram distribution — the
+    // perplexity-style filter that catches gibberish q24's ratio
+    // heuristics miss (rare-token soup scores low, fluent text high).
+    // Same vocabulary discipline as q53: the term join is UNHINTED
+    // (a web corpus's vocabulary is unbounded, broadcast is a stats
+    // decision), and the shuffles carry (doc_id, token)-level rows, never
+    // documents; the single-row corpus total is always broadcast.
+    Q("q73_unigram_logprob",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum("cnt").as("__total"))
+        toks.join(vocab, "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("cnt") / col("__total"))), 4).as("logprob_per_token"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+             |t AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM v)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(avg(ln(cnt * 1.0 / total)), 4) AS logprob_per_token
+             |FROM tk JOIN v USING (tok) CROSS JOIN t GROUP BY doc_id""".stripMargin)),
+
     // Embedding maintenance: L2 norm, unit-normalized lead component, and
     // symmetric int8 quantization (the standard compression step before
     // an ANN index build). Quantized values are exact integers, emitted
