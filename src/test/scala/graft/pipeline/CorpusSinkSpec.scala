@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.ops.{Sampling, Staged}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.reflect.io.Directory
+
+/** The corpus sink's layout contract: directory partitioning, bounded
+  * file sizes, and disjoint per-file sort-key ranges (the property that
+  * makes parquet row-group min/max stats prune point/range reads). */
+class CorpusSinkSpec extends SparkSpec {
+
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-corpus-sink").toString
+    try f(dir)
+    finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("round-trips the corpus; split dirs prune; files bounded; per-file doc_id ranges disjoint") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    val corpus = Staged.withStaged {
+      Sampling.splitByHash(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    }
+    withTempDir { dir =>
+      CorpusSink.write(corpus, dir, maxRecordsPerFile = 20L)
+      // Hive-style split dirs exist → a split=train read prunes at the
+      // FileIndex (PartitionFilters), reading no val/test bytes
+      val splits = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("split=")).toSet
+      assert(splits === Set("split=train", "split=val", "split=test"))
+      // round-trip: exactly the same rows
+      val back = spark.read.parquet(dir)
+      assert(back.count() === corpus.count())
+      assert(back.exceptAll(corpus).count() === 0 &&
+        corpus.exceptAll(back).count() === 0)
+      // partition pruning is visible in the plan
+      val pruned = back.filter(col("split") === "train")
+      assert(pruned.queryExecution.executedPlan.toString.contains(
+        "PartitionFilters: [isnotnull(split"), pruned.queryExecution.executedPlan.toString)
+      // every file respects maxRecordsPerFile, and within a split the
+      // per-file doc_id ranges are disjoint (sorted write → tight,
+      // non-overlapping row-group stats)
+      splits.foreach { s =>
+        val files = new java.io.File(s"$dir/$s").listFiles()
+          .map(_.getPath).filter(_.endsWith(".parquet"))
+        val ranges = files.map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min("doc_id"), max("doc_id"), count(lit(1)))
+            .as[(Long, Long, Long)].head()
+          assert(r._3 <= 20L, s"$f has ${r._3} rows > maxRecordsPerFile")
+          (r._1, r._2)
+        }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlapping file ranges in $s")
+          case _ =>
+        }
+      }
+    }
+    corpus.unpersist()
+  }
+}
