@@ -148,6 +148,58 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[ngramJaccardPairs]] restricted to pairs touching at least one
+    * `fresh` document: fresh×base and fresh×fresh, never base×base — the
+    * pair generator of an INCREMENTAL dedup pass
+    * ([[IncrementalDedup.dedupDelta]]), where `base` is an
+    * already-deduplicated corpus and only the delta needs pairing.
+    *
+    * Scale: this is why incremental exists — the probe side of the
+    * inverted-index join is the fresh postings (delta-sized), so the
+    * join cost is O(delta × collision), not O(corpus × collision);
+    * document frequency and sizes are still computed over base ∪ fresh
+    * so the Jaccard denominators match a full run over the kept world.
+    * Semantics note: a full rebuild's df counts previously-removed
+    * duplicates too; over the kept world the capped vocabulary can
+    * differ if a shingle's df straddles `maxDf` — with the default cap
+    * and dedup ratios this is vanishingly rare, and df-over-kept is the
+    * less duplicate-inflated statistic anyway.
+    *
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= threshold,
+    * exactly one row per qualifying pair regardless of which side is
+    * fresh. */
+  def ngramJaccardPairsDelta(idCol: String, textCol: String, n: Int,
+                             threshold: Double, maxDf: Long = 1000L,
+                             tokensCol: Option[String] = None)
+                            (base: DataFrame, fresh: DataFrame): DataFrame = {
+    val sh = Staged.stage(
+      shingleRows(base, idCol, textCol, tokensCol, n).withColumn("__fresh", lit(false))
+        .unionByName(
+          shingleRows(fresh, idCol, textCol, tokensCol, n).withColumn("__fresh", lit(true))))
+    val rare = Staged.stage(sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).drop("__df"),
+        "shingle"))
+    val sizes = rare.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // probe = fresh postings only; fresh×fresh canonicalized by a<b at
+    // the join, fresh×base taken in whichever order and canonicalized
+    // by least/greatest in the aggregate key
+    val inter = rare.filter(col("__fresh")).as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.doc") < col("b.doc") ||
+            (!col("b.__fresh") && col("a.doc") =!= col("b.doc"))))
+      .groupBy(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Benchmark decontamination: drop every `train` document that shares
     * at least one n-word shingle with the `heldOut` benchmark set — the
     * train/test-overlap filter an LLM corpus build runs before training

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Sampling, Similarity}
+import graft.ops.{Dedup, IncrementalDedup, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,6 +202,49 @@ object LlmQueries {
              |  min(nc) AS n_chunks,
              |  cast(count(*) AS BIGINT) AS n_kept
              |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
+
+    // Incremental corpus dedup: dedupe the OLDER half of the corpus,
+    // then fold the newer half in through IncrementalDedup.dedupDelta —
+    // the daily-crawl path that never re-pairs the corpus against
+    // itself. The oracle is a FULL REBUILD over all documents: the hash
+    // match demonstrates incremental ≡ rebuild on this corpus (star
+    // clusters; see IncrementalDedupSpec for the contract and the
+    // chain-topology superset case).
+    Q("q74_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = docs.agg((max("doc_id") / lit(2.0)).as("__cut"))
+        val withCut = docs.crossJoin(broadcast(cut))
+        val oldHalf = withCut.filter(col("doc_id") <= col("__cut")).drop("__cut")
+        val freshHalf = withCut.filter(col("doc_id") > col("__cut")).drop("__cut")
+        val base = IncrementalDedup.dedupCorpus("doc_id", "text", 3, 0.5)(oldHalf)
+        IncrementalDedup.dedupDelta("doc_id", "text", 3, 0.5)(base, freshHalf)
+          .select("doc_id")
+      },
+      Some("""WITH RECURSIVE ex AS (SELECT doc_id, text FROM (
+             |    SELECT doc_id, text,
+             |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM documents) WHERE rn = 1),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM ex))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |labels AS (SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1)
+             |SELECT e.doc_id FROM ex e LEFT JOIN labels l ON e.doc_id = l.doc
+             |WHERE l.doc IS NULL OR l.cluster = e.doc_id""".stripMargin)),
 
     // Flagship composition: the full training-corpus build as ONE lazy
     // plan — normalize → quality gate (>= 5 tokens) → language-ID gate →
