@@ -647,6 +647,41 @@ object LlmQueries {
              |  round(avg(ln(cnt * 1.0 / total)), 4) AS logprob_per_token
              |FROM tk JOIN v USING (tok) CROSS JOIN t GROUP BY doc_id""".stripMargin)),
 
+    // Mixture drift monitor: KL(source token distribution ‖ corpus token
+    // distribution) per source — the check a corpus build runs when a
+    // crawl's composition shifts. The source×token and token aggregates
+    // are map-side-partial counts; nothing document-sized shuffles, and
+    // the corpus-wide counts derive from the per-source counts (one
+    // explode pass, reused). KL ≥ 0 always; 0 iff the source matches
+    // the corpus mix exactly. Every source token exists in the corpus
+    // distribution by construction, so no zero-probability terms.
+    Q("q75_source_kl",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val srcCnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
+        val srcTot = srcCnt.groupBy("source").agg(sum("c_s").as("t_s"))
+        val corpusCnt = srcCnt.groupBy("tok").agg(sum("c_s").as("c"))
+        val corpusTot = corpusCnt.agg(sum("c").as("t"))
+        srcCnt.join(srcTot, "source").join(corpusCnt, "tok")
+          .crossJoin(broadcast(corpusTot))
+          .groupBy("source")
+          .agg(sum("c_s").as("n_tokens"),
+            round(sum((col("c_s") / col("t_s")) *
+              log((col("c_s") / col("t_s")) / (col("c") / col("t")))), 4).as("kl_nats"))
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |sc AS (SELECT source, tok, count(*) AS c_s FROM tk GROUP BY 1, 2),
+             |st AS (SELECT source, cast(sum(c_s) AS BIGINT) AS t_s FROM sc GROUP BY 1),
+             |cc AS (SELECT tok, cast(sum(c_s) AS BIGINT) AS c FROM sc GROUP BY 1),
+             |ct AS (SELECT cast(sum(c) AS BIGINT) AS t FROM cc)
+             |SELECT source, cast(sum(c_s) AS BIGINT) AS n_tokens,
+             |  round(sum((c_s * 1.0 / t_s) * ln((c_s * 1.0 / t_s) / (c * 1.0 / t))), 4) AS kl_nats
+             |FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct
+             |GROUP BY source""".stripMargin)),
+
     // Embedding maintenance: L2 norm, unit-normalized lead component, and
     // symmetric int8 quantization (the standard compression step before
     // an ANN index build). Quantized values are exact integers, emitted
