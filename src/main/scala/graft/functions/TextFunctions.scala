@@ -120,6 +120,30 @@ object TextFunctions {
       i => md5(text.substr((i * 100 + 1).cast("int"), lit(50)))
     )
 
+  /** PII scrubbing (the Dolma/FineWeb-style pass a training corpus runs
+    * before release): detect and mask email addresses and international
+    * phone numbers. Patterns deliberately use only regex constructs with
+    * identical semantics in Java's engine and RE2 (explicit classes,
+    * bounded repetition, no backreferences/lookaround) so the DuckDB
+    * oracle runs the same expressions verbatim. Pure per-row projections:
+    * zero shuffle at any scale. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast("long")
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern)).cast("long")
+
+  /** Mask emails first, then phones — the email local part can contain
+    * digits but the patterns cannot overlap a single span, so the order
+    * only matters for determinism of the masked text, not coverage. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** 64-bit SimHash over whitespace tokens using xxhash64 word hashes.
     * Bit b of the result is the sign of sum over tokens of ±1 according
     * to bit b of xxhash64(token). Pure array-expression implementation:

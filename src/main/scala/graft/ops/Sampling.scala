@@ -139,6 +139,33 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Sequence packing: the concat-and-chunk layout a training run uses to
+    * turn variable-length documents into fixed-`seqLen`-token rows with
+    * no padding waste. Documents first get the deterministic
+    * [[shuffleShards]] order (pos, shard), then each shard lays its
+    * documents end-to-end: `offset` is the document's starting token
+    * position within its shard's stream, `bin` = offset / seqLen is the
+    * training sequence its first token lands in (documents may straddle
+    * a bin boundary — standard concat-then-chunk packing, zero padding).
+    *
+    * Scale: the running total is a window partitioned BY SHARD — nShards
+    * independent cumulative sums, each a single sorted partition, never
+    * one global single-partition window. A 100 TB run sizes nShards to
+    * the cluster's parallelism (thousands), so each shard's stream is a
+    * few GB and the sort stays in-memory; the shuffle it pays (hash by
+    * shard) is the same one the sharded write needs anyway. Adds `pos`,
+    * `shard` (from [[shuffleShards]]) plus `offset` and `bin` (long). */
+  def packSequences(idCol: String, nTokensCol: String, seqLen: Int,
+                    nShards: Int, seed: String = "")
+                   (df: DataFrame): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    shuffleShards(idCol, nShards, seed)(df)
+      .withColumn("offset", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .withColumn("bin", floor(col("offset").cast("double") / seqLen).cast("long"))
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

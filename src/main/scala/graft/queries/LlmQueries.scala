@@ -871,7 +871,141 @@ object LlmQueries {
              |  cast(floor(fac) AS BIGINT) +
              |  (CASE WHEN ('0x' || substr(md5('rep:' || cast(doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0
              |        < fac - floor(fac) THEN 1 ELSE 0 END) AS n FROM f)
-             |SELECT doc_id, source, unnest(range(n)) AS rep FROM e WHERE n > 0""".stripMargin))
+             |SELECT doc_id, source, unnest(range(n)) AS rep FROM e WHERE n > 0""".stripMargin)),
+
+    // Sequence packing: documents laid end-to-end into fixed-512-token
+    // training sequences, 4 dataloader shards, deterministic epoch-0
+    // order — the padding-free concat-and-chunk batch layout. The
+    // cumulative token offset is a window PARTITIONED BY SHARD: nShards
+    // independent running sums (at corpus scale, thousands), never one
+    // global single-partition window (PlanSpec pins it).
+    Q("q76_seq_pack",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .transform(Sampling.packSequences("doc_id", "n_tokens", 512, 4, "epoch0"))
+        .select(col("doc_id"), col("pos"), col("shard"),
+          col("n_tokens"), col("offset"), col("bin")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (SELECT doc_id, n_tokens,
+             |    row_number() OVER (ORDER BY md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+             |  FROM t),
+             |s AS (SELECT doc_id, n_tokens, pos, cast(pos % 4 AS INT) AS shard FROM p)
+             |SELECT doc_id, pos, shard, n_tokens,
+             |  cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos) - n_tokens AS BIGINT) AS offset,
+             |  cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos) - n_tokens) / 512.0) AS BIGINT) AS bin
+             |FROM s""".stripMargin)),
+
+    // Corpus heavy hitters: the 50 most document-frequent 3-word
+    // shingles — boilerplate mining (the shingles a line/passage-level
+    // cleaner would strip, and the stop-shingle list the maxDf caps in
+    // the dedup joins are built from). groupBy gives map-side partial
+    // counts; the top-50 cut is TakeOrderedAndProject (per-partition
+    // top-k, tiny driver merge), never a global sort (PlanSpec pins it).
+    Q("q77_heavy_hitters",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(50),
+      Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(greatest(len(w) - 2, 0)),
+             |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))
+             |SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+             |ORDER BY df DESC, shingle LIMIT 50""".stripMargin)),
+
+    // PII scrub: detect + mask emails and phone numbers before corpus
+    // release. The synthetic corpus carries no PII, so the fixture
+    // injects a deterministic contact line into every third document —
+    // the detector must count and mask exactly those (and leave the
+    // other documents byte-identical, which the hash compare proves).
+    // Pure per-row regexes: zero shuffle at any scale.
+    Q("q78_pii_redact",
+      (s, d) => {
+        val injected = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+        injected.select(col("doc_id"),
+          graft.functions.TextFunctions.emailCount(col("text")).as("n_emails"),
+          graft.functions.TextFunctions.phoneCount(col("text")).as("n_phones"),
+          graft.functions.TextFunctions.redactPii(col("text")).as("clean_text"))
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || cast(doc_id AS VARCHAR)
+             |    || '@example.com or call +1-555-' || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+             |  ELSE text END AS text FROM documents)
+             |SELECT doc_id,
+             |  cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  cast(len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+             |FROM inj""".stripMargin)),
+
+    // Per-source quality calibration: a fixed global quality threshold
+    // over-prunes clean sources and under-prunes noisy ones, so corpus
+    // builds gate on the score's PERCENTILE WITHIN SOURCE — keep each
+    // source's top 80% by stopword ratio. percent_rank runs partitioned
+    // by source (parallel across sources; within a source the rank is
+    // the same two-phase shape as any per-group window). doc_id breaks
+    // score ties so the cut is deterministic on both engines.
+    Q("q79_quality_calibrated",
+      (s, d) => {
+        val score = TextFunctions.qualityStruct(col("text"), stopwords)
+          .getField("stopword_ratio")
+        val w = Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), score.as("score"))
+          .withColumn("pr", round(percent_rank().over(w), 4))
+          .filter(col("pr") <= 0.8)
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) * 1.0
+             |      / len(w), 4) AS score
+             |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))
+             |SELECT doc_id, source, score,
+             |  round(percent_rank() OVER (PARTITION BY source ORDER BY score DESC, doc_id), 4) AS pr
+             |FROM s QUALIFY pr <= 0.8""".stripMargin)),
+
+    // Bigram LM quality score: per-doc mean log P(w2 | w1) under the
+    // corpus's own bigram/prefix counts — the next step up from q73's
+    // unigram filter (catches shuffled-word soup that unigram stats
+    // can't: plausible tokens in implausible order score low). Prefix
+    // counts come from the bigram table itself, so the conditional is
+    // self-consistent. Same vocabulary discipline as q53/q73: both
+    // count joins are UNHINTED (bigram vocabulary is unbounded at
+    // corpus scale — broadcast is a stats decision, never a pin), and
+    // every shuffle carries (doc, bigram)-level rows, never documents.
+    Q("q80_bigram_logprob",
+      (s, d) => {
+        val bgs = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.bigrams(TextFunctions.tokens(col("text")))).as("bg"))
+          .withColumn("pref", substring_index(col("bg"), " ", 1))
+        val bgCnt = bgs.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+        val prefCnt = bgs.groupBy("pref").agg(count(lit(1)).as("c_pref"))
+        bgs.join(bgCnt, "bg").join(prefCnt, "pref")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("c_bg") / col("c_pref"))), 4).as("logprob_per_bigram"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 1, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2])) AS bg FROM t),
+             |bp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS pref FROM b),
+             |cb AS (SELECT bg, count(*) AS c_bg FROM bp GROUP BY 1),
+             |cp AS (SELECT pref, count(*) AS c_pref FROM bp GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(ln(c_bg * 1.0 / c_pref)), 4) AS logprob_per_bigram
+             |FROM bp JOIN cb USING (bg) JOIN cp USING (pref) GROUP BY doc_id""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

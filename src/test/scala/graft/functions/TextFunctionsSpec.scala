@@ -107,4 +107,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps.forall(_.length === 32))
     assert(fps(0) === fps(1)) // identical windows hash identically
   }
+
+  test("PII scrub: emails and phones counted and masked, clean text untouched") {
+    val rows = Seq(
+      "reach me at jane.doe+spam@mail.example.org or +1-555-0199 today",
+      "two mails a@b.io c.d@e.co.uk and +44-201-5550",
+      "no pii here, just words and 123 numbers",
+      "")
+    val out = rows.toDF("text").select(
+      TextFunctions.emailCount(col("text")).as("e"),
+      TextFunctions.phoneCount(col("text")).as("p"),
+      TextFunctions.redactPii(col("text")).as("clean"))
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((1L, 1L, "reach me at <EMAIL> or <PHONE> today")))
+    assert(out(1) === ((2L, 1L, "two mails <EMAIL> <EMAIL> and <PHONE>")))
+    // no-PII text comes back byte-identical (the redactor is a no-op)
+    assert(out(2) === ((0L, 0L, rows(2))))
+    assert(out(3) === ((0L, 0L, "")))
+  }
 }

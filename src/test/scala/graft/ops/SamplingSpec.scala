@@ -153,6 +153,43 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("packSequences: contiguous zero-waste packing per shard, deterministic") {
+    Staged.withStaged {
+      val docs = ids.select("id").withColumn("n", (col("id") % 7) + 1)
+      val out = Sampling.packSequences("id", "n", 16, 3, "epoch0")(docs)
+        .select("id", "shard", "pos", "n", "offset", "bin")
+        .as[(Long, Int, Long, Long, Long, Long)].collect()
+      assert(out.length === 2000)
+      // within each shard the docs tile the token stream exactly:
+      // offsets in pos order are the running sum of the previous lengths
+      out.groupBy(_._2).values.foreach { shard =>
+        val inOrder = shard.sortBy(_._3)
+        val expected = inOrder.map(_._4).scanLeft(0L)(_ + _).init
+        assert(inOrder.map(_._5).toSeq === expected.toSeq)
+      }
+      // bin is the 16-token sequence the doc STARTS in
+      assert(out.forall { case (_, _, _, _, off, bin) => bin === off / 16 })
+      // deterministic and partitioning-independent
+      val again = Sampling.packSequences("id", "n", 16, 3, "epoch0")(
+          docs.repartition(13))
+        .select("id", "shard", "pos", "n", "offset", "bin")
+        .as[(Long, Int, Long, Long, Long, Long)].collect()
+      assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    }
+  }
+
+  test("packSequences: the running sum is windowed by shard, never one global partition") {
+    Staged.withStaged {
+      val docs = ids.select("id").withColumn("n", lit(5L))
+      val windows = Sampling.packSequences("id", "n", 16, 3)(docs)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+      assert(windows.isEmpty, windows.mkString("\n"))
+    }
+  }
+
   test("the sample filter pushes down to the scan (no shuffle, no exchange)") {
     val plan = Sampling.stratifiedByHash(ids, "id", "stratum", Map("a" -> 0.5), 0.125)
       .queryExecution.executedPlan.toString

@@ -140,6 +140,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("functions=[min(doc_id"), p)
   }
 
+  test("q76 sequence packing: running sum windowed by shard, no single-partition window") {
+    graft.ops.Staged.withStaged {
+      assert(emptyPartitionWindows("q76_seq_pack").isEmpty)
+    }
+  }
+
+  test("q77 heavy hitters: partial aggregation + TakeOrderedAndProject, no global sort") {
+    val p = plan("q77_heavy_hitters")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q72 passage dedup: text never rides the fingerprint Exchange") {
     // chunk text is md5'd into __fp before the groupBy; every shuffle
     // Exchange must carry only (fp, id, pos)-level columns — the rebuild
