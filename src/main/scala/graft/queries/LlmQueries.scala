@@ -881,7 +881,12 @@ object LlmQueries {
     // global single-partition window (PlanSpec pins it).
     Q("q76_seq_pack",
       (s, d) => Tables.documents(s, d)
-        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        // prune to (id, length) BEFORE packing: the rank's range Exchange
+        // and the shard Exchange must never carry document text the
+        // output doesn't need (a writer packing the documents themselves
+        // passes the text column on purpose — the operator is generic)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
         .transform(Sampling.packSequences("doc_id", "n_tokens", 512, 4, "epoch0"))
         .select(col("doc_id"), col("pos"), col("shard"),
           col("n_tokens"), col("offset"), col("bin")),
