@@ -228,6 +228,32 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Graded twin of [[decontaminate]]: instead of the binary drop, score
+    * every training document by its shingle overlap with the held-out
+    * set — (n_shingles, n_contaminated, overlap_frac). Thresholding is
+    * then a policy decision (eval suites differ on how much incidental
+    * overlap is tolerable), and the scores are the audit artifact a
+    * release ships alongside the corpus.
+    *
+    * Same plan as decontaminate: the held-out side is bounded (a
+    * benchmark suite), so its distinct shingles broadcast and the probe
+    * is a map-side left join; the only Exchange carries (doc, counts)
+    * rows for the per-document aggregate. Documents with fewer than n
+    * tokens have no shingles and no row (nothing to score). */
+  def contaminationScore(idCol: String, textCol: String, n: Int)
+                        (train: DataFrame, heldOut: DataFrame): DataFrame = {
+    val heldOutShingles = explodedShingles(heldOut, idCol, textCol, n)
+      .select("shingle").distinct()
+    explodedShingles(train, idCol, textCol, n)
+      .join(broadcast(heldOutShingles.withColumn("__hit", lit(1L))),
+        Seq("shingle"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("overlap_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Corpus snapshot diff: classify every document as added / removed /
     * changed between two ingests — the primitive an incremental corpus
     * pipeline runs to re-process only what moved instead of rebuilding

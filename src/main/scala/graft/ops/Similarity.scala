@@ -184,6 +184,130 @@ object Similarity {
       .select(col("neighbor_id"), col("cv"),
         array_min(centroidScores(col("cv"))).getField("centroid_id").as("centroid_id"))
 
+  // ---- Product quantization (the compression half of IVF-PQ) ----
+  //
+  // At 100 TB of float32 embeddings, the ANN serving scan is I/O-bound on
+  // the vectors themselves. PQ stores each vector as m sub-centroid codes
+  // (dim 64, m = 8, k = 16 → 8 bytes vs 256: 32×), and queries score
+  // against codes via a per-query lookup table (ADC) — the corpus-side
+  // scan reads CODES ONLY; full vectors are fetched just for the top
+  // refine·k rerank join. Codebooks train on a bounded hash sample, so
+  // nothing about training scales with the corpus.
+
+  /** Squared L2 between two float arrays (expression). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codebooks `(subspace, code, centv)`: `m` subspaces of dim/m dims,
+    * `k` codes each. Seeds are the `k` hash-smallest sampled rows' slices
+    * (TakeOrderedAndProject — no global window, no count pre-pass);
+    * `nIters` Lloyd rounds over the `trainN`-row sample move them to cell
+    * means. Only the bounded sample is ever exploded or shuffled. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, k: Int, trainN: Int = 1024,
+                  nIters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val sample = corpus
+      .select(xxhash64(col(idCol)).as("__h"), col(vecCol).as("cv"))
+      .orderBy("__h").limit(trainN)
+    val subRows = sample.select(col("__h"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("cv"), j * sub + 1, lit(sub)))))
+      .toDF("__h", "subspace", "subv")
+    val w = Window.partitionBy("subspace").orderBy("__h")
+    val seeds = subRows
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("subspace"), (col("__rn") - 1).as("code"),
+        col("subv").as("centv"))
+    (0 until nIters).foldLeft(seeds) { (cbs, _) =>
+      val packed = cbs.groupBy("subspace")
+        .agg(collect_list(struct(col("code"), col("centv"))).as("cb"))
+      subRows.join(broadcast(packed), "subspace")
+        .select(col("subspace"),
+          array_min(transform(col("cb"), ce =>
+            struct(l2sq(col("subv"), ce.getField("centv")).as("d"),
+              ce.getField("code").as("code")))).getField("code").as("code"),
+          posexplode(col("subv")))
+        .groupBy("subspace", "code", "pos").agg(avg(col("col")).as("mv"))
+        .groupBy("subspace", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("subspace"), col("code"),
+          transform(col("pm"), s => s.getField("mv").cast("float")).as("centv"))
+    }
+  }
+
+  /** All codebooks packed into ONE broadcastable row:
+    * `__cb` = sorted array over subspaces of (subspace, cb[k]). */
+  private def packCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("subspace")
+      .agg(array_sort(collect_list(struct(col("code"), col("centv")))).as("cb"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cb")))).as("__cb"))
+
+  /** Encode the corpus as PQ codes `(neighbor_id, codes array<int>)` —
+    * a pure projection over the broadcast codebook pack: no shuffle, no
+    * window, at any corpus size. This is the write-once index build; the
+    * staged table a serving layer scans is (id, codes), m bytes of
+    * payload per vector. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(packCodebooks(codebooks)))
+      .select(col("neighbor_id"),
+        transform(col("__cb"), jcb =>
+          array_min(transform(jcb.getField("cb"), ce =>
+            struct(l2sq(
+                slice(col("cv"), jcb.getField("subspace") * sub + 1, lit(sub)),
+                ce.getField("centv")).as("d"),
+              ce.getField("code").as("code")))).getField("code"))
+          .as("codes"))
+  }
+
+  /** PQ approximate top-k with exact rerank: per query build the m×k
+    * lookup table lut[j][c] = <q_j, centv_{j,c}> once (ADC), score every
+    * corpus row by summing code lookups — the scan touches codes only —
+    * keep the `refine`·k best per query, join their real vectors back,
+    * and rerank exactly under [[rankTopK]]'s contract. Queries (bounded)
+    * broadcast with their LUTs; the only corpus-sized movement is the
+    * per-query top-refine·k window over (id, approx) rows. Cosine metric:
+    * both sides are unit-normalized for encode/ADC (dot ≡ cosine), the
+    * rerank reads original vectors. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, m: Int = 8, kCodes: Int = 16,
+             refine: Int = 4, trainN: Int = 1024, nIters: Int = 2): DataFrame = {
+    val sub = dim / m
+    val unitCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      unitNormalize(col(vecCol)).as("cv"))
+    val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
+      trainN, nIters)
+    val codes = pqEncode(unitCorpus, "neighbor_id", "cv", cbs, dim, m)
+    val q = queries
+      .select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("uq"))
+      .crossJoin(broadcast(packCodebooks(cbs)))
+      .select(col("query_id"),
+        transform(col("__cb"), jcb =>
+          transform(jcb.getField("cb"), ce =>
+            dot(slice(col("uq"), jcb.getField("subspace") * sub + 1, lit(sub)),
+              ce.getField("centv")))).as("lut"))
+    val approx = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", aggregate(
+        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = approx
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
     * buckets, OR-amplified across `nTables` independent hyperplane sets:
     * a pair is a candidate if it shares a bucket in ANY table, so the

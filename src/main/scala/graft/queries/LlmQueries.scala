@@ -476,6 +476,10 @@ object LlmQueries {
             Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
               nCentroids = 16, nProbe = 8, nIters = 1)
             .select(lit("ivf_lloyd").as("method"), col("query_id"), col("neighbor_id")))
+          .union(
+            Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+              dim = 64, m = 16, refine = 8)
+            .select(lit("pq").as("method"), col("query_id"), col("neighbor_id")))
         approx
           .join(exact.withColumn("__hit", lit(1L)),
             Seq("query_id", "neighbor_id"), "left")
@@ -1010,7 +1014,48 @@ object LlmQueries {
              |cp AS (SELECT pref, count(*) AS c_pref FROM bp GROUP BY 1)
              |SELECT doc_id, count(*) AS n_bigrams,
              |  round(avg(ln(c_bg * 1.0 / c_pref)), 4) AS logprob_per_bigram
-             |FROM bp JOIN cb USING (bg) JOIN cp USING (pref) GROUP BY doc_id""".stripMargin))
+             |FROM bp JOIN cb USING (bg) JOIN cp USING (pref) GROUP BY doc_id""".stripMargin)),
+
+    // Product-quantization ANN — the compressed serving path (IVF-PQ's
+    // compression half): the corpus-side scan reads 8-byte code arrays
+    // (32× smaller than the float32 vectors), scores by per-query lookup
+    // table, and only the top refine·k candidates' real vectors are
+    // fetched for the exact rerank. Rows-only check (codebooks derive
+    // from xxhash64 sampling); q50's recall harness and SimilaritySpec
+    // floor the quality against the exact baseline.
+    Q("q82_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, dim = 64, m = 16, refine = 8)
+      },
+      None),
+
+    // Contamination scoring: q63's graded twin — per-document shingle
+    // overlap with the held-out benchmark set (same every-50th-doc
+    // fixture). The binary decontaminate pass drops; this one measures,
+    // which is what a release audit actually publishes (and the
+    // threshold debate becomes policy, not a rebuild). Same scale shape:
+    // broadcast held-out shingles, map-side probe, (doc, counts)-only
+    // aggregate Exchange.
+    Q("q81_contamination_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationScore("doc_id", "text", 3)(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |held AS (SELECT DISTINCT shingle FROM sh WHERE doc % 50 = 0)
+             |SELECT t.doc AS doc_id, count(*) AS n_shingles,
+             |  cast(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             |  round(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS overlap_frac
+             |FROM sh t LEFT JOIN held h ON t.shingle = h.shingle
+             |WHERE t.doc % 50 <> 0
+             |GROUP BY t.doc""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
