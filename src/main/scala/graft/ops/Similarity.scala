@@ -246,24 +246,26 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("code"), col("centv")))).as("cb"))
       .agg(array_sort(collect_list(struct(col("subspace"), col("cb")))).as("__cb"))
 
-  /** Encode the corpus as PQ codes `(neighbor_id, codes array<int>)` —
-    * a pure projection over the broadcast codebook pack: no shuffle, no
-    * window, at any corpus size. This is the write-once index build; the
-    * staged table a serving layer scans is (id, codes), m bytes of
-    * payload per vector. */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+  /** Encode PQ codes: adds a `codes array<int>` column (and drops the
+    * vector) — a pure projection over the broadcast codebook pack: no
+    * shuffle, no window, at any corpus size. Every other column passes
+    * through, so an index build can carry (id, cell id, …) alongside the
+    * codes. This is the write-once index build; the staged table a
+    * serving layer scans is (id[, cell], codes), m bytes of payload per
+    * vector. */
+  def pqEncode(corpus: DataFrame, vecCol: String,
                codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
     val sub = dim / m
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    corpus
       .crossJoin(broadcast(packCodebooks(codebooks)))
-      .select(col("neighbor_id"),
+      .withColumn("codes",
         transform(col("__cb"), jcb =>
           array_min(transform(jcb.getField("cb"), ce =>
             struct(l2sq(
-                slice(col("cv"), jcb.getField("subspace") * sub + 1, lit(sub)),
+                slice(col(vecCol), jcb.getField("subspace") * sub + 1, lit(sub)),
                 ce.getField("centv")).as("d"),
-              ce.getField("code").as("code")))).getField("code"))
-          .as("codes"))
+              ce.getField("code").as("code")))).getField("code")))
+      .drop("__cb", vecCol)
   }
 
   /** PQ approximate top-k with exact rerank: per query build the m×k
@@ -283,26 +285,84 @@ object Similarity {
       unitNormalize(col(vecCol)).as("cv"))
     val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
       trainN, nIters)
-    val codes = pqEncode(unitCorpus, "neighbor_id", "cv", cbs, dim, m)
-    val q = queries
-      .select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("uq"))
-      .crossJoin(broadcast(packCodebooks(cbs)))
-      .select(col("query_id"),
+    val codes = pqEncode(unitCorpus, "cv", cbs, dim, m)
+    val q = pqLuts(
+      queries.select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("uq")),
+      "uq", cbs, dim, m)
+    val cand = adcTopCandidates(codes.crossJoin(broadcast(q)), k * refine)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)
+  }
+
+  /** Per-query ADC lookup tables: lut[j][c] = <q_j, centv_{j,c}> —
+    * replaces the vector with `lut` (m×k doubles), all other columns
+    * pass through. Pure projection over the broadcast codebook pack. */
+  private def pqLuts(queries: DataFrame, vecCol: String, codebooks: DataFrame,
+                     dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    queries.crossJoin(broadcast(packCodebooks(codebooks)))
+      .withColumn("lut",
         transform(col("__cb"), jcb =>
           transform(jcb.getField("cb"), ce =>
-            dot(slice(col("uq"), jcb.getField("subspace") * sub + 1, lit(sub)),
+            dot(slice(col(vecCol), jcb.getField("subspace") * sub + 1, lit(sub)),
               ce.getField("centv")))).as("lut"))
-    val approx = codes.crossJoin(broadcast(q))
+      .drop("__cb", vecCol)
+  }
+
+  /** ADC scan + per-query top-n cut over (codes, lut) candidate rows:
+    * score = Σ_j lut[j][codes[j]], keep the n best (approx-desc,
+    * id-tiebreak) per query. The window partitions by query — the
+    * (id, approx) rows it sorts are the narrowest frame in the plan. */
+  private def adcTopCandidates(cand: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    cand
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", aggregate(
         zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
         lit(0.0), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = approx
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k * refine)
+      .filter(col("__rk") <= n)
       .select("query_id", "neighbor_id")
+  }
+
+  /** IVF-PQ: the full FAISS-style composition — IVF cells prune WHICH
+    * rows are scored (≈ nProbe/nCentroids of the corpus), PQ codes
+    * decide HOW they're scored (ADC over m-byte codes, no vectors), and
+    * the top refine·k per query rerank exactly from the real vectors.
+    * The serving table this models is (centroid_id, neighbor_id, codes):
+    * bucketed by cell at write time, the probe is an equi-join on the
+    * cell id and the scan I/O is codes-only — the two scale levers
+    * (which rows / how many bytes per row) compose independently. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nCentroids: Int = 16,
+                nProbe: Int = 2, m: Int = 8, kCodes: Int = 16,
+                refine: Int = 4, trainN: Int = 1024, nIters: Int = 2): DataFrame = {
+    // float cast: the IVF side (centroidScores) runs the native
+    // cosine_sim expression, which is typed array<float>
+    val unitCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      unitNormalize(col(vecCol)).cast("array<float>").as("cv"))
+    val centroids = ivfCentroids(unitCorpus, "neighbor_id", "cv", nCentroids)
+    val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
+      trainN, nIters)
+    // the index: cell assignment + codes in ONE projection pass, no
+    // Exchange (both the centroid pack and the codebook pack broadcast)
+    val index = pqEncode(
+      assignCells(unitCorpus, "neighbor_id", "cv", centroids)
+        .select(col("neighbor_id"), col("cv"), col("centroid_id")),
+      "cv", cbs, dim, m)
+    val uq = queries.select(col(idCol).as("query_id"),
+      unitNormalize(col(vecCol)).cast("array<float>").as("uq"))
+    val probes = pqLuts(uq, "uq", cbs, dim, m)
+      .join(uq, "query_id")
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("query_id"), col("lut"),
+        explode(slice(array_sort(centroidScores(col("uq"))), 1, nProbe)).as("__p"))
+      .select(col("query_id"), col("lut"),
+        col("__p").getField("centroid_id").as("centroid_id"))
+    val cand = adcTopCandidates(index.join(broadcast(probes), "centroid_id"),
+      k * refine)
     val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)

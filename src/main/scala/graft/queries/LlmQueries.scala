@@ -480,6 +480,10 @@ object LlmQueries {
             Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
               dim = 64, m = 16, refine = 8)
             .select(lit("pq").as("method"), col("query_id"), col("neighbor_id")))
+          .union(
+            Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+              dim = 64, nCentroids = 16, nProbe = 8, m = 16, refine = 8)
+            .select(lit("ivfpq").as("method"), col("query_id"), col("neighbor_id")))
         approx
           .join(exact.withColumn("__hit", lit(1L)),
             Seq("query_id", "neighbor_id"), "left")
@@ -1028,6 +1032,22 @@ object LlmQueries {
         val emb = Tables.embeddings(s, d)
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", 5, dim = 64, m = 16, refine = 8)
+      },
+      None),
+
+    // IVF-PQ — the full FAISS-style composition: IVF cells prune WHICH
+    // rows are scored (nProbe/nCentroids of the corpus), PQ codes set
+    // the BYTES PER ROW (ADC over 16-byte codes, vectors fetched only
+    // for the top refine·k rerank). The two scale levers compose
+    // independently; the modeled serving table is (cell, id, codes)
+    // bucketed by cell. Rows-only check; q50 measures its recall
+    // against the exact baseline next to its parts.
+    Q("q83_ivfpq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, dim = 64, nCentroids = 16, nProbe = 8,
+          m = 16, refine = 8)
       },
       None),
 

@@ -86,7 +86,7 @@ class SimilaritySpec extends SparkSpec {
     // CORRECTNESS entries for q30/q35 can't express
     val rec = graft.SparkEntry.queries("q50_ann_recall")(spark, "/root/testdata/sf0.01")
       .select("method", "recall").as[(String, Double)].collect().toMap
-    assert(rec.keySet === Set("lsh", "ivf", "ivf_lloyd", "pq"), rec.toString)
+    assert(rec.keySet === Set("lsh", "ivf", "ivf_lloyd", "pq", "ivfpq"), rec.toString)
     assert(rec.values.forall(_ >= 0.6), rec.toString)
     // PQ + exact rerank should beat the bucket methods on this corpus
     assert(rec("pq") >= 0.8, rec.toString)
@@ -100,7 +100,9 @@ class SimilaritySpec extends SparkSpec {
     val shape = cbs.groupBy("subspace").count().as[(Int, Long)].collect().toMap
     assert(shape.keySet === (0 until 8).toSet, shape.toString)
     assert(shape.values.forall(_ === 16L), shape.toString)
-    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs, dim = 64, m = 8)
+    val codes = Similarity.pqEncode(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "embedding", cbs, dim = 64, m = 8)
     val rows = codes.select("codes").as[Seq[Int]].collect()
     assert(rows.forall(_.length === 8))
     assert(rows.forall(_.forall(c => c >= 0 && c < 16)))
@@ -125,7 +127,9 @@ class SimilaritySpec extends SparkSpec {
         graft.functions.VectorFunctions.unitNormalize(col("embedding")).as("v"))
     val cbs = Similarity.pqCodebooks(emb, "id", "v", dim = 64, m = 16, k = 16,
       trainN = 256, nIters = 2)
-    val codes = Similarity.pqEncode(emb, "id", "v", cbs, dim = 64, m = 16)
+    val codes = Similarity.pqEncode(
+      emb.select(col("id").as("neighbor_id"), col("v")), "v", cbs,
+      dim = 64, m = 16)
     // decode = mean sub-centroid reconstruction; self-dot via the join
     val packed = cbs.groupBy("subspace")
       .agg(array_sort(collect_list(struct(col("code"), col("centv")))).as("cb"))
