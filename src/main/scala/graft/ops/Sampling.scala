@@ -166,6 +166,32 @@ object Sampling {
       .withColumn("bin", floor(col("offset").cast("double") / seqLen).cast("long"))
   }
 
+  /** Per-stratum quota cap: keep at most `quota` rows per stratum value
+    * — the "at most N documents per domain" anti-spam rule of web-corpus
+    * builds (a RATE can't express it: the cap must bind only the
+    * over-represented strata). Which rows survive is decided by md5 hash
+    * order (id tiebreak), so the kept set is deterministic, engine-
+    * portable, and stable under reruns — and under corpus growth an
+    * already-kept row is only ever displaced by a hash-smaller newcomer,
+    * never by reordering.
+    *
+    * Scale: row_number windows BY STRATUM — parallel across strata, and
+    * the one hash Exchange carries only the rows themselves. A stratum
+    * hot enough to skew its window task is exactly the stratum the quota
+    * truncates; for pathological single-domain corpora, pre-filter with
+    * [[stratifiedByHash]] at rate ≈ quota/estimate first, then apply the
+    * exact cap to the survivors. */
+  def quotaPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                      quota: Int): DataFrame = {
+    require(quota > 0, s"quota $quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= quota)
+      .drop("__qrn")
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

@@ -998,9 +998,14 @@ object LlmQueries {
     // every shuffle carries (doc, bigram)-level rows, never documents.
     Q("q80_bigram_logprob",
       (s, d) => {
-        val bgs = Tables.documents(s, d).select(col("doc_id"),
-          explode(TextFunctions.bigrams(TextFunctions.tokens(col("text")))).as("bg"))
-          .withColumn("pref", substring_index(col("bg"), " ", 1))
+        // staged: three plan branches (both count aggregates + the final
+        // join) consume the exploded bigram table, and the interpreted
+        // bigram lambda is the expensive part — same reuse rationale as
+        // the Jaccard shingle table (Staged releases the pin per query)
+        val bgs = graft.ops.Staged.stage(
+          Tables.documents(s, d).select(col("doc_id"),
+            explode(TextFunctions.bigrams(TextFunctions.tokens(col("text")))).as("bg"))
+          .withColumn("pref", substring_index(col("bg"), " ", 1)))
         val bgCnt = bgs.groupBy("bg").agg(count(lit(1)).as("c_bg"))
         val prefCnt = bgs.groupBy("pref").agg(count(lit(1)).as("c_pref"))
         bgs.join(bgCnt, "bg").join(prefCnt, "pref")
@@ -1034,6 +1039,22 @@ object LlmQueries {
           "vec_id", "embedding", 5, dim = 64, m = 16, refine = 8)
       },
       None),
+
+    // Per-source quota cap: at most 15 documents per source, survivors
+    // chosen by hash order — the anti-spam rule a web-corpus build
+    // applies per domain (a rate can't express "cap only the
+    // over-represented"). Windows run BY SOURCE: parallel across
+    // sources, deterministic on both engines via the md5 order.
+    Q("q84_source_quota",
+      (s, d) => Sampling.quotaPerStratum(
+          Tables.documents(s, d).select("doc_id", "source"), "doc_id",
+          "source", 15)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 15""".stripMargin)),
 
     // IVF-PQ — the full FAISS-style composition: IVF cells prune WHICH
     // rows are scored (nProbe/nCentroids of the corpus), PQ codes set

@@ -153,6 +153,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("quotaPerStratum: exact cap on big strata, small strata untouched, deterministic") {
+    val docs = ids.withColumn("source",
+      when(col("id") < 1950, "big").otherwise("small"))
+    val out = Sampling.quotaPerStratum(docs, "id", "source", 100)
+      .select("id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size === 100)         // 1950 rows -> capped at 100
+    assert(bySrc("small").size === 50)        // 50 rows -> under quota, all kept
+    // deterministic and partitioning-independent
+    val again = Sampling.quotaPerStratum(docs.repartition(13), "id", "source", 100)
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet === again)
+    // raising the quota only ADDS rows (hash order is a total order, so
+    // the top-100 set is a prefix of the top-150 set)
+    val wider = Sampling.quotaPerStratum(docs, "id", "source", 150)
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(wider))
+  }
+
   test("packSequences: contiguous zero-waste packing per shard, deterministic") {
     Staged.withStaged {
       val docs = ids.select("id").withColumn("n", (col("id") % 7) + 1)
