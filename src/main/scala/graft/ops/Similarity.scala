@@ -352,9 +352,24 @@ object Similarity {
       assignCells(unitCorpus, "neighbor_id", "cv", centroids)
         .select(col("neighbor_id"), col("cv"), col("centroid_id")),
       "cv", cbs, dim, m)
+    ivfPqServe(index, centroids, cbs, corpus, queries, idCol, vecCol,
+      k, dim, nProbe, m, refine)
+  }
+
+  /** The serving half of IVF-PQ over a prebuilt (cell, id, codes) index:
+    * build per-query LUTs + probe lists (both pure projections over the
+    * broadcast centroid/codebook packs), candidate-join on the cell id,
+    * ADC-score, rerank the top refine·k exactly. The index side is
+    * whatever the caller hands in — freshly encoded ([[ivfPqTopK]]) or a
+    * persisted table ([[ivfPqTopKIndexed]]). */
+  private def ivfPqServe(index: DataFrame, centroids: DataFrame,
+                         codebooks: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, dim: Int, nProbe: Int, m: Int,
+                         refine: Int): DataFrame = {
     val uq = queries.select(col(idCol).as("query_id"),
       unitNormalize(col(vecCol)).cast("array<float>").as("uq"))
-    val probes = pqLuts(uq, "uq", cbs, dim, m)
+    val probes = pqLuts(uq, "uq", codebooks, dim, m)
       .join(uq, "query_id")
       .crossJoin(broadcast(packCentroids(centroids)))
       .select(col("query_id"), col("lut"),
@@ -367,6 +382,49 @@ object Similarity {
     val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)
   }
+
+  /** Materialize the IVF-PQ index: `table` = (centroid_id, neighbor_id,
+    * codes) bucketed by cell, plus `<table>_centroids` /
+    * `<table>_codebooks` (the tiny model tables serving needs to build
+    * probes and LUTs). This is the pay-once index build of a real
+    * deployment: training reads a bounded sample, encoding is one
+    * no-Exchange projection pass over the corpus, and every subsequent
+    * query batch scans m-byte code payloads instead of dim×4-byte
+    * vectors. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      table: String, dim: Int, nCentroids: Int = 16,
+                      m: Int = 8, kCodes: Int = 16, nBuckets: Int = 8,
+                      trainN: Int = 1024, nIters: Int = 2): Unit = {
+    val unitCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      unitNormalize(col(vecCol)).cast("array<float>").as("cv"))
+    val centroids = ivfCentroids(unitCorpus, "neighbor_id", "cv", nCentroids)
+    val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
+      trainN, nIters)
+    centroids.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    cbs.write.mode("overwrite").saveAsTable(s"${table}_codebooks")
+    pqEncode(
+      assignCells(unitCorpus, "neighbor_id", "cv",
+        corpus.sparkSession.table(s"${table}_centroids"))
+        .select(col("neighbor_id"), col("cv"), col("centroid_id")),
+      "cv", corpus.sparkSession.table(s"${table}_codebooks"), dim, m)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
+  }
+
+  /** [[ivfPqTopK]] served from a [[writeIvfPqIndex]] staging table:
+    * training and encoding are NOT re-run per query batch — the plan
+    * scans the persisted (cell, id, codes) index (codes-only I/O) and
+    * the persisted model tables. Output-identical to serving from the
+    * same model freshly applied (spec-pinned). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       table: String, corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, dim: Int,
+                       nProbe: Int = 2, m: Int = 8,
+                       refine: Int = 4): DataFrame =
+    ivfPqServe(spark.table(table), spark.table(s"${table}_centroids"),
+      spark.table(s"${table}_codebooks"), corpus, queries, idCol, vecCol,
+      k, dim, nProbe, m, refine)
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus via LSH
     * buckets, OR-amplified across `nTables` independent hyperplane sets:

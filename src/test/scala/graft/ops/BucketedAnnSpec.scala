@@ -44,4 +44,41 @@ class BucketedAnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("IVF-PQ persisted index: codes-only payload, bucketed by cell, serving skips the encode") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+        "graft_emb_ivfpq", dim = 64, nCentroids = 8, m = 8, kCodes = 16,
+        nBuckets = 4, trainN = 256, nIters = 1)
+      // the serving payload is (cell, id, codes) — no vector column ever
+      // reaches the index scan, which is the 16-32x I/O claim
+      val idx = spark.table("graft_emb_ivfpq")
+      assert(idx.columns.toSet === Set("centroid_id", "neighbor_id", "codes"),
+        idx.columns.mkString(","))
+      val desc = spark.sql("DESCRIBE FORMATTED graft_emb_ivfpq")
+        .collect().map(_.mkString("|")).mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("4"), desc)
+
+      val served = Similarity.ivfPqTopKIndexed(spark, "graft_emb_ivfpq",
+        emb, queries, "vec_id", "embedding", 3, dim = 64, nProbe = 8,
+        m = 8, refine = 4)
+      // output-identical to building the same model inline (training is
+      // deterministic: hash-sampled seeds + fixed Lloyd rounds)
+      val direct = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        3, dim = 64, nCentroids = 8, nProbe = 8, m = 8, kCodes = 16,
+        refine = 4, trainN = 256, nIters = 1)
+      assert(direct.exceptAll(served).count() === 0 &&
+        served.exceptAll(direct).count() === 0)
+      assert(served.count() > 0)
+      // the served plan reads the persisted index, not a re-encode
+      val p = served.queryExecution.explainString(SimpleMode)
+      assert(p.contains("graft_emb_ivfpq"), p)
+    } finally {
+      Seq("graft_emb_ivfpq", "graft_emb_ivfpq_centroids",
+        "graft_emb_ivfpq_codebooks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
