@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.types._
+
+/** A document arriving on the intake stream (matches
+  * [[CorpusStream.schema]]). */
+case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+                     lang: String, source: String)
+
+/** Streaming corpus intake: the q62 pipeline's gate stages re-expressed
+  * over an unbounded document stream — how a crawl feed enters the
+  * training corpus continuously instead of via nightly batches.
+  *
+  * The division of labor with the batch side is deliberate:
+  *   - PER-DOCUMENT stages (normalize, quality gate, language gate) are
+  *     stateless projections — identical code paths work on batch and
+  *     streaming frames, so the gates can never drift between the two.
+  *   - WITHIN-STREAM exact dedup runs on the content hash with
+  *     watermark-bounded state (`dropDuplicatesWithinWatermark`): a crawl
+  *     re-fetching a page within the horizon dedups here, for free.
+  *   - AGAINST-CORPUS exact dedup happens in the sink's per-batch
+  *     anti-join on content hashes (hashes move, documents don't — the
+  *     [[graft.ops.IncrementalDedup]] discipline); near-dup folding of
+  *     the accumulated deltas is the scheduled
+  *     `IncrementalDedup.dedupDelta` batch job, NOT the stream — pair
+  *     candidate generation needs the corpus-wide inverted index, which
+  *     streaming state should never hold.
+  */
+object CorpusStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** File-source stream over a directory of document files (json lines).
+    * At scale this is the landing zone a crawler writes to; Spark tracks
+    * processed files in the checkpoint. */
+  def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** The q62 gate chain as a stateless streaming projection: normalize →
+    * token count gate (≥ minTokens) → language-ID gate (≠ und). Emits
+    * (doc_id, ts, source, lang, lang_pred, n_tokens, norm_text,
+    * content_hash). Token array materialized once per row (no lambda
+    * CSE), hash computed BEFORE any stateful stage so dedup state holds
+    * 32-byte hashes, never documents. */
+  def cleanDocs(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
+      "  +", " ")
+    docs
+      .withColumn("norm_text", norm)
+      .withColumn("__w", TextFunctions.tokens(col("norm_text")))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
+      .filter(col("n_tokens") >= minTokens && col("lang_pred") =!= "und")
+      .withColumn("content_hash", md5(col("norm_text")))
+      .select("doc_id", "ts", "source", "lang", "lang_pred", "n_tokens",
+        "norm_text", "content_hash")
+  }
+
+  /** Within-stream exact dedup: drop documents whose content hash was
+    * already seen inside the watermark horizon. State is hash-sized and
+    * watermark-bounded, so the job runs forever; re-fetches and
+    * duplicate submissions inside the horizon never reach the sink.
+    * Duplicates straddling the horizon are caught by the sink's
+    * against-corpus anti-join — this stage exists to keep those batch
+    * anti-joins small, not to be the only line of defense. */
+  def dedupedDocs(cleaned: DataFrame,
+                  watermark: String = "10 minutes"): DataFrame =
+    cleaned.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Append-only corpus sink with against-corpus exact dedup: each
+    * micro-batch anti-joins its content hashes against everything the
+    * sink already holds, then appends only the novel documents into
+    * `sinkPath/batch=<id>/`. Batch-id-named directories + overwrite make
+    * replays IDEMPOTENT (a crashed batch re-runs into the same dir); the
+    * corpus itself is never rewritten — this is an append-only delta
+    * log, exactly the shape `IncrementalDedup.dedupDelta` folds with a
+    * scheduled near-dup pass. The anti-join probe reads only the
+    * `content_hash` column of the existing corpus (column pruning at the
+    * scan), so sink growth costs hash-column I/O, not document I/O. */
+  def corpusIngestSink(deduped: DataFrame, sinkPath: String,
+                       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(sinkPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)) &&
+              fs.globStatus(new org.apache.hadoop.fs.Path(s"$sinkPath/batch=*")).nonEmpty) {
+            // exclude THIS batch's own directory from the seen set: a
+            // replayed batch would otherwise anti-join against its own
+            // previous output and overwrite itself with nothing
+            val seen = spark.read.option("basePath", sinkPath)
+              .parquet(s"$sinkPath/batch=*")
+              .filter(col("batch") =!= batchId)
+              .select("content_hash")
+            batch.join(seen, Seq("content_hash"), "left_anti")
+          } else batch
+        novel.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        ()
+      }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def doc(id: Long, ts: Timestamp, text: String,
+                  source: String = "crawl0"): StreamDoc =
+    StreamDoc(id, ts, text, "en", source)
+
+  // passes the gates: >= 5 tokens, English stopword hits
+  private val good = "the quick brown fox jumps over the lazy dog"
+
+  test("cleanDocs: gate chain drops short and language-less docs, hashes before state") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.cleanDocs(src.toDF()).writeStream
+      .format("memory").queryName("cleaned").outputMode("append").start()
+    src.addData(
+      doc(1, t(1), good),
+      doc(2, t(1), "too short"),                   // < 5 tokens
+      doc(3, t(1), "zz yy xx ww vv uu qq"),        // no stopword hits -> und
+      doc(4, t(1), "  The   QUICK  brown fox jumps over the lazy dog "))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, lang_pred, n_tokens, norm_text, content_hash FROM cleaned")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    q.stop()
+    assert(rows.map(_._1).toSet === Set(1L, 4L))
+    assert(rows.forall(_._2 == "en"))
+    // normalization collapses case/whitespace, so 1 and 4 share a hash
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 === good)
+    assert(byId(4L)._4 === good)
+    assert(byId(1L)._5 === byId(4L)._5)
+  }
+
+  test("dedupedDocs: same content within the watermark reaches the sink once") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupedDocs(
+        CorpusStream.cleanDocs(src.toDF()), watermark = "1 hour")
+      .writeStream.format("memory").queryName("stream_deduped")
+      .outputMode("append").start()
+    src.addData(doc(1, t(1), good), doc(2, t(1, 5), good + " extra"))
+    q.processAllAvailable()
+    // micro-batch 2: a re-fetch of doc 1's content under a new id, plus
+    // a case/whitespace variant of it — both are the same norm_text
+    src.addData(doc(10, t(1, 10), good), doc(11, t(1, 20), "  THE quick brown fox jumps over the lazy dog"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM stream_deduped")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids === Set(1L, 2L))
+  }
+
+  test("corpusIngestSink: against-corpus anti-join appends only novel content; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("corpus_stream").toString
+    val sink = s"$dir/corpus"
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.corpusIngestSink(
+        CorpusStream.dedupedDocs(CorpusStream.cleanDocs(src.toDF()), "1 hour"),
+        sink, s"$dir/ckpt").start()
+    try {
+      src.addData(doc(1, t(1), good), doc(2, t(1), good + " indeed"))
+      q.processAllAvailable()
+      // second batch: one replayed content (beyond in-stream state is
+      // irrelevant here — new id, same text), one genuinely new doc
+      src.addData(doc(20, t(2), good), doc(21, t(2), "a wholly different body of text here"))
+      q.processAllAvailable()
+      val corpus = spark.read.option("basePath", sink).parquet(s"$sink/batch=*")
+      val ids = corpus.select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 21L), ids.toString)
+      // every content hash appears exactly once across the delta log
+      val dupes = corpus.groupBy("content_hash").count().filter(col("count") > 1).count()
+      assert(dupes === 0L)
+      // replay idempotence: re-writing a batch dir with the same id must
+      // not lose rows to an anti-join against its own previous output —
+      // simulate by re-running the sink body for the last batch id
+      val batches = corpus.select("batch").distinct().as[Long].collect().sorted
+      val last = batches.max
+      // materialize the replayed batch up front: in production the batch
+      // rows come from the STREAM (checkpointed state), not from the sink
+      // dir being overwritten — a lazy self-read would model the wrong
+      // thing and also race the overwrite
+      val replayedDf = spark.read.option("basePath", sink)
+        .parquet(s"$sink/batch=$last").drop("batch")
+      val replayed = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(replayedDf.collect(): _*)),
+        replayedDf.schema)
+      // the production body: anti-join excludes batch=last, overwrite
+      val seen = spark.read.option("basePath", sink).parquet(s"$sink/batch=*")
+        .filter(col("batch") =!= last).select("content_hash")
+      val novel = replayed.join(seen, Seq("content_hash"), "left_anti")
+      novel.write.mode("overwrite").parquet(s"$sink/batch=$last")
+      val after = spark.read.option("basePath", sink).parquet(s"$sink/batch=*")
+        .select("doc_id").as[Long].collect().toSet
+      assert(after === ids, after.toString)
+    } finally q.stop()
+  }
+}
