@@ -1072,6 +1072,40 @@ object LlmQueries {
       },
       None),
 
+    // BPE tokenizer TRAINING: learn merge rules from the corpus's own
+    // word-frequency table (q41 counts tokens under a fixed scheme; this
+    // learns the scheme). Corpus-sized passes are distributed (word
+    // count groupBy + TakeOrdered vocab cap); the nMerges training loop
+    // runs driver-local over the BOUNDED word table — the standard
+    // HF/sentencepiece division, model-fit on a dimension-sized input.
+    // Deterministic (count-desc, pair-asc tiebreaks) but not
+    // SQL-expressible (iterative merge loop) — rows-only; BpeSpec pins
+    // hand-computed merges, determinism, and reconstruction.
+    Q("q85_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Bpe
+          .trainMerges(Tables.documents(s, d), "text", 40, maxWords = 5000)
+          .zipWithIndex
+          .map { case ((l, r), i) => (i.toLong, l, r) }
+          .toDF("rank", "left", "right")
+      },
+      None),
+
+    // The trained tokenizer applied back to the corpus: per-document
+    // learned-BPE token count beside the whitespace count (their ratio
+    // is tokenizer fertility). The merges ride to executors as a
+    // vocab-sized closure constant; the pass is a typed map projection —
+    // no shuffle at any corpus size.
+    Q("q86_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.functions.Bpe
+          .trainMerges(docs, "text", 40, maxWords = 5000)
+        graft.functions.Bpe.tokenizeCounts(docs, "doc_id", "text", merges)
+      },
+      None),
+
     // Contamination scoring: q63's graded twin — per-document shingle
     // overlap with the held-out benchmark set (same every-50th-doc
     // fixture). The binary decontaminate pass drops; this one measures,
