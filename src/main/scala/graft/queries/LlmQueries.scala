@@ -1106,6 +1106,40 @@ object LlmQueries {
       },
       None),
 
+    // Corpus card: the per-source stats table a dataset release ships —
+    // volume (docs, tokens), token-length distribution (mean + exact
+    // median, q56's percentile ≡ quantile_cont parity), language mix,
+    // and exact-duplicate rate (distinct content hashes vs rows). One
+    // pass, one aggregation: every stat is map-side-partial except the
+    // distinct-hash count, which shuffles (source, hash) pairs — ids and
+    // hashes, never documents.
+    Q("q87_corpus_card",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          md5(col("text")).as("__h"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("__nt").as("total_tokens"),
+          round(avg("__nt"), 4).as("mean_tokens"),
+          round(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("en_frac"),
+          countDistinct(col("__h")).as("n_unique"),
+          round(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
+            .as("dup_rate")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |cast(sum(nt) AS BIGINT) AS total_tokens,
+             |round(avg(nt), 4) AS mean_tokens,
+             |round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+             |round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS en_frac,
+             |count(DISTINCT md5(text)) AS n_unique,
+             |round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
+             |FROM (SELECT source, lang, text,
+             |  cast(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents)
+             |GROUP BY source""".stripMargin)),
+
     // Contamination scoring: q63's graded twin — per-document shingle
     // overlap with the held-out benchmark set (same every-50th-doc
     // fixture). The binary decontaminate pass drops; this one measures,
