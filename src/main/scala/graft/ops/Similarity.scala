@@ -212,17 +212,20 @@ object Similarity {
     val sample = corpus
       .select(xxhash64(col(idCol)).as("__h"), col(vecCol).as("cv"))
       .orderBy("__h").limit(trainN)
-    val subRows = sample.select(col("__h"), posexplode(
+    // staged: the seed selection and EVERY Lloyd round re-consume this
+    // frame, and its lineage is a corpus-wide sample scan — without the
+    // pin each consumer re-reads the corpus (Staged releases per query)
+    val subRows = Staged.stage(sample.select(col("__h"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("cv"), j * sub + 1, lit(sub)))))
-      .toDF("__h", "subspace", "subv")
+      .toDF("__h", "subspace", "subv"))
     val w = Window.partitionBy("subspace").orderBy("__h")
     val seeds = subRows
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("subspace"), (col("__rn") - 1).as("code"),
         col("subv").as("centv"))
-    (0 until nIters).foldLeft(seeds) { (cbs, _) =>
+    val trained = (0 until nIters).foldLeft(seeds) { (cbs, _) =>
       val packed = cbs.groupBy("subspace")
         .agg(collect_list(struct(col("code"), col("centv"))).as("cb"))
       subRows.join(broadcast(packed), "subspace")
@@ -237,6 +240,17 @@ object Similarity {
         .select(col("subspace"), col("code"),
           transform(col("pm"), s => s.getField("mv").cast("float")).as("centv"))
     }
+    // Lloyd rounds DROP cells that capture no sample points (standard
+    // k-means shrink), which would leave code values non-contiguous —
+    // but the ADC lookup (element_at(lut, code+1)) and the LUT builder
+    // are POSITIONAL over the code-sorted codebook array. Renumber codes
+    // 0..k'-1 in code order so value == position always holds; encode
+    // and LUT both derive from this table, so they stay consistent.
+    val wRenum = Window.partitionBy("subspace").orderBy("code")
+    // staged: callers consume the codebooks from two plan branches
+    // (encode + LUT build); the table is m×k rows — tiny — but its
+    // lineage is the whole training loop
+    Staged.stage(trained.withColumn("code", row_number().over(wRenum) - 1))
   }
 
   /** All codebooks packed into ONE broadcastable row:
@@ -343,7 +357,11 @@ object Similarity {
     // cosine_sim expression, which is typed array<float>
     val unitCorpus = corpus.select(col(idCol).as("neighbor_id"),
       unitNormalize(col(vecCol)).cast("array<float>").as("cv"))
-    val centroids = ivfCentroids(unitCorpus, "neighbor_id", "cv", nCentroids)
+    // staged: the centroid table feeds both cell assignment and the
+    // query probe list; unstaged, each branch re-runs the corpus-wide
+    // hash-sample scan behind ivfCentroids
+    val centroids = Staged.stage(
+      ivfCentroids(unitCorpus, "neighbor_id", "cv", nCentroids))
     val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
       trainN, nIters)
     // the index: cell assignment + codes in ONE projection pass, no
@@ -401,6 +419,8 @@ object Similarity {
     val cbs = pqCodebooks(unitCorpus, "neighbor_id", "cv", dim, m, kCodes,
       trainN, nIters)
     centroids.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    // encoding below reads the PERSISTED tables, so the in-memory
+    // training frames are each consumed exactly once here
     cbs.write.mode("overwrite").saveAsTable(s"${table}_codebooks")
     pqEncode(
       assignCells(unitCorpus, "neighbor_id", "cv",

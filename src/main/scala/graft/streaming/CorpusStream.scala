@@ -52,6 +52,13 @@ object CorpusStream {
     * CSE), hash computed BEFORE any stateful stage so dedup state holds
     * 32-byte hashes, never documents. */
   def cleanDocs(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    // byte-identical with the batch normalize (q47 / CorpusPipeline) ON
+    // PURPOSE, oracle-pinned there — including its edge behavior that a
+    // LEADING/TRAILING control char survives as one edge space (trim
+    // runs first). Batch/stream hash parity outranks edge polish: a doc
+    // must get the same content_hash on both paths, or replays that
+    // arrive via backfill (batch) vs live (stream) would dedup
+    // differently.
     val norm = regexp_replace(
       regexp_replace(lower(trim(col("text"))), "[\\x00-\\x1F\\x7F]", " "),
       "  +", " ")
@@ -93,10 +100,18 @@ object CorpusStream {
     deduped.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(sinkPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // within-BATCH exact dedup: the watermark stage only guarantees
+        // dedup for duplicates whose event times fall inside the
+        // horizon — a backfill burst can land two same-content docs
+        // hours apart in ONE micro-batch, and the anti-join below only
+        // probes PRIOR batches. Keep-min-id so the survivor is
+        // deterministic.
+        val batch = graft.ops.Merge.lastWriterWins(
+          Seq("content_hash"), Seq(col("doc_id").asc))(rawBatch)
         val novel =
           if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)) &&
               fs.globStatus(new org.apache.hadoop.fs.Path(s"$sinkPath/batch=*")).nonEmpty) {

@@ -72,9 +72,14 @@ class CorpusStreamSpec extends SparkSpec {
     try {
       src.addData(doc(1, t(1), good), doc(2, t(1), good + " indeed"))
       q.processAllAvailable()
-      // second batch: one replayed content (beyond in-stream state is
-      // irrelevant here — new id, same text), one genuinely new doc
-      src.addData(doc(20, t(2), good), doc(21, t(2), "a wholly different body of text here"))
+      // second batch: one replayed content (new id, same text), one
+      // genuinely new doc — and a SAME-BATCH duplicate of the new doc
+      // with an event time beyond the watermark horizon (3h vs 1h):
+      // dropDuplicatesWithinWatermark makes no promise there, so the
+      // sink's within-batch keep-min-id dedup must catch it
+      src.addData(doc(20, t(2), good),
+        doc(21, t(2), "a wholly different body of text here"),
+        doc(22, t(5), "a wholly different body of text here"))
       q.processAllAvailable()
       val corpus = spark.read.option("basePath", sink).parquet(s"$sink/batch=*")
       val ids = corpus.select("doc_id").as[Long].collect().toSet
