@@ -1140,6 +1140,62 @@ object LlmQueries {
              |  FROM documents)
              |GROUP BY source""".stripMargin)),
 
+    // Per-label embedding centroids: element-wise mean vector per class
+    // — the pooling step behind class prototypes, centroid classifiers,
+    // and per-cluster summaries. Emitted EXPLODED as (label, pos, n, m):
+    // the posexplode → groupBy(label, pos) shape collapses each map
+    // partition to ≤ labels×dim rows before the Exchange (same
+    // cluster-sized shuffle as the IVF Lloyd step), and the exploded
+    // output keeps the float compare inside the driver's canonicalizer.
+    Q("q88_label_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("col").cast("double")), 4).as("m"))
+        .select("label", "pos", "n", "m"),
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS ed FROM embeddings),
+             |x AS (SELECT label, unnest(ed) AS v,
+             |        unnest(range(len(ed))) AS pos FROM e)
+             |SELECT label, cast(pos AS BIGINT) AS pos, count(*) AS n,
+             |  round(avg(v), 4) AS m
+             |FROM x GROUP BY 1, 2""".stripMargin)),
+
+    // Padded-batching waste estimator: docs dealt into power-of-two
+    // length buckets (the classic bucketed-batching layout), reporting
+    // per bucket the token volume and the padding waste a
+    // pad-to-bucket-size dataloader would burn — the number that
+    // justifies q76's packed layout. Map-side-partial aggregate; the
+    // bucket is a per-row CASE chain (deterministic on both engines,
+    // no float log2 at power boundaries).
+    Q("q89_length_buckets",
+      (s, d) => {
+        val nt = TextFunctions.tokenCount(col("text")).cast("long")
+        val bucket = when(nt <= 8, 8L).when(nt <= 16, 16L)
+          .when(nt <= 32, 32L).when(nt <= 64, 64L).when(nt <= 128, 128L)
+          .when(nt <= 256, 256L).when(nt <= 512, 512L).otherwise(1024L)
+        Tables.documents(s, d)
+          .select(bucket.as("bucket"), nt.as("__nt"))
+          .filter(col("__nt") > 0)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("__nt").as("total_tokens"),
+            sum(col("bucket") - col("__nt")).as("padding_waste"),
+            round(sum(col("bucket") - col("__nt")).cast("double") /
+              sum(col("bucket")), 4).as("waste_frac"))
+      },
+      Some("""WITH t AS (SELECT cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |    x -> x <> '')) AS BIGINT) AS nt FROM documents),
+             |b AS (SELECT nt, CASE WHEN nt <= 8 THEN 8 WHEN nt <= 16 THEN 16
+             |    WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+             |    WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512 ELSE 1024 END AS bucket
+             |  FROM t WHERE nt > 0)
+             |SELECT cast(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+             |  cast(sum(nt) AS BIGINT) AS total_tokens,
+             |  cast(sum(bucket - nt) AS BIGINT) AS padding_waste,
+             |  round(sum(bucket - nt) * 1.0 / sum(bucket), 4) AS waste_frac
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // Contamination scoring: q63's graded twin — per-document shingle
     // overlap with the held-out benchmark set (same every-50th-doc
     // fixture). The binary decontaminate pass drops; this one measures,
