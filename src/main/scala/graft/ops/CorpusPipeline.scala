@@ -42,14 +42,24 @@ object CorpusPipeline {
   /** Exact-dedup keep set: every row whose `idCol` is the minimum of its
     * `hashCol` group, plus the group size as `__n_dupes`.
     *
+    * PRECONDITION: `idCol` is unique and non-null across `df` (true for
+    * every corpus frame this pipeline builds). A duplicated id would
+    * multiply rows through the join-back; an all-null-id hash group
+    * would aggregate to a null min and drop at the equi-join — neither
+    * matches the one-row-per-hash contract, so don't feed such frames.
+    *
     * Shuffle discipline: the aggregation is ID-ONLY — `min(id)` +
     * `count(*)` per hash — so the Exchange moves (hash, id, count)
     * triples, never the document text or token arrays. The keep set is
-    * then joined back on `idCol` to recover the full rows (broadcast at
-    * any realistic keep-set size; the alternative `min_by(struct(*))`
-    * single-aggregation shape pushes the ENTIRE corpus through the hash
-    * Exchange and buffers full rows in the aggregation map — a
-    * scale-killer at 100 TB). Grouping on a materialized `content_hash`
+    * then joined back on `idCol` to recover the full rows. Catalyst
+    * broadcasts that join when stats allow (always at verify scale); at
+    * corpus scale the keep set is one (id, count) row per UNIQUE
+    * document — beyond broadcast range — and the join degrades to an
+    * id-keyed shuffle, which is still the right trade: the id Exchange
+    * moves each kept document once, where the `min_by(struct(*))`
+    * single-aggregation alternative pushes the ENTIRE corpus (dupes
+    * included) through the hash Exchange AND buffers full rows in the
+    * aggregation map. Grouping on a materialized `content_hash`
     * column of a [[Dedup.writeHashBucketed]] staging table satisfies the
     * aggregate's required distribution straight from the scan, so the
     * dedup stage plans with ZERO content-hash Exchange

@@ -538,38 +538,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** [[duplicateClusters]]' web-scale twin: alternating large-star /
-    * small-star edge contraction (Kiveris et al., "Connected Components
-    * in MapReduce and Beyond", SOCC'14) — the formulation SCALE.md
-    * designates for 100 TB clustering. Output-identical: (doc, cluster =
-    * component min) for every node in `pairs` (`DedupSpec` proves ≡ on
-    * path/clique/string-id/fractional-id graphs; q71 shares q61's
-    * DuckDB recursive-CTE oracle).
-    *
-    * Why a second formulation: min-label propagation carries a LABEL
-    * TABLE of every node through every round — its per-round shuffle is
-    * Θ(nodes + edges) until the last round. Star contraction rewrites
-    * the EDGE SET itself: each large-star hangs every node's
-    * larger-than-parent neighbors directly under its local minimum,
-    * each small-star re-parents the smaller ones, so edges collapse
-    * toward (node, component-min) and successive rounds shuffle a
-    * SHRINKING set — on web-scale near-dup graphs (billions of tiny
-    * cliques, a few long chains) most edges reach their final form in
-    * 2–3 rounds and later rounds touch a fraction of the input.
-    * Provably O(log² n) rounds on any graph; observed ≤ 5 on every
-    * test corpus. Both steps are the same shape as everything else in
-    * this file: groupBy-min on a node key + an equi-join back — no
-    * driver-side graph state.
-    *
-    * Convergence costs one extra probe job per round (an anti-join
-    * emptiness check folded with the count into the checkpoint's
-    * `observe`): unlike min-label, the per-node "previous label" does
-    * not ride along naturally, and ids may be strings (SURVEY §1.1), so
-    * the numeric-potential shortcut is out. The probe joins two edge
-    * tables — bounded by the (shrinking) edge set, not the corpus.
-    * Checkpointing/free semantics are identical to [[duplicateClusters]]
-    * (localCheckpoint by default, reliable via `checkpointDir`).
-    */
   /** Passage-level dedup: split every document into consecutive
     * `chunkTokens`-token chunks, drop every chunk whose exact text
     * already occurred earlier in the corpus (earlier = smaller
@@ -628,6 +596,38 @@ object Dedup {
         size(col("__keep")).cast("long").as("n_kept"))
   }
 
+  /** [[duplicateClusters]]' web-scale twin: alternating large-star /
+    * small-star edge contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SOCC'14) — the formulation SCALE.md
+    * designates for 100 TB clustering. Output-identical: (doc, cluster =
+    * component min) for every node in `pairs` (`DedupSpec` proves ≡ on
+    * path/clique/string-id/fractional-id graphs; q71 shares q61's
+    * DuckDB recursive-CTE oracle).
+    *
+    * Why a second formulation: min-label propagation carries a LABEL
+    * TABLE of every node through every round — its per-round shuffle is
+    * Θ(nodes + edges) until the last round. Star contraction rewrites
+    * the EDGE SET itself: each large-star hangs every node's
+    * larger-than-parent neighbors directly under its local minimum,
+    * each small-star re-parents the smaller ones, so edges collapse
+    * toward (node, component-min) and successive rounds shuffle a
+    * SHRINKING set — on web-scale near-dup graphs (billions of tiny
+    * cliques, a few long chains) most edges reach their final form in
+    * 2–3 rounds and later rounds touch a fraction of the input.
+    * Provably O(log² n) rounds on any graph; observed ≤ 5 on every
+    * test corpus. Both steps are the same shape as everything else in
+    * this file: groupBy-min on a node key + an equi-join back — no
+    * driver-side graph state.
+    *
+    * Convergence costs per round: one count over the new edge set (the
+    * previous round's count is carried in a driver variable, never
+    * recomputed) plus, only when the counts match, one anti-join
+    * emptiness probe — both bounded by the (shrinking) edge set, not
+    * the corpus. Unlike min-label, the per-node "previous label" does
+    * not ride along naturally, and ids may be strings (SURVEY §1.1), so
+    * the numeric-potential shortcut is out.
+    * Checkpointing/free semantics are identical to [[duplicateClusters]]
+    * (localCheckpoint by default, reliable via `checkpointDir`). */
   def duplicateClustersStars(pairs: DataFrame, aCol: String, bCol: String,
                              maxIter: Int = 30,
                              checkpointDir: Option[String] = None): DataFrame = {
@@ -642,17 +642,22 @@ object Dedup {
     val pfPrev = spark.conf.getOption(pfKey)
     spark.conf.set(pfKey, "false")
     try {
+      // staged: THREE plan branches consume the pair frame (the edge
+      // canonicalization plus both arms of the node union) — unstaged,
+      // the expensive pair GENERATOR behind it (Jaccard/LSH candidate
+      // join) would re-run once per branch
+      val p0 = Staged.stage(pairs)
       // canonical u > v, self-loops out. Isolated self-paired ids (a==b
       // rows) still appear in the output via the `nodes` union below.
       var edges = materialize(
-        pairs.select(greatest(col(aCol), col(bCol)).as("u"),
+        p0.select(greatest(col(aCol), col(bCol)).as("u"),
             least(col(aCol), col(bCol)).as("v"))
           .filter(col("u") =!= col("v")).distinct())
       // every node of the ORIGINAL graph — the star forest loses
       // isolated nodes (no edges), and roots only appear as targets
       val nodes = Staged.stage(
-        pairs.select(col(aCol).as("doc"))
-          .unionByName(pairs.select(col(bCol).as("doc"))).distinct())
+        p0.select(col(aCol).as("doc"))
+          .unionByName(p0.select(col(bCol).as("doc"))).distinct())
 
       // large-star: hang every neighbor bigger than u under
       // m = min(N(u) ∪ {u}); since m <= u < v the emitted (v, m) is
@@ -678,6 +683,7 @@ object Dedup {
 
       var converged = false
       var i = 0
+      var edgeCount = edges.count()
       while (!converged && i < maxIter) {
         // each star step gets its own checkpoint: un-materialized, the
         // large-star output would feed small-star's aggregate AND both
@@ -688,11 +694,14 @@ object Dedup {
         free(ls)
         // fixpoint of BOTH stars ⇔ star forest ⇔ edge set unchanged;
         // counts are equal at fixpoint, so one-sided anti-emptiness
-        // suffices for set equality (both sides distinct)
-        converged = next.count() == edges.count() &&
+        // suffices for set equality (both sides distinct). The previous
+        // round's count is carried, never recomputed.
+        val nextCount = next.count()
+        converged = nextCount == edgeCount &&
           next.join(edges, Seq("u", "v"), "left_anti").isEmpty
         free(edges)
         edges = next
+        edgeCount = nextCount
         i += 1
       }
       val stars = edges

@@ -22,6 +22,12 @@ final case class Q(name: String,
   */
 object CoreQueries {
 
+  /** q70's committed CSV fixture tree, resolved to an absolute path from
+    * the checkout's working directory — both engines (Spark here, DuckDB
+    * driver-side) must read the same files from any clone location. */
+  private lazy val loomFixtureRoot: String =
+    new java.io.File("fixtures/loom").getAbsolutePath
+
   def all: Seq[Q] = Seq(
 
     // Q1 — positional projection + rename + trim (P1/P2,
@@ -632,23 +638,24 @@ object CoreQueries {
     // `float(x or 0)` coercion (`typedView`). Input is the committed
     // fixture tree under fixtures/loom (the driver's parquet testdata
     // has no CSV surface), mirrored in DuckDB by `read_csv` over the
-    // same files — absolute paths so both engines resolve identically
-    // regardless of working directory.
+    // same files — the fixture root resolves to an ABSOLUTE path at
+    // query construction (from the repo checkout's working dir), so
+    // both engines read identical files from any checkout location.
     Q("q70_loom_csv_ingest",
       (s, _) => {
         val t = graft.ingest.LoomCsv.typedView(graft.ingest.LoomCsv.normalize(
-          graft.ingest.LoomCsv.readMonths(s, "/root/repo/fixtures/loom",
+          graft.ingest.LoomCsv.readMonths(s, loomFixtureRoot,
             Seq("2024-01", "2024-02"))))
         t.select(col("month"), col("DataTurno").as("data_turno"),
           col("Tear").as("tear"), col("Artigo").as("artigo"), col("shift"),
           col("Rpm").as("rpm"), col("Eficiencia").as("eficiencia"),
           col("Metros").as("metros"))
       },
-      Some("""WITH raw AS (
+      Some(s"""WITH raw AS (
              |  SELECT DataTurno, Tear, Artigo, Rpm, Eficiencia, Metros,
-             |         regexp_extract(filename, '(\d{4}-\d{2})/[^/]+/[^/]+$', 1) AS month
-             |  FROM read_csv(['/root/repo/fixtures/loom/2024-01/daily/*.[cC][sS][vV]',
-             |                 '/root/repo/fixtures/loom/2024-02/daily/*.[cC][sS][vV]'],
+             |         regexp_extract(filename, '(\\d{4}-\\d{2})/[^/]+/[^/]+$$', 1) AS month
+             |  FROM read_csv(['$loomFixtureRoot/2024-01/daily/*.[cC][sS][vV]',
+             |                 '$loomFixtureRoot/2024-02/daily/*.[cC][sS][vV]'],
              |       header=false, all_varchar=true, filename=true,
              |       names=['DataTurno','Tear','Artigo','Filler','ArtigoGen','Rpm','Eficiencia',
              |              'Funcionando','Parado','Pontos','Metros'])),

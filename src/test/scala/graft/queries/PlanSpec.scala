@@ -152,18 +152,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q72 passage dedup: text never rides the fingerprint Exchange") {
+  test("q72 passage dedup: text never rides a fingerprint-keyed Exchange") {
     // chunk text is md5'd into __fp before the groupBy; every shuffle
-    // Exchange must carry only (fp, id, pos)-level columns — the rebuild
-    // join on doc_id is the single text-carrying boundary (broadcast or
-    // shuffle, but never an Exchange of text keyed by fingerprint)
+    // Exchange EXCEPT the documented rebuild boundary (the equi-join on
+    // doc_id, which legitimately carries text whether it plans broadcast
+    // or shuffle) must carry only (fp, id, pos)-level columns. Column
+    // names are matched exactly — a substring check would also hit
+    // norm_text#/clean_text# columns that are fine to shuffle by id.
     val p = graft.ops.Staged.withStaged {
       SparkEntry.queries("q72_passage_dedup")(spark, sf)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     }
-    val exchangeInputs = raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]+)\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchangeInputs.nonEmpty, p)
-    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("__w#")), p)
+    val exchanges =
+      raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]+)\]\s*\nArguments: ([^\n]+)".r
+        .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(exchanges.nonEmpty, p)
+    val nonIdKeyed = exchanges.filterNot(_._2.contains(s"hashpartitioning(doc_id"))
+    assert(nonIdKeyed.nonEmpty, p)
+    nonIdKeyed.foreach { case (in, args) =>
+      val cols = in.split(",\\s*").toSeq
+      assert(!cols.exists(c => c.startsWith("text#") || c.startsWith("__w#")),
+        s"$args carries $in")
+    }
   }
 }
