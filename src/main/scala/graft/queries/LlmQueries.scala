@@ -1196,6 +1196,52 @@ object LlmQueries {
              |  round(sum(bucket - nt) * 1.0 / sum(bucket), 4) AS waste_frac
              |FROM b GROUP BY 1""".stripMargin)),
 
+    // Embedding outlier detection: distance to the own-label centroid,
+    // z-scored within the label, flag z >= 2 — the mislabeled/corrupt
+    // vector filter an embedding pipeline runs before index builds.
+    // Three cluster-sized aggregates (centroids = labels×dim rows,
+    // stats = labels rows) around one projection pass for the
+    // distances; the corpus joins only against broadcastable
+    // label-keyed tables. Two full scans (mean, then deviation) are
+    // inherent to the statistic.
+    Q("q90_embedding_outliers",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("label"),
+            transform(col("pm"), x => x.getField("m")).as("cv"))
+        val dist = e.join(cent, "label")
+          .select(col("vec_id"), col("label"),
+            sqrt(aggregate(
+              zip_with(col("embedding").cast("array<double>"), col("cv"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)).as("dist"))
+        val stats = dist.groupBy("label")
+          .agg(avg("dist").as("mu"), stddev_samp(col("dist")).as("sd"))
+        dist.join(stats, "label")
+          .withColumn("z", round((col("dist") - col("mu")) / col("sd"), 4))
+          .filter(col("z") >= 2.0)
+          .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+            col("z"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ed FROM embeddings),
+             |x AS (SELECT label, unnest(ed) AS v, unnest(range(len(ed))) AS pos FROM e),
+             |c AS (SELECT label, pos, avg(v) AS m FROM x GROUP BY 1, 2),
+             |cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY 1),
+             |d AS (SELECT vec_id, e.label,
+             |    sqrt(list_sum(list_transform(range(len(ed)),
+             |      i -> (ed[i+1] - cv[i+1]) * (ed[i+1] - cv[i+1])))) AS dist
+             |  FROM e JOIN cent USING (label)),
+             |st AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+             |  FROM d GROUP BY 1)
+             |SELECT vec_id, label, round(dist, 4) AS dist,
+             |  round((dist - mu) / sd, 4) AS z
+             |FROM d JOIN st USING (label)
+             |WHERE round((dist - mu) / sd, 4) >= 2.0""".stripMargin)),
+
     // Contamination scoring: q63's graded twin — per-document shingle
     // overlap with the held-out benchmark set (same every-50th-doc
     // fixture). The binary decontaminate pass drops; this one measures,
