@@ -1170,12 +1170,17 @@ object LlmQueries {
     // no float log2 at power boundaries).
     Q("q89_length_buckets",
       (s, d) => {
-        val nt = TextFunctions.tokenCount(col("text")).cast("long")
+        // tokenize ONCE into __nt, then derive the bucket from the
+        // column: inlining tokenCount into all 8 when-conditions would
+        // re-run the lambda-bearing split per condition (no CSE for
+        // interpreted lambdas — q64/q76's rule)
+        val nt = col("__nt")
         val bucket = when(nt <= 8, 8L).when(nt <= 16, 16L)
           .when(nt <= 32, 32L).when(nt <= 64, 64L).when(nt <= 128, 128L)
           .when(nt <= 256, 256L).when(nt <= 512, 512L).otherwise(1024L)
         Tables.documents(s, d)
-          .select(bucket.as("bucket"), nt.as("__nt"))
+          .select(TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+          .select(bucket.as("bucket"), col("__nt"))
           .filter(col("__nt") > 0)
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"),
@@ -1213,16 +1218,23 @@ object LlmQueries {
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("label"),
             transform(col("pm"), x => x.getField("m")).as("cv"))
-        val dist = e.join(cent, "label")
+        // staged: both the stats aggregate and the final join consume
+        // the distance frame — unstaged, the scan + centroid join +
+        // distance lambda run once per branch
+        val dist = graft.ops.Staged.stage(e.join(cent, "label")
           .select(col("vec_id"), col("label"),
             sqrt(aggregate(
               zip_with(col("embedding").cast("array<double>"), col("cv"),
                 (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x)).as("dist"))
+              lit(0.0), (acc, x) => acc + x)).as("dist")))
         val stats = dist.groupBy("label")
           .agg(avg("dist").as("mu"), stddev_samp(col("dist")).as("sd"))
         dist.join(stats, "label")
-          .withColumn("z", round((col("dist") - col("mu")) / col("sd"), 4))
+          // sd = 0 (a label whose member distances are all identical)
+          // must yield a null z, not an ANSI DIVIDE_BY_ZERO — the
+          // oracle's 0/0 is NULL in DuckDB and the filter drops it
+          .withColumn("z", when(col("sd") > 0,
+            round((col("dist") - col("mu")) / col("sd"), 4)))
           .filter(col("z") >= 2.0)
           .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
             col("z"))

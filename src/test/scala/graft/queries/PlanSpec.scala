@@ -171,7 +171,11 @@ class PlanSpec extends SparkSpec {
     assert(nonIdKeyed.nonEmpty, p)
     nonIdKeyed.foreach { case (in, args) =>
       val cols = in.split(",\\s*").toSeq
-      assert(!cols.exists(c => c.startsWith("text#") || c.startsWith("__w#")),
+      // ban raw text AND its derivatives (norm_text/clean_text) and the
+      // token array from every non-id-keyed Exchange — the id-keyed
+      // rebuild boundary is the only place document content may shuffle
+      assert(!cols.exists(c => c.startsWith("text#") ||
+          c.contains("_text#") || c.startsWith("__w#")),
         s"$args carries $in")
     }
   }
