@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** End-of-word marker (a symbol that can never be produced by
-    * character splitting — tokens are whitespace-split so they contain
-    * no whitespace, and `</w>` contains chars that do appear in text but
-    * never as this exact standalone symbol sequence boundary). */
+  /** End-of-word marker. Character splitting can never produce it (it's
+    * multi-char), but a SEQUENCE of merges over text containing the
+    * literal run `<`,`/`,`w`,`>` could synthesize a mid-word symbol equal
+    * to it — after which later rules targeting the boundary would also
+    * fire mid-word. [[trainMerges]] therefore never learns a merge whose
+    * concatenation equals this marker, which closes the only path to a
+    * counterfeit (the final fusing step is always a single pair merge). */
   val EndOfWord = "</w>"
 
   private def toSymbols(w: String): Vector[String] =
@@ -65,8 +68,11 @@ object Bpe {
           i += 1
         }
       }
-      // argmax with deterministic tiebreak: count desc, then pair asc
+      // argmax with deterministic tiebreak: count desc, then pair asc.
+      // Pairs that would fuse into a counterfeit EndOfWord are never
+      // learnable (see the marker's doc).
       val best = pairCounts.toSeq
+        .filterNot { case ((l, r), _) => l + r == EndOfWord }
         .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
       best match {
         case Some((pair, c)) if c >= 2 =>

@@ -209,17 +209,23 @@ object Similarity {
                   nIters: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
+    // (__h, id) tiebreak makes the sample cut and the seed window total
+    // orders even under hash collisions — same discipline as
+    // shuffleShards/quotaPerStratum; 'training is deterministic' (which
+    // ivfPqTopKIndexed ≡ ivfPqTopK rests on) must not assume collision
+    // absence.
     val sample = corpus
-      .select(xxhash64(col(idCol)).as("__h"), col(vecCol).as("cv"))
-      .orderBy("__h").limit(trainN)
+      .select(xxhash64(col(idCol)).as("__h"), col(idCol).as("__sid"),
+        col(vecCol).as("cv"))
+      .orderBy("__h", "__sid").limit(trainN)
     // staged: the seed selection and EVERY Lloyd round re-consume this
     // frame, and its lineage is a corpus-wide sample scan — without the
     // pin each consumer re-reads the corpus (Staged releases per query)
-    val subRows = Staged.stage(sample.select(col("__h"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
+    val subRows = Staged.stage(sample.select(col("__h"), col("__sid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("cv"), j * sub + 1, lit(sub)))))
-      .toDF("__h", "subspace", "subv"))
-    val w = Window.partitionBy("subspace").orderBy("__h")
+      .toDF("__h", "__sid", "subspace", "subv"))
+    val w = Window.partitionBy("subspace").orderBy("__h", "__sid")
     val seeds = subRows
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

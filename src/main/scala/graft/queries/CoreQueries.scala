@@ -22,11 +22,22 @@ final case class Q(name: String,
   */
 object CoreQueries {
 
-  /** q70's committed CSV fixture tree, resolved to an absolute path from
-    * the checkout's working directory — both engines (Spark here, DuckDB
-    * driver-side) must read the same files from any clone location. */
-  private lazy val loomFixtureRoot: String =
-    new java.io.File("fixtures/loom").getAbsolutePath
+  /** q70's committed CSV fixture tree — both engines (Spark here, DuckDB
+    * driver-side) must read the same files from any clone location.
+    * Resolved from `-Dgraft.fixtures.dir` / `GRAFT_FIXTURES_DIR` when
+    * set, else relative to the launch cwd (the repo root for sbt/Verify);
+    * fails fast if the tree isn't there, rather than letting both engines
+    * agree on an empty read. */
+  private lazy val loomFixtureRoot: String = {
+    val root = sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("fixtures/loom"))
+    require(root.isDirectory,
+      s"loom fixture tree not found at ${root.getAbsolutePath}; " +
+        "launch from the repo root or set -Dgraft.fixtures.dir / GRAFT_FIXTURES_DIR")
+    root.getAbsolutePath
+  }
 
   def all: Seq[Q] = Seq(
 
