@@ -315,9 +315,46 @@ object Dedup {
     val sigs = exploded.groupBy("doc")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc"), array((0 until numPerms).map(p => col(s"h$p")): _*).as("sig"))
+    lshBandPairs(sigs, numPerms, rowsPerBand, threshold,
+      b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+  }
+
+  /** md5-signature twin of [[minhashLshPairs]] — the VERIFICATION
+    * instrument, not the production path: md5 is the one hash both Spark
+    * and DuckDB compute bit-identically (see q45↔q51 for the same
+    * pattern on embeddings), so this variant's pair set is fully
+    * oracle-checkable while the xxhash64 path stays the production
+    * default (8-byte long minhashes vs 32-char hex strings — ~4× less
+    * signature traffic). Same plan shape: explode → per-perm min
+    * aggregate (codegen'd) → band/bucket equi-join → minhash-agreement
+    * verify. Per-perm value = min over shingles of md5(perm || '|' ||
+    * shingle); both engines order the lowercase-hex strings identically
+    * (ASCII lexicographic). */
+  def minhashLshPairsMd5(idCol: String, textCol: String, n: Int,
+                         numPerms: Int, rowsPerBand: Int, threshold: Double,
+                         tokensCol: Option[String] = None)
+                        (df: DataFrame): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val exploded = shingleRows(df, idCol, textCol, tokensCol, n)
+    val minAggs = (0 until numPerms).map(p =>
+      min(md5(concat(lit(p.toString), lit("|"), col("shingle")))).as(s"h$p"))
+    val sigs = exploded.groupBy("doc")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc"), array((0 until numPerms).map(p => col(s"h$p")): _*).as("sig"))
+    lshBandPairs(sigs, numPerms, rowsPerBand, threshold,
+      b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))))
+  }
+
+  /** Shared LSH tail: band the signatures (`bandBucket` builds band b's
+    * bucket id from the `sig` column), candidate-join on (band, bucket),
+    * estimate Jaccard as the minhash agreement fraction, threshold.
+    * Candidates come from an equi-join — no O(N²) at any corpus size. */
+  private def lshBandPairs(sigs: DataFrame, numPerms: Int, rowsPerBand: Int,
+                           threshold: Double,
+                           bandBucket: Int => Column): DataFrame = {
+    val numBands = numPerms / rowsPerBand
     val bands = sigs.select(col("doc"), col("sig"),
-        posexplode(array((0 until numBands).map(b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+        posexplode(array((0 until numBands).map(bandBucket): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -373,6 +373,35 @@ object LlmQueries {
         .transform(Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.03)),
       None),
 
+    // q27's md5-signature twin — same algorithm, same parameters, but
+    // every hash in the pipeline (per-perm minhash AND band bucket) is
+    // md5, which DuckDB computes bit-identically, so the full MinHash+LSH
+    // pair set gets a hash-checked oracle instead of q27's rows-only
+    // check. MinhashLshSpec pins its pair set ≡ q27's on the same input;
+    // xxhash64 stays the production default (long vs 32-char hex
+    // signatures).
+    Q("q91_minhash_lsh_md5",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.minhashLshPairsMd5("doc_id", "text", 3, 32, 4, 0.03)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sig AS (SELECT doc, p, min(md5(p::VARCHAR || '|' || shingle)) AS h
+             |  FROM sh CROSS JOIN range(32) t(p) GROUP BY doc, p),
+             |buck AS (SELECT doc, p // 4 AS band,
+             |    md5(string_agg(h, '|' ORDER BY p)) AS bucket
+             |  FROM sig GROUP BY doc, p // 4),
+             |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             |  FROM buck a JOIN buck b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+             |est AS (SELECT doc_a, doc_b,
+             |    round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+             |  FROM cand JOIN sig sa ON sa.doc = cand.doc_a
+             |            JOIN sig sb ON sb.doc = cand.doc_b AND sb.p = sa.p
+             |  GROUP BY doc_a, doc_b)
+             |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.03""".stripMargin)),
+
     // SimHash near-dup at the radius the 4-chunk banding makes
     // EXHAUSTIVE (<= 3; see Dedup.simhashPairs) — rows-only check.
     Q("q28_simhash_pairs",

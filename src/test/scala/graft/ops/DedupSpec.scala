@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("md5 minhash twin: pair set ≡ the xxhash64 path's at q27's parameters (sf0.01 docs)") {
+    // the check behind q91's oracle standing in for q27: the md5-signature
+    // variant is the same algorithm under a different (DuckDB-computable)
+    // hash family, so at q27's parameters it must surface the same pair
+    // SET on the real fixture — est_jaccard values may differ hash-by-hash
+    // (independent 32-perm estimates), the thresholded pairs must not.
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val xx = Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.03)(real)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val md = Dedup.minhashLshPairsMd5("doc_id", "text", 3, 32, 4, 0.03)(real)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(xx.nonEmpty, "xxhash path surfaced no pairs — fixture regressed")
+    assert(md === xx,
+      s"md5-only: ${(md -- xx).take(5)}; xxhash-only: ${(xx -- md).take(5)}")
+  }
+
   test("minhash calibration: est_jaccard within ±0.15 of exact Jaccard (sf0.01 docs)") {
     // quantitative check behind the rows-only q27 CORRECTNESS entry: on
     // the pairs both methods surface, the 32-perm minhash estimate must
