@@ -493,4 +493,76 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * assign every document to its nearest centroid cell, verify exact
+    * cosine on WITHIN-CELL pairs only, connected-components the θ-graph,
+    * and label each doc with its component's min id — "keep one per
+    * semantic cluster" is then `filter(doc === sem_cluster)`. The
+    * embedding-side twin of the text pipeline's MinHash-fed dedup: cells
+    * play the role LSH bands play there, turning O(N²) verify into
+    * Σ n_cell² (size nCentroids with the corpus — SemDeDup runs ~√N
+    * cells — and the per-cell verify is an equi-join on the cell id).
+    *
+    * Plan at scale: assignment is a pure projection over the broadcast
+    * centroid pack (no shuffle); the candidate self-join carries IDS ONLY
+    * (cell, doc) — the wide vectors join back once per side for the
+    * exact verify, exactly like [[cosineNearDupPairs]]; the CC loop is
+    * [[Dedup.duplicateClusters]]' checkpointed min-label propagation.
+    * Pairs never span cells (a doc lives in exactly one cell), so
+    * components are cell-local by construction.
+    *
+    * Missing cross-cell θ-pairs is the algorithm's documented
+    * approximation; because the found pair graph is a SUBSET of the
+    * exact one, every doc the exact graph keeps is also kept here
+    * (components only split, and each split component's min is itself a
+    * component min) — the kept set degrades toward "keep everything",
+    * never toward over-deletion (spec-pinned, SimilaritySpec).
+    *
+    * Determinism for the cross-engine oracle: the argmax is over
+    * round(cosine, 4) with centroid-id tiebreak (negate-after-round, so
+    * no rounding asymmetry), and q92's centroids are the nCentroids
+    * md5(id)-smallest corpus vectors — both reproducible bit-identically
+    * in DuckDB, making the full (doc, sem_cluster) table hash-checkable.
+    *
+    * Output: (doc, sem_cluster) for EVERY corpus row; singletons label
+    * themselves.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, theta: Double,
+               maxIter: Int = 20): DataFrame = {
+    // staged: the candidate join consumes the assignment twice, and its
+    // lineage is the full centroid-scoring projection
+    val cells = Staged.stage(corpus
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col(idCol).as("doc"),
+        array_min(transform(col("__cents"), ce =>
+          struct(negate(round(coalesce(
+              cosineSim(col(vecCol), ce.getField("centv")), lit(-2.0)), 4)).as("ns"),
+            ce.getField("centroid_id").as("cid")))).getField("cid").as("cell")))
+    val cand = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pairs = cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .filter(round(cosineSim(col("va"), col("vb")), 4) >= theta)
+      .select("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b", maxIter)
+    corpus.select(col(idCol).as("doc"))
+      .join(clusters, Seq("doc"), "left_outer")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("sem_cluster"))
+  }
+
+  /** The md5(id)-smallest `n` corpus vectors as a centroid table — the
+    * deterministic, cross-engine-reproducible seeding [[semDedup]]'s
+    * oracle needs (DuckDB computes the same md5 ordering; xxhash64 is
+    * Spark-only). TakeOrderedAndProject — no global sort. */
+  def md5SeededCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                         n: Int): DataFrame =
+    corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
+      .limit(n)
 }

@@ -1283,6 +1283,50 @@ object LlmQueries {
              |FROM d JOIN st USING (label)
              |WHERE round((dist - mu) / sd, 4) >= 2.0""".stripMargin)),
 
+    // SemDeDup: embedding-cluster semantic dedup — assign every vector
+    // to its nearest centroid cell, exact-cosine-verify WITHIN-CELL
+    // pairs at θ, connected-components the pair graph, label every doc
+    // with its component's min id (singletons label themselves); "keep
+    // one per semantic cluster" is doc = sem_cluster. Fully
+    // hash-checkable: centroids are the 8 md5(id)-smallest vectors and
+    // the argmax runs on round(cos, 4) with centroid-id tiebreak, all
+    // reproducible in DuckDB; the closure reuses q61's recursive-CTE
+    // pattern. θ matches q45's 0.35 so SimilaritySpec can pin the
+    // subset/keep-superset laws against the exact all-pairs graph.
+    Q("q92_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.semDedup(e, "vec_id", "embedding",
+          Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8), 0.35)
+      },
+      Some("""WITH RECURSIVE
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+             |  WHERE round(list_dot_product(ea.v, eb.v) /
+             |    (sqrt(list_dot_product(ea.v, ea.v)) *
+             |     sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.35),
+             |edges AS (SELECT ia AS u, ib AS v FROM pairs
+             |  UNION SELECT ib, ia FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e2.v FROM reach r JOIN edges e2 ON r.dst = e2.u),
+             |lab AS (SELECT src AS doc, min(dst) AS sem_cluster FROM reach GROUP BY 1)
+             |SELECT e.vec_id AS doc, coalesce(l.sem_cluster, e.vec_id) AS sem_cluster
+             |FROM e LEFT JOIN lab l ON l.doc = e.vec_id""".stripMargin)),
+
     // Contamination scoring: q63's graded twin — per-document shingle
     // overlap with the held-out benchmark set (same every-50th-doc
     // fixture). The binary decontaminate pass drops; this one measures,

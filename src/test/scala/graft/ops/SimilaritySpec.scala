@@ -168,4 +168,58 @@ class SimilaritySpec extends SparkSpec {
     // (0,1) cosine ≈ 0.9939
     assert(pairs.forall(_._3 >= 0.98))
   }
+
+  test("semDedup: high-sim duplicate groups collapse to one representative per group") {
+    // the regime SemDeDup targets — near-identical vectors: two dup
+    // groups ({0,1,2} around +x, {10,11} around +y) plus singletons.
+    // Group members are at cos > 0.999 of each other, so wherever the
+    // centroids fall each group shares a cell and the kept set must
+    // equal the exact graph's.
+    val dup = Seq(
+      (0L, Seq(1.0f, 0.00f, 0.0f)), (1L, Seq(1.0f, 0.01f, 0.0f)),
+      (2L, Seq(1.0f, 0.00f, 0.01f)),
+      (10L, Seq(0.0f, 1.0f, 0.00f)), (11L, Seq(0.0f, 1.0f, 0.01f)),
+      (20L, Seq(-1.0f, 0.0f, 0.0f)), (21L, Seq(0.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.md5SeededCentroids(dup, "vec_id", "embedding", 3)
+    val out = Similarity.semDedup(dup, "vec_id", "embedding", cents, 0.99)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L))
+  }
+
+  test("semDedup keep-superset law vs the exact θ-graph (sf0.01 embeddings, q92 parameters)") {
+    // semDedup's pair graph is a SUBSET of the exact all-pairs θ-graph
+    // (within-cell only, exact verify → no false pairs), so its CC
+    // components refine the exact ones and every doc the exact graph
+    // keeps stays kept — the approximation can only keep MORE, never
+    // over-delete. This is the quantitative contract behind q92.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Similarity.semDedup(e, "vec_id", "embedding",
+      Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8), 0.35)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size === e.count()) // one row per doc, singletons included
+    // label sanity: sem_cluster <= doc, and every label is itself kept
+    assert(labels.forall { case (doc, c) => c <= doc })
+    assert(labels.values.toSet.forall(c => labels(c) == c))
+    // exact graph keep set (min-label CC over the all-pairs θ-graph)
+    val exactPairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+      .filter(round(graft.functions.CosineSimilarityExpr.cosineSim(
+        col("va"), col("vb")), 4) >= 0.35)
+      .select("id_a", "id_b")
+    val exactLabels = Dedup.duplicateClusters(exactPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val exactKept = labels.keySet.filter(d => exactLabels.getOrElse(d, d) == d)
+    val semKept = labels.keySet.filter(d => labels(d) == d)
+    assert(exactKept.subsetOf(semKept),
+      s"over-deleted: ${(exactKept -- semKept).take(5)}")
+    // and the approximation actually bites at this θ on real data: it
+    // must still collapse a meaningful share of the exact graph's dupes
+    val exactDropped = labels.keySet.size - exactKept.size
+    val semDropped = labels.keySet.size - semKept.size
+    assert(exactDropped > 0, "fixture lost its θ=0.35 pairs")
+    assert(semDropped > 0, "semDedup collapsed nothing — cells too fine")
+  }
 }
