@@ -633,6 +633,67 @@ object Dedup {
         size(col("__keep")).cast("long").as("n_kept"))
   }
 
+  /** UNALIGNED repeated-passage removal — the stride-1 twin of
+    * [[dropRepeatedPassages]]. The chunk variant only catches a copied
+    * passage that starts ON a chunk boundary: shift the copy by one
+    * token and every 16-token chunk of it mixes copied with novel text,
+    * so nothing matches (DedupSpec proves the miss). This variant
+    * fingerprints EVERY `windowTokens`-token window (stride 1, the
+    * per-position discipline of [[graft.functions.TextFunctions.windowFingerprints]]
+    * applied at token granularity), keeps each window text's globally
+    * first occurrence (min (id, pos)), and drops every token covered by
+    * any LATER occurrence. For a copied span of length ≥ windowTokens at
+    * ANY offset, the windows fully inside the copy are exactly the
+    * duplicated ones and their union covers exactly the copied tokens —
+    * so the removal is the copied span, no more, no less: the
+    * suffix-array substring-dedup semantics ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022) without the
+    * global suffix sort no engine runs at corpus scale.
+    *
+    * Output: (id, clean_text, n_tokens, n_kept) — token counts, since
+    * removal is token-granular here. Docs shorter than `windowTokens`
+    * have no windows and pass through intact.
+    *
+    * Shuffle discipline: stride-1 costs ~windowTokens× the chunk
+    * variant's hashing (per-position md5 of the window text) but that
+    * work is map-side; the fingerprint Exchange still moves only
+    * (fp, id, pos) triples. Unlike the chunk variant there is NO
+    * text-carrying rebuild join at all: the duplicate-span starts
+    * collapse to one sorted array per doc (id-only shuffle) and the
+    * token filter + rebuild run as array expressions over the staged
+    * tokenization — text never leaves its partition. */
+  def dropRepeatedPassagesUnaligned(idCol: String, textCol: String,
+                                    windowTokens: Int = 16,
+                                    tokensCol: Option[String] = None)
+                                   (docs: DataFrame): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val cw = windowTokens
+    val toks = Staged.stage(docs
+      .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .withColumn("__n", size(col("__w")).cast("long")))
+    val occ = toks.filter(col("__n") >= cw)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("__n") - cw),
+          i => md5(array_join(slice(col("__w"), (i + 1).cast("int"), lit(cw)), " ")))))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp"))
+    val firsts = occ.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
+    val dupStarts = occ.join(firsts, "__fp")
+      .filter(struct(col(idCol), col("__pos")) =!= col("__k"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__ds"))
+    toks.join(dupStarts, Seq(idCol), "left_outer")
+      .withColumn("__dss", coalesce(col("__ds"), array().cast("array<bigint>")))
+      .withColumn("__keep", filter(sequence(lit(0L), col("__n") - 1),
+        t => !exists(col("__dss"), s => s <= t && t < s + cw)))
+      .select(col(idCol),
+        array_join(transform(col("__keep"),
+          t => element_at(col("__w"), (t + 1).cast("int"))), " ").as("clean_text"),
+        col("__n").as("n_tokens"),
+        size(col("__keep")).cast("long").as("n_kept"))
+  }
+
   /** [[duplicateClusters]]' web-scale twin: alternating large-star /
     * small-star edge contraction (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SOCC'14) — the formulation SCALE.md

@@ -203,6 +203,41 @@ object LlmQueries {
              |  cast(count(*) AS BIGINT) AS n_kept
              |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
 
+    // Unaligned passage removal: q72's stride-1 twin — fingerprint every
+    // 16-token window at every position, keep-first globally, drop the
+    // tokens covered by later occurrences. Catches copies that do NOT
+    // start on a chunk boundary (DedupSpec has the offset-shifted
+    // fixture q72's chunk mode provably misses); removal is exactly the
+    // copied span. Token-granular output.
+    Q("q93_passage_dedup_unaligned",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.dropRepeatedPassagesUnaligned("doc_id", "text", 16)),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |tt AS (SELECT doc_id, w, cast(len(w) AS BIGINT) AS n
+             |  FROM t WHERE len(w) > 0),
+             |occ AS (SELECT doc_id, w, unnest(range(n - 16 + 1)) AS pos
+             |  FROM tt WHERE n >= 16),
+             |fp AS (SELECT doc_id, pos,
+             |    md5(array_to_string(w[(pos + 1):(pos + 16)], ' ')) AS f FROM occ),
+             |k AS (SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY f ORDER BY doc_id, pos) AS rn FROM fp),
+             |ds AS (SELECT doc_id, list(pos ORDER BY pos) AS dss
+             |  FROM k WHERE rn > 1 GROUP BY doc_id),
+             |r AS (SELECT tt.doc_id, tt.w, tt.n,
+             |    coalesce(ds.dss, []::BIGINT[]) AS dss
+             |  FROM tt LEFT JOIN ds ON tt.doc_id = ds.doc_id),
+             |kept AS (SELECT doc_id, w, n,
+             |    list_filter(range(n), t ->
+             |      len(list_filter(dss, s -> s <= t AND t < s + 16)) = 0) AS ki
+             |  FROM r)
+             |SELECT doc_id,
+             |  coalesce(array_to_string(list_transform(ki, t -> w[t + 1]), ' '), '')
+             |    AS clean_text,
+             |  n AS n_tokens, cast(len(ki) AS BIGINT) AS n_kept
+             |FROM kept""".stripMargin)),
+
     // Incremental corpus dedup: dedupe the OLDER half of the corpus,
     // then fold the newer half in through IncrementalDedup.dedupDelta —
     // the daily-crawl path that never re-pairs the corpus against

@@ -99,6 +99,49 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === (toks("d", 20), 2L, 2L))
   }
 
+  test("dropRepeatedPassagesUnaligned: catches the offset-shifted copy the chunk mode provably misses") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val passage = toks("p", 20)                     // 20-token passage
+    val docs = Seq(
+      (1L, passage + " " + toks("x", 12)),          // source: passage at offset 0
+      // copy starts at token 5 — NOT a multiple of 16, so every 16-token
+      // chunk of doc 2 mixes copied with novel text
+      (2L, toks("y", 5) + " " + passage + " " + toks("z", 7))
+    ).toDF("doc_id", "text")
+    // chunk mode misses it: nothing is dropped anywhere
+    val chunked = Staged.withStaged {
+      docs.transform(Dedup.dropRepeatedPassages("doc_id", "text", 16))
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    }
+    assert(chunked(2L)._3 === chunked(2L)._4, "chunk mode unexpectedly dropped something")
+    // stride-1 mode removes exactly the copied 20 tokens from doc 2
+    val out = Staged.withStaged {
+      docs.transform(Dedup.dropRepeatedPassagesUnaligned("doc_id", "text", 16))
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    }
+    assert(out(1L)._2 === passage + " " + toks("x", 12)) // source intact
+    assert(out(1L)._4 === 32L)
+    assert(out(2L)._2 === toks("y", 5) + " " + toks("z", 7)) // copy excised, no more no less
+    assert(out(2L)._3 === 32L && out(2L)._4 === 12L)
+  }
+
+  test("dropRepeatedPassagesUnaligned: short docs pass through; intra-doc runs collapse; boundary tokens survive") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks("s", 10)),                          // shorter than the window → intact
+      (2L, toks("a", 16) + " " + toks("a", 16)),    // intra-doc repeat at offset 16
+      (3L, toks("u", 16))                           // unique, exactly one window
+    ).toDF("doc_id", "text")
+    val out = Staged.withStaged {
+      docs.transform(Dedup.dropRepeatedPassagesUnaligned("doc_id", "text", 16))
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    }
+    assert(out(1L)._2 === toks("s", 10) && out(1L)._4 === 10L)
+    assert(out(3L)._2 === toks("u", 16) && out(3L)._4 === 16L)
+    // doc 2: the second a1..a16 run duplicates the first window → dropped
+    assert(out(2L)._2 === toks("a", 16) && out(2L)._4 === 16L)
+  }
+
   test("duplicateClustersStars ≡ duplicateClusters on every graph shape") {
     // the star-contraction twin must produce the identical (doc, cluster)
     // labeling — clique-dense, long-path (worst case for round count),
