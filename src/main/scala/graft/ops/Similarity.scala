@@ -428,12 +428,55 @@ object Similarity {
     // encoding below reads the PERSISTED tables, so the in-memory
     // training frames are each consumed exactly once here
     cbs.write.mode("overwrite").saveAsTable(s"${table}_codebooks")
-    pqEncode(
-      assignCells(unitCorpus, "neighbor_id", "cv",
-        corpus.sparkSession.table(s"${table}_centroids"))
-        .select(col("neighbor_id"), col("cv"), col("centroid_id")),
-      "cv", corpus.sparkSession.table(s"${table}_codebooks"), dim, m)
+    encodeForIndex(corpus, idCol, vecCol,
+      corpus.sparkSession.table(s"${table}_centroids"),
+      corpus.sparkSession.table(s"${table}_codebooks"), dim, m)
       .write.mode("overwrite")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
+  }
+
+  /** The (cell, id, codes) index rows for `corpus` under FROZEN model
+    * tables — the shared encode of the initial [[writeIvfPqIndex]] build
+    * and the incremental [[appendIvfPqIndex]]: unit-normalize, assign
+    * cells against the given centroids (broadcast-pack projection, no
+    * shuffle), PQ-encode against the given codebooks (projection). Public
+    * so a spec can state the append contract as frame equality. */
+  def encodeForIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     dim: Int, m: Int): DataFrame = {
+    val unit = corpus.select(col(idCol).as("neighbor_id"),
+      unitNormalize(col(vecCol)).cast("array<float>").as("cv"))
+    pqEncode(
+      assignCells(unit, "neighbor_id", "cv", centroids)
+        .select(col("neighbor_id"), col("cv"), col("centroid_id")),
+      "cv", codebooks, dim, m)
+  }
+
+  /** Fold a new embedding batch into a persisted [[writeIvfPqIndex]]
+    * table WITHOUT retraining — the [[graft.ops.IncrementalDedup]] twin
+    * of the ANN serving story: a daily embedding drop is encoded against
+    * the index's FROZEN centroid/codebook tables (two broadcast-pack
+    * projections over the batch — the base index is not even read) and
+    * appended to the cell buckets, so the incremental cost is
+    * batch-sized, never corpus-sized. After the append the index table
+    * is row-identical to encoding base ∪ batch under the same models
+    * (`BucketedAnnSpec` pins this), hence serving over it is too.
+    *
+    * The documented drift caveat: a FULL rebuild would retrain centroids
+    * and codebooks on base ∪ batch, giving (slightly) different cells and
+    * codes; frozen-model appends trade that refresh for batch-sized cost,
+    * and a periodic rebuild re-centers the model — the standard
+    * FAISS-style maintenance split. `nBuckets` must match the original
+    * build's (Spark rejects a mismatched append). */
+  def appendIvfPqIndex(newBatch: DataFrame, idCol: String, vecCol: String,
+                       table: String, dim: Int, m: Int = 8,
+                       nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    encodeForIndex(newBatch, idCol, vecCol,
+      spark.table(s"${table}_centroids"),
+      spark.table(s"${table}_codebooks"), dim, m)
+      .write.mode("append")
       .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
       .saveAsTable(table)
   }

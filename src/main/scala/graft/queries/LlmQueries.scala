@@ -1136,6 +1136,34 @@ object LlmQueries {
       },
       None),
 
+    // Incremental ANN index maintenance: build the persisted IVF-PQ
+    // index on the OLDER half of the corpus, fold the newer half in
+    // through appendIvfPqIndex (frozen models — batch-sized encode, the
+    // base index is never re-read), serve from the appended table. The
+    // dedupDelta twin for the serving story. Rows-only (xxhash64-seeded
+    // models); BucketedAnnSpec pins append ≡ fresh encode of base ∪
+    // batch under the same models. Tables are dropped up front so every
+    // invocation (Bench iterations) appends exactly once.
+    Q("q94_ivfpq_append",
+      (s, d) => {
+        val t = "graft_q94_ivfpq"
+        Seq(t, s"${t}_centroids", s"${t}_codebooks")
+          .foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        val emb = Tables.embeddings(s, d)
+        val cut = emb.agg((max("vec_id") / lit(2.0)).as("__cut"))
+        val withCut = emb.crossJoin(broadcast(cut))
+        val base = withCut.filter(col("vec_id") <= col("__cut")).drop("__cut")
+        val batch = withCut.filter(col("vec_id") > col("__cut")).drop("__cut")
+        Similarity.writeIvfPqIndex(base, "vec_id", "embedding", t,
+          dim = 64, nCentroids = 16, m = 16, nBuckets = 8)
+        Similarity.appendIvfPqIndex(batch, "vec_id", "embedding", t,
+          dim = 64, m = 16, nBuckets = 8)
+        Similarity.ivfPqTopKIndexed(s, t, emb,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding", 5,
+          dim = 64, nProbe = 8, m = 16, refine = 8)
+      },
+      None),
+
     // BPE tokenizer TRAINING: learn merge rules from the corpus's own
     // word-frequency table (q41 counts tokens under a fixed scheme; this
     // learns the scheme). Corpus-sized passes are distributed (word

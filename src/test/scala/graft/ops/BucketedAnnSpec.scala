@@ -81,4 +81,37 @@ class BucketedAnnSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("appendIvfPqIndex: frozen-model append ≡ encoding base ∪ batch; serving sees the new batch") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val t = "graft_emb_ivfpq_app"
+    try {
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding", t,
+        dim = 64, nCentroids = 8, m = 8, kCodes = 16, nBuckets = 4,
+        trainN = 256, nIters = 1)
+      Similarity.appendIvfPqIndex(batch, "vec_id", "embedding", t,
+        dim = 64, m = 8, nBuckets = 4)
+      // the append contract: the table now holds exactly the rows a
+      // fresh encode of base ∪ batch under the SAME (frozen) models
+      // produces — batch-sized work, corpus-identical result
+      val expected = Similarity.encodeForIndex(emb, "vec_id", "embedding",
+        spark.table(s"${t}_centroids"), spark.table(s"${t}_codebooks"),
+        dim = 64, m = 8)
+      val actual = spark.table(t)
+      assert(actual.count() === emb.count())
+      assert(expected.exceptAll(actual).count() === 0 &&
+        actual.exceptAll(expected).count() === 0)
+      // and serving over the appended index returns appended ids too
+      val queries = emb.filter(col("vec_id") < 20)
+      val served = Similarity.ivfPqTopKIndexed(spark, t, emb, queries,
+        "vec_id", "embedding", 3, dim = 64, nProbe = 8, m = 8, refine = 4)
+      assert(served.filter(col("neighbor_id") % 2 === 1).count() > 0,
+        "no appended-batch id ever served")
+    } finally {
+      Seq(t, s"${t}_centroids", s"${t}_codebooks")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
 }
