@@ -95,16 +95,24 @@ object CorpusPipeline {
     * final action's plan: metrics buried inside a cached subtree are
     * invisible to `QueryExecution.observedMetrics`, so the gate count
     * is carried through the aggregation instead of observed in place.
+    *
+    * `carry` names extra `docs` columns to thread THROUGH the gates to
+    * the output — typed asset metadata (a [[graft.multimodal.Multimodal]]
+    * decode's length/brightness/features), source tags, url… The columns
+    * ride the same rows through gate/dedup/cluster/split, so a dropped
+    * document drops its asset columns with it — multimodal columns
+    * compose with the pipeline instead of living beside it (q95).
     */
   def run(docs: DataFrame,
           pairGen: DataFrame => DataFrame,
           minTokens: Int = 5,
           splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           clusterer: (DataFrame, String, String) => DataFrame =
-            Dedup.duplicateClusters(_, _, _))
+            Dedup.duplicateClusters(_, _, _),
+          carry: Seq[String] = Nil)
          : DataFrame = {
-    val norm = docs.select(col("doc_id"), col("lang"),
-      normalize(col("text")).as("norm_text"))
+    val norm = docs.select(col("doc_id") +: col("lang") +:
+      normalize(col("text")).as("norm_text") +: carry.map(col): _*)
     // staged: the gate chain (normalize + interpreted langId lambdas —
     // the most expensive per-row work in the pipeline) feeds BOTH sides
     // of keepMinPerHash's join-back (the id-only aggregate and the
@@ -124,7 +132,8 @@ object CorpusPipeline {
     val reps = keepObserved.join(
       clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
       Seq("doc_id"), "left_anti")
-    Sampling.splitByHash(reps.select("doc_id", "lang", "lang_pred", "n_tokens"),
+    Sampling.splitByHash(
+      reps.select("doc_id", ("lang" +: "lang_pred" +: "n_tokens" +: carry): _*),
       "doc_id", splits)
       .observe("corpus_final", count(lit(1)).as("rows_final"))
   }

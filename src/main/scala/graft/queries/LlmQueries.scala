@@ -338,6 +338,82 @@ object LlmQueries {
              |       ELSE 'test' END AS split
              |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
 
+    // Multimodal corpus pipeline: q62's build over a MIXED text+asset
+    // corpus — each document's bytes decode through the Multimodal stub
+    // (q59's real mapPartitions plumbing) into typed columns
+    // (asset_len, brightness) that ride CorpusPipeline's `carry` hook
+    // THROUGH normalize/gate/dedup/cluster/split: a dropped document
+    // drops its asset columns with it, proving multimodal columns
+    // compose with the gates instead of living beside them. Oracle =
+    // q62's extended with the asset-derived columns (the stub decode's
+    // non-fake outputs are SQL-expressible, q59's pattern).
+    Q("q95_multimodal_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val assets = docs.filter(col("n_chars") > 0)
+          .select(col("doc_id").cast("string").as("path"),
+            lit("binary").as("modality"),
+            octet_length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .as[graft.multimodal.RawAsset]
+        val decoded = graft.multimodal.Multimodal.decodeBatch(assets, featureDim = 16)
+          .toDF()
+          .select(col("path").cast("bigint").as("doc_id"),
+            col("length").as("asset_len"),
+            round(col("brightness"), 4).as("brightness"))
+        graft.ops.CorpusPipeline.run(
+          docs.join(decoded, Seq("doc_id"), "left"),
+          keep => keep.transform(Dedup.ngramJaccardPairs(
+            "doc_id", "norm_text", 3, 0.03, tokensCol = Some("__w"))),
+          carry = Seq("asset_len", "brightness"))
+      },
+      Some("""WITH RECURSIVE
+             |norm AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text,
+             |  cast(length(text) AS BIGINT) AS asset_len,
+             |  round(list_avg(list_transform(string_split(text, ''), x -> ascii(x))), 4) AS brightness
+             |  FROM documents),
+             |scored AS (SELECT doc_id, lang, norm_text, asset_len, brightness,
+             |  string_split_regex(trim(norm_text), '\s+') AS w FROM norm),
+             |langed AS (SELECT doc_id, lang, norm_text, asset_len, brightness, w,
+             |  cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored))),
+             |gated AS (SELECT * FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+             |keepd AS (SELECT g.* FROM gated g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)) k USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle FROM keepd)),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |dropset AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src)
+             |SELECT doc_id, lang, lang_pred, n_tokens, asset_len, brightness,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
+
     // The 100 TB variant of q62: the SAME pipeline fed by MinHash+LSH
     // pairs instead of exact shingle-intersection counting — exact
     // Jaccard over all candidate pairs is the one stage a corpus-scale

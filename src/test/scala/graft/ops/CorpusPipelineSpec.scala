@@ -57,6 +57,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(starsFed === exactFed)
   }
 
+  test("carry columns thread through the gates and drop with their document (q95's hook)") {
+    import spark.implicits._
+    val docs = Seq(
+      // two exact duplicates (min id 1 kept), one short doc (gated out),
+      // one distinct survivor — each with its own asset metadata
+      (1L, "en", "the quick brown fox jumps over the lazy dog", 101L),
+      (2L, "en", "the quick brown fox jumps over the lazy dog", 102L),
+      (3L, "en", "too short", 103L),
+      (4L, "en", "a completely different document about the catalyst optimizer", 104L)
+    ).toDF("doc_id", "lang", "text", "asset_len")
+    val out = Staged.withStaged {
+      CorpusPipeline.run(docs,
+        keep => keep.transform(Dedup.ngramJaccardPairs(
+          "doc_id", "norm_text", 3, 0.9, tokensCol = Some("__w"))),
+        carry = Seq("asset_len"))
+        .select("doc_id", "asset_len").as[(Long, Long)].collect().toMap
+    }
+    // the carried column survives exactly on surviving docs, value intact
+    assert(out === Map(1L -> 101L, 4L -> 104L))
+    // and without `carry` the output schema is unchanged (q62 unaffected)
+    val plain = Staged.withStaged {
+      CorpusPipeline.run(docs,
+        keep => keep.transform(Dedup.ngramJaccardPairs(
+          "doc_id", "norm_text", 3, 0.9, tokensCol = Some("__w"))))
+    }
+    assert(plain.columns.toSeq === Seq("doc_id", "lang", "lang_pred", "n_tokens", "split"))
+  }
+
   test("keepMinPerHash over a hash-bucketed staging table: zero content-hash Exchange") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
