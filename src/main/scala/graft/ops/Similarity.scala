@@ -577,13 +577,9 @@ object Similarity {
                maxIter: Int = 20): DataFrame = {
     // staged: the candidate join consumes the assignment twice, and its
     // lineage is the full centroid-scoring projection
-    val cells = Staged.stage(corpus
-      .crossJoin(broadcast(packCentroids(centroids)))
-      .select(col(idCol).as("doc"),
-        array_min(transform(col("__cents"), ce =>
-          struct(negate(round(coalesce(
-              cosineSim(col(vecCol), ce.getField("centv")), lit(-2.0)), 4)).as("ns"),
-            ce.getField("centroid_id").as("cid")))).getField("cid").as("cell")))
+    val cells = Staged.stage(
+      assignCellsRounded(corpus, idCol, vecCol, centroids)
+        .select(col("neighbor_id").as("doc"), col("centroid_id").as("cell")))
     val cand = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -608,4 +604,51 @@ object Similarity {
     corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(n)
+
+  /** Per-centroid (negated-rounded-cosine, centroid_id) structs — the
+    * CROSS-ENGINE-DETERMINISTIC scoring [[assignCellsRounded]],
+    * [[semDedup]] and [[ivfTopKDeterministic]] share: rounding to 4dp
+    * BEFORE the argmax/sort (negate-after-round, so no rounding
+    * asymmetry) makes the cell choice reproducible in any engine that
+    * computes a 4dp cosine, where the production [[centroidScores]]'
+    * raw doubles are float-path-sensitive. */
+  private def roundedCentroidScores(v: Column): Column =
+    transform(col("__cents"), ce =>
+      struct(negate(round(coalesce(
+          cosineSim(v, ce.getField("centv")), lit(-2.0)), 4)).as("ns"),
+        ce.getField("centroid_id").as("centroid_id")))
+
+  /** [[assignCells]] under the rounded deterministic metric — same
+    * broadcast-pack projection (no shuffle at any corpus size), same
+    * output shape (neighbor_id, cv, centroid_id). */
+  def assignCellsRounded(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("neighbor_id"), col("cv"),
+        array_min(roundedCentroidScores(col("cv")))
+          .getField("centroid_id").as("centroid_id"))
+
+  /** [[ivfTopK]]'s verification twin: identical plan shape (broadcast
+    * centroid-pack assignment, expression probe list, cell equi-join,
+    * [[rankTopK]] tail) but every ordering decision — cell argmax, probe
+    * ranking, final top-k — runs on round(cosine, 4) with id tiebreaks,
+    * and the centroid table is supplied by the caller
+    * ([[md5SeededCentroids]] for q96), so the WHOLE approximate search
+    * is reproducible bit-for-bit in DuckDB and gets a full hash oracle
+    * (the production xxhash64-seeded q35 keeps its rows-only check +
+    * recall floor). */
+  def ivfTopKDeterministic(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val assigned = assignCellsRounded(corpus, idCol, vecCol, centroids)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(roundedCentroidScores(col("qv"))), 1, nProbe)).as("__p"))
+      .select(col("query_id"), col("qv"),
+        col("__p").getField("centroid_id").as("centroid_id"))
+    rankTopK(assigned.join(probes, "centroid_id"), k)
+  }
 }

@@ -593,6 +593,50 @@ object LlmQueries {
       },
       None),
 
+    // q35's deterministic twin at the same parameters (16 cells, probe
+    // 8, k 5): md5-seeded centroids + every ordering decision on
+    // round(cos, 4) with id tiebreaks make the WHOLE approximate search
+    // — cell argmax, probe ranking, candidate join, final top-k —
+    // reproducible in DuckDB, so the IVF family gets a full hash oracle
+    // (q35 keeps the production metric + q50's recall floor). Same
+    // pattern as q91↔q27 for MinHash and q92's cell assignment.
+    Q("q96_ivf_topk_md5",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKDeterministic(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5,
+          Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16),
+          nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |probes AS (SELECT query_id, cid AS cell FROM (
+             |    SELECT vec_id AS query_id, cid, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS pn
+             |    FROM scored WHERE vec_id < 100) WHERE pn <= 8),
+             |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  WHERE a.vec_id <> p.query_id),
+             |s2 AS (SELECT c.query_id, c.neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+             |              JOIN e en ON en.vec_id = c.neighbor_id)
+             |SELECT query_id, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s2)
+             |WHERE rk <= 5""".stripMargin)),
+
     // ANN recall harness: join each approximate method's top-k against
     // the exact brute-force top-k and report per-method recall — the
     // quantitative check that turns "runs" into "measurably correct"

@@ -63,6 +63,23 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.exceptAll(ivf).count() === 0 && ivf.exceptAll(brute).count() === 0)
   }
 
+  test("ivfTopKDeterministic: full probe reproduces brute-force exactly") {
+    // the q96 verification twin honors the same exactness-at-full-probe
+    // law as the production ivfTopK; a partial probe scans fewer cells,
+    // so per query its best sim can never exceed the full probe's
+    val cents = Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 2)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 2)
+    val full = Similarity.ivfTopKDeterministic(emb, emb, "vec_id", "embedding", 2,
+      cents, nProbe = 2)
+    assert(brute.exceptAll(full).count() === 0 && full.exceptAll(brute).count() === 0)
+    val best = (df: org.apache.spark.sql.DataFrame) => df.filter(col("rk") === 1)
+      .select(col("query_id"), col("sim")).as[(Long, Double)].collect().toMap
+    val partialBest = best(Similarity.ivfTopKDeterministic(
+      emb, emb, "vec_id", "embedding", 2, cents, nProbe = 1))
+    val fullBest = best(full)
+    assert(partialBest.forall { case (q, s) => s <= fullBest(q) })
+  }
+
   test("Lloyd refinement does not worsen cell balance on a clustered fixture") {
     // two tight clusters; hash-sampled seeds can land lopsided — after a
     // refinement round centroids move toward cell means, so the cell-size
