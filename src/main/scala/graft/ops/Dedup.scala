@@ -389,6 +389,56 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("sim"))
   }
 
+  /** md5-variant SimHash signatures — q28's verification instrument
+    * (same pattern as [[minhashLshPairsMd5]]): token bit b comes from
+    * md5's hex nibble b/4 (bit 3−b%4 of its value), and the signature is
+    * emitted as a 64-char '0'/'1' STRING (char b+1 = bit b) so both
+    * engines sidestep 1L<<63 sign traps entirely. Same distributed
+    * shape as [[simhashSignatures]]: explode → 64 codegen'd
+    * conditional-sum vote aggregates → one projection. */
+  def simhashSignaturesMd5(idCol: String, textCol: String)(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("m", md5(col("w")))
+    def bitOf(b: Int): Column =
+      shiftright(conv(substring(col("m"), 1 + b / 4, 1), 16, 10).cast("int"),
+        3 - b % 4).bitwiseAND(lit(1))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(bitOf(b) === 1, 1L).otherwise(-1L)).as(s"v$b"))
+    toks.groupBy("doc").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc"),
+        concat((0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("sim"))
+  }
+
+  /** [[simhashPairs]] under the md5 bit family — every stage (token
+    * bits, votes, 16-bit chunk banding, Hamming verify) is reproducible
+    * in DuckDB, so the SimHash pair set gets a full hash oracle (q97).
+    * Chunks band on 16-char substrings of the bit string; Hamming is a
+    * per-position char comparison. Same exhaustiveness law: 4-chunk
+    * pigeonhole covers Hamming ≤ 3 only. */
+  def simhashPairsMd5(idCol: String, textCol: String, maxHamming: Int = 3)
+                     (df: DataFrame): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk banding is exhaustive only for maxHamming <= 3, got $maxHamming")
+    val sh = simhashSignaturesMd5(idCol, textCol)(df)
+    val chunks = sh.select(col("doc"), col("sim"),
+        posexplode(array((0 until 4).map(c =>
+          substring(col("sim"), 1 + c * 16, 16)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sig_a"), col("b.sim").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+          acc + when(col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)),
+            1L).otherwise(0L)).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Free a localCheckpoint's blocks through its RDD handle —
     * `Dataset.unpersist` goes through the CacheManager and cannot reach
     * them. The blocks are NOT recomputable: only superseded frames that

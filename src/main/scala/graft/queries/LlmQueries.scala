@@ -520,6 +520,44 @@ object LlmQueries {
         .transform(Dedup.simhashPairs("doc_id", "text", 3)),
       None),
 
+    // q28's md5-bit twin — token bits from md5 nibbles, signature as a
+    // 64-char bit string, same 4×16 chunk banding + Hamming verify —
+    // every stage DuckDB-reproducible, so the SimHash family gets a full
+    // hash oracle (q91's pattern for MinHash). Unlike MinHash the
+    // radius-1..3 tail is legitimately bit-family-dependent (one 64-bit
+    // sketch, not an averaged estimate), so DedupSpec pins both
+    // families' surfaced pairs to the top of the exact token-cosine
+    // distribution instead of to each other.
+    Q("q97_simhash_pairs_md5",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.simhashPairsMd5("doc_id", "text", 3)),
+      Some("""WITH tok AS (SELECT doc_id AS doc, unnest(list_filter(
+             |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents),
+             |tm AS (SELECT doc, md5(w) AS m FROM tok),
+             |bits AS (SELECT doc, b,
+             |    ((strpos('0123456789abcdef', substr(m, cast(1 + b // 4 AS INT), 1)) - 1)
+             |      >> cast(3 - b % 4 AS INT)) & 1 AS bit
+             |  FROM tm CROSS JOIN range(64) t(b)),
+             |votes AS (SELECT doc, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM bits GROUP BY doc, b),
+             |sig AS (SELECT doc,
+             |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sim
+             |  FROM votes GROUP BY doc),
+             |ch AS (SELECT doc, sim, c, substr(sim, cast(1 + c * 16 AS INT), 16) AS ckey
+             |  FROM sig CROSS JOIN range(4) t2(c)),
+             |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             |    a.sim AS sa, b.sim AS sb
+             |  FROM ch a JOIN ch b
+             |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc < b.doc)
+             |SELECT doc_a, doc_b,
+             |  cast(len(list_filter(range(64),
+             |    i -> substr(sa, cast(i + 1 AS INT), 1) <> substr(sb, cast(i + 1 AS INT), 1)))
+             |    AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE len(list_filter(range(64),
+             |  i -> substr(sa, cast(i + 1 AS INT), 1) <> substr(sb, cast(i + 1 AS INT), 1))) <= 3""".stripMargin)),
+
     // Brute-force cosine top-k — the exact ANN baseline. Query set =
     // vec_id < 100, a FIXED-size set: the broadcast side stays O(1) in
     // the corpus size (a %-based sample would grow with N and eventually

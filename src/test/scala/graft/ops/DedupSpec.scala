@@ -311,6 +311,57 @@ class DedupSpec extends SparkSpec {
     assert(worst <= 0.15, s"worst |est - exact| = $worst")
   }
 
+  test("md5 simhash twin: radius-3 pairs are genuinely near-identical in BOTH bit families (sf0.01 docs)") {
+    // the check behind q97's oracle standing in for q28. Unlike MinHash
+    // (where the thresholded pair sets matched exactly — the estimate
+    // averages 32 independent perms), a simhash pair at Hamming 0–3 is a
+    // single 64-bit sketch landing inside the radius: sf0.01 has NO
+    // exact-text dupes, its tightest pairs sit at Jaccard ≈ 0.98, and
+    // which of those a family rounds to Hamming 0 vs 4 is bit-family
+    // luck — so set equality is the WRONG contract here. The right one:
+    // every pair either family surfaces at the tight radius must be a
+    // true near-duplicate (exact shingle Jaccard ≥ 0.9), i.e. neither
+    // family admits junk — precision, the property the radius exists for.
+    // Ground truth = exact TOKEN-MULTISET COSINE (what simhash sketches
+    // — a radius-3 pair can have zero 3-gram overlap yet cosine 0.99).
+    // On this fixture random pairs sit at median cosine ≈ 0.62; both
+    // families' surfaced pairs must come from the very top of that
+    // distribution (median ≥ 0.98, no pair below 0.7 — one-two sketch-
+    // variance outliers in the 0.78–0.89 band are expected at 64 bits).
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val counts = real
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ws) =>
+        id -> ws.groupBy(identity).view.mapValues(_.size).toMap }.toMap
+    def cosine(a: Long, b: Long): Double = {
+      val (ca, cb) = (counts(a), counts(b))
+      val dot = ca.iterator.map { case (k, v) => v.toDouble * cb.getOrElse(k, 0) }.sum
+      def n(c: Map[String, Int]) = math.sqrt(c.values.map(v => v.toDouble * v).sum)
+      dot / (n(ca) * n(cb))
+    }
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Int = {
+      val cs = df.select("doc_a", "doc_b").as[(Long, Long)].collect()
+        .map { case (a, b) => cosine(a, b) }.sorted
+      assert(cs.nonEmpty, s"$label surfaced no pairs — fixture regressed")
+      assert(cs(cs.length / 2) >= 0.98, s"$label median cosine ${cs(cs.length / 2)}")
+      assert(cs.head >= 0.7, s"$label admitted junk pair (cosine ${cs.head})")
+      cs.length
+    }
+    val nXx = check(Dedup.simhashPairs("doc_id", "text", 3)(real), "xxhash")
+    val nMd = check(Dedup.simhashPairsMd5("doc_id", "text", 3)(real), "md5")
+    // and the families find comparably many (same sketch, same radius)
+    assert(math.abs(nXx - nMd) <= math.max(nXx, nMd) / 2,
+      s"family disparity: xxhash=$nXx md5=$nMd")
+  }
+
+  test("md5 simhash twin: exact dupes at Hamming 0; unrelated docs excluded") {
+    val out = Dedup.simhashPairsMd5("doc_id", "text", 3)(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 0L)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash calibration: Hamming distance anti-correlates with exact Jaccard (sf0.01 docs)") {
     // simhash approximates token-multiset cosine, so across real pairs a
     // smaller Hamming distance must mean higher shingle overlap; the
