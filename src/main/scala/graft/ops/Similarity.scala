@@ -629,6 +629,41 @@ object Similarity {
         array_min(roundedCentroidScores(col("cv")))
           .getField("centroid_id").as("centroid_id"))
 
+  /** md5-hyperplane LSH bucket id as an nBits-char '0'/'1' string —
+    * [[graft.functions.VectorFunctions.lshBucket]]'s verification
+    * family: hyperplane (h, i)'s ±1 component is the parity of md5's
+    * first hex nibble of "h|i", and the projection is rounded to 4dp
+    * BEFORE the sign test, so bucket assignment is reproducible in
+    * DuckDB (summation-order float dust below 5e-5 collapses in the
+    * round). String buckets sidestep bit-shift sign traps, same as
+    * [[Dedup.simhashSignaturesMd5]]. */
+  def lshBucketMd5(vec: Column, nBits: Int): Column =
+    concat((0 until nBits).map { h =>
+      val p = round(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * when(
+            conv(substring(md5(concat(lit(h.toString), lit("|"), i.cast("string"))), 1, 1),
+              16, 10).cast("int").bitwiseAND(lit(1)) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x), 4)
+      when(p > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** [[lshTopK]]'s verification twin (home bucket only — the multi-probe
+    * flip ordering is the one piece not worth mirroring in SQL): both
+    * sides bucket under [[lshBucketMd5]], candidates come from the same
+    * bucket equi-join, ranking is the shared [[rankTopK]] contract. Every
+    * stage is DuckDB-reproducible, so the hyperplane-LSH ANN family gets
+    * a full hash oracle (q98; the production multi-probe q30 keeps its
+    * rows-only check + q50 recall floor). */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nBits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucketMd5(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucketMd5(col(vecCol), nBits).as("bucket"))
+    rankTopK(c.join(q, "bucket"), k)
+  }
+
   /** [[ivfTopK]]'s verification twin: identical plan shape (broadcast
     * centroid-pack assignment, expression probe list, cell equi-join,
     * [[rankTopK]] tail) but every ordering decision — cell argmax, probe

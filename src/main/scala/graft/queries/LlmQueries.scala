@@ -594,6 +594,41 @@ object LlmQueries {
       },
       None),
 
+    // q30's md5-hyperplane twin (home bucket, same nBits/k): hyperplane
+    // signs from md5 nibble parity, projections rounded 4dp before the
+    // sign test, string bucket ids — the whole bucket assignment +
+    // candidate join + ranking reproducible in DuckDB, completing the
+    // hash-family oracle set (q91 MinHash, q96 IVF, q97 SimHash).
+    Q("q98_lsh_topk_md5",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, nBits = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |proj AS (SELECT vec_id, h,
+             |    round(list_sum(list_transform(range(len(v)), i -> v[i+1] *
+             |      CASE WHEN (strpos('0123456789abcdef',
+             |          substr(md5(h::VARCHAR || '|' || i::VARCHAR), 1, 1)) - 1) & 1 = 1
+             |        THEN 1.0 ELSE -1.0 END)), 4) AS p
+             |  FROM e CROSS JOIN range(4) t(h)),
+             |buck AS (SELECT vec_id,
+             |    string_agg(CASE WHEN p > 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+             |  FROM proj GROUP BY vec_id),
+             |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             |  FROM buck q JOIN buck c ON q.bucket = c.bucket
+             |  WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id),
+             |s AS (SELECT query_id, neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+             |            JOIN e en ON en.vec_id = cand.neighbor_id)
+             |SELECT query_id, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+             |WHERE rk <= 5""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs, exact all-pairs variant —
     // oracle ground truth for the LSH-bucketed scale path
     // (Similarity.cosineNearDupPairs). Quadratic by construction: run on

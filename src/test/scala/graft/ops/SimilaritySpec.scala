@@ -186,6 +186,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.98))
   }
 
+  test("lshTopKMd5: identical vectors always collide; neighbors ranked by rounded sim") {
+    // identical vectors project identically under any hyperplane family,
+    // so a clone is guaranteed in its twin's bucket and ranks first at
+    // sim 1.0; all outputs obey the shared rankTopK contract
+    val dup = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)), (3L, Seq(-1.0f, 0.2f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKMd5(dup, dup.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2, nBits = 2)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.head._2 === 1L && out.head._3 === 1.0)
+    assert(out.map(_._4) === (1L to out.length).toSeq)
+  }
+
   test("semDedup: high-sim duplicate groups collapse to one representative per group") {
     // the regime SemDeDup targets — near-identical vectors: two dup
     // groups ({0,1,2} around +x, {10,11} around +y) plus singletons.
