@@ -629,6 +629,67 @@ object Similarity {
         array_min(roundedCentroidScores(col("cv")))
           .getField("centroid_id").as("centroid_id"))
 
+  /** md5-seeded, NO-LLOYD PQ codebooks `(subspace, code, centv)`: the
+    * kCodes md5(id)-smallest unit-normalized corpus vectors, sliced into
+    * m subspaces; code = the seed's md5 rank, so the whole table is
+    * reproducible in DuckDB (the verification-twin role [[pqCodebooks]]'
+    * xxhash sampling + Lloyd rounds can't play). The window runs over
+    * the kCodes-row LIMIT result — never the corpus. */
+  def md5SeededPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, m: Int, kCodes: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val seeds = corpus
+      .select(col(idCol).as("__sid"), unitNormalize(col(vecCol)).as("cv"))
+      .orderBy(md5(col("__sid").cast("string")), col("__sid")).limit(kCodes)
+    val w = Window.orderBy(md5(col("__sid").cast("string")), col("__sid"))
+    seeds.withColumn("code", row_number().over(w) - 1)
+      .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("cv"), j * sub + 1, lit(sub)))))
+      .toDF("code", "subspace", "centv")
+  }
+
+  /** [[pqTopK]]'s verification twin: same ADC plan shape (broadcast
+    * codebook pack → projection encode → per-query LUT → codes-only
+    * approx scan → top-refine·k window → exact rerank) but the codebooks
+    * are [[md5SeededPqCodebooks]] (no Lloyd) and every scoring decision
+    * — encode argmin, LUT entries, hence the approx sums — is quantized
+    * to INTEGERS (×10⁴, ties-away-from-zero rounding, which Spark and
+    * DuckDB share) with code/id tiebreaks: integer sums are
+    * order-independent where float sums are not, so the whole
+    * product-quantized search reproduces in DuckDB and gets a full hash
+    * oracle (q99; the production trained q82/q83 keep rows-only + q50
+    * recall floors). */
+  def pqTopKDeterministic(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int, dim: Int,
+                          m: Int = 8, kCodes: Int = 16,
+                          refine: Int = 4): DataFrame = {
+    val sub = dim / m
+    val pack = packCodebooks(md5SeededPqCodebooks(corpus, idCol, vecCol, dim, m, kCodes))
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), unitNormalize(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(pack))
+      .select(col("neighbor_id"),
+        transform(col("__cb"), jcb =>
+          array_min(transform(jcb.getField("cb"), ce =>
+            struct(round(l2sq(
+                slice(col("cv"), jcb.getField("subspace") * sub + 1, lit(sub)),
+                ce.getField("centv")) * 10000).cast("long").as("d"),
+              ce.getField("code").as("code")))).getField("code")).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("uq"))
+      .crossJoin(broadcast(pack))
+      .withColumn("lut", transform(col("__cb"), jcb =>
+        transform(jcb.getField("cb"), ce =>
+          round(dot(slice(col("uq"), jcb.getField("subspace") * sub + 1, lit(sub)),
+            ce.getField("centv")) * 10000).cast("long"))))
+      .select("query_id", "lut")
+    val cand = adcTopCandidates(codes.crossJoin(broadcast(q)), k * refine)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)
+  }
+
   /** md5-hyperplane LSH bucket id as an nBits-char '0'/'1' string —
     * [[graft.functions.VectorFunctions.lshBucket]]'s verification
     * family: hyperplane (h, i)'s ±1 component is the parity of md5's

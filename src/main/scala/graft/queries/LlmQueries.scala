@@ -1357,6 +1357,61 @@ object LlmQueries {
       },
       None),
 
+    // q82's deterministic twin: md5-seeded no-Lloyd codebooks, encode
+    // argmin and ADC LUT entries quantized to ×10⁴ integers (exact,
+    // order-independent sums — ties-away rounding agrees across
+    // engines), id/code tiebreaks everywhere — the full PQ search (seed
+    // → slice → encode → LUT → codes-only approx scan → top-refine·k →
+    // exact rerank) reproduces in DuckDB. Completes the verification-twin
+    // set: every ANN/sketch family now has a hash-checked instance.
+    Q("q99_pq_topk_md5",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopKDeterministic(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 5, dim = 64, m = 8, kCodes = 16, refine = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |u AS (SELECT vec_id, v,
+             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+             |  FROM e),
+             |seed AS (SELECT uv, row_number() OVER (
+             |      ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1 AS code
+             |  FROM (SELECT vec_id, uv FROM u
+             |    ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+             |cb AS (SELECT code, j AS subspace,
+             |    uv[cast(j * 8 + 1 AS INT):cast(j * 8 + 8 AS INT)] AS centv
+             |  FROM seed CROSS JOIN range(8) t(j)),
+             |enc AS (SELECT cu.vec_id AS neighbor_id, cb.subspace, cb.code,
+             |    cast(round(list_sum(list_transform(range(8), i ->
+             |      (cu.uv[cast(cb.subspace * 8 + i + 1 AS INT)] - cb.centv[cast(i + 1 AS INT)]) *
+             |      (cu.uv[cast(cb.subspace * 8 + i + 1 AS INT)] - cb.centv[cast(i + 1 AS INT)])))
+             |      * 10000) AS BIGINT) AS d
+             |  FROM u cu CROSS JOIN cb),
+             |codes AS (SELECT neighbor_id, subspace, code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, subspace
+             |      ORDER BY d, code) AS rn FROM enc) WHERE rn = 1),
+             |lut AS (SELECT qu.vec_id AS query_id, cb.subspace, cb.code,
+             |    cast(round(list_sum(list_transform(range(8), i ->
+             |      qu.uv[cast(cb.subspace * 8 + i + 1 AS INT)] * cb.centv[cast(i + 1 AS INT)]))
+             |      * 10000) AS BIGINT) AS l
+             |  FROM u qu CROSS JOIN cb WHERE qu.vec_id < 100),
+             |approx AS (SELECT l.query_id, c.neighbor_id, sum(l.l) AS ap
+             |  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+             |  WHERE c.neighbor_id <> l.query_id GROUP BY 1, 2),
+             |cand AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY ap DESC, neighbor_id) AS crk FROM approx) WHERE crk <= 20),
+             |s AS (SELECT cand.query_id, cand.neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+             |            JOIN e en ON en.vec_id = cand.neighbor_id)
+             |SELECT query_id, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+             |WHERE rk <= 5""".stripMargin)),
+
     // BPE tokenizer TRAINING: learn merge rules from the corpus's own
     // word-frequency table (q41 counts tokens under a fixed scheme; this
     // learns the scheme). Corpus-sized passes are distributed (word

@@ -201,6 +201,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._4) === (1L to out.length).toSeq)
   }
 
+  test("pqTopKDeterministic: clones encode identically and rank first; rankTopK contract holds") {
+    // a clone has byte-identical unit slices → identical codes → the
+    // highest possible ADC approx for its twin, so it must survive the
+    // refine window and rank first at exact sim 1.0
+    val dup = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.3f, 0.2f)), (1L, Seq(1.0f, 0.0f, 0.3f, 0.2f)),
+      (2L, Seq(0.2f, 0.9f, 0.0f, 0.1f)), (3L, Seq(-1.0f, 0.2f, 0.4f, 0.0f)),
+      (4L, Seq(0.1f, 0.2f, 0.9f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopKDeterministic(dup, dup.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2, dim = 4, m = 2, kCodes = 4, refine = 2)
+      .orderBy("rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.head._2 === 1L && out.head._3 === 1.0)
+    assert(out.map(_._4) === (1L to out.length).toSeq)
+  }
+
   test("semDedup: high-sim duplicate groups collapse to one representative per group") {
     // the regime SemDeDup targets — near-identical vectors: two dup
     // groups ({0,1,2} around +x, {10,11} around +y) plus singletons.
