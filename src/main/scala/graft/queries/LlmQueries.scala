@@ -1340,8 +1340,16 @@ object LlmQueries {
     Q("q94_ivfpq_append",
       (s, d) => {
         val t = "graft_q94_ivfpq"
-        Seq(t, s"${t}_centroids", s"${t}_codebooks")
-          .foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+        Seq(t, s"${t}_centroids", s"${t}_codebooks").foreach { x =>
+          s.sql(s"DROP TABLE IF EXISTS $x")
+          // a FRESH session's catalog may not know a table whose
+          // warehouse directory survived an earlier run — saveAsTable
+          // then fails on LOCATION_ALREADY_EXISTS; clear the location too
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + x)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         val emb = Tables.embeddings(s, d)
         val cut = emb.agg((max("vec_id") / lit(2.0)).as("__cut"))
         val withCut = emb.crossJoin(broadcast(cut))
