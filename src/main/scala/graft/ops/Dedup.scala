@@ -722,11 +722,15 @@ object Dedup {
       .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
       .filter(size(col("__w")) > 0)
       .withColumn("__n", size(col("__w")).cast("long")))
-    val occ = toks.filter(col("__n") >= cw)
+    // staged: the keep-first aggregate AND the later-occurrence probe
+    // both consume the occurrence table, and its lineage is the stride-1
+    // explode + per-window md5 — the expensive pass of the operator;
+    // unstaged it runs twice
+    val occ = Staged.stage(toks.filter(col("__n") >= cw)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0L), col("__n") - cw),
           i => md5(array_join(slice(col("__w"), (i + 1).cast("int"), lit(cw)), " ")))))
-      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp"))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp")))
     val firsts = occ.groupBy("__fp")
       .agg(min(struct(col(idCol), col("__pos"))).as("__k"))
     val dupStarts = occ.join(firsts, "__fp")

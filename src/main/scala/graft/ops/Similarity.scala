@@ -639,11 +639,18 @@ object Similarity {
                            dim: Int, m: Int, kCodes: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
+    // TakeOrderedAndProject sample, then rank via a single-row
+    // collect+sort aggregate over the kCodes-row result — bounded by
+    // construction, so no global window enters the plan (PlanSpec bans
+    // empty-partition windows across the ANN family)
     val seeds = corpus
-      .select(col(idCol).as("__sid"), unitNormalize(col(vecCol)).as("cv"))
-      .orderBy(md5(col("__sid").cast("string")), col("__sid")).limit(kCodes)
-    val w = Window.orderBy(md5(col("__sid").cast("string")), col("__sid"))
-    seeds.withColumn("code", row_number().over(w) - 1)
+      .select(md5(col(idCol).cast("string")).as("__m"), col(idCol).as("__sid"),
+        unitNormalize(col(vecCol)).as("cv"))
+      .orderBy("__m", "__sid").limit(kCodes)
+    seeds
+      .agg(array_sort(collect_list(struct(col("__m"), col("__sid"), col("cv")))).as("a"))
+      .select(posexplode(col("a")))
+      .select(col("pos").as("code"), col("col.cv").as("cv"))
       .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         j => slice(col("cv"), j * sub + 1, lit(sub)))))
       .toDF("code", "subspace", "centv")

@@ -179,4 +179,55 @@ class PlanSpec extends SparkSpec {
         s"$args carries $in")
     }
   }
+
+  test("q93 unaligned passage dedup: same Exchange discipline as q72, stride-1 staged once") {
+    // the fingerprint Exchange moves (fp, id, pos) only; the sole place
+    // document content (the token array) may shuffle is the id-keyed
+    // rebuild boundary. The stride-1 explode + per-window md5 — the
+    // operator's expensive pass — must be staged (InMemoryRelation), not
+    // recomputed per consumer.
+    val p = graft.ops.Staged.withStaged {
+      SparkEntry.queries("q93_passage_dedup_unaligned")(spark, sf)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    val exchanges =
+      raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]+)\]\s*\nArguments: ([^\n]+)".r
+        .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.filterNot(_._2.contains("hashpartitioning(doc_id")).foreach {
+      case (in, args) =>
+        val cols = in.split(",\\s*").toSeq
+        assert(!cols.exists(c => c.startsWith("text#") ||
+            c.contains("_text#") || c.startsWith("__w#")),
+          s"$args carries $in")
+    }
+    // exactly one stride-1 fingerprint Generate in the whole plan — the
+    // staged occurrence table feeds both the keep-first aggregate and
+    // the probe (a second Generate means the stage was lost)
+    assert(raw"\(\d+\) Generate".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q90 embedding outliers: map-side partial aggregation, no single-partition window") {
+    val p = plan("q90_embedding_outliers")
+    assert(p.contains("partial_avg"), p)
+    assert(emptyPartitionWindows("q90_embedding_outliers").isEmpty)
+  }
+
+  test("q92 semDedup assignment: pure broadcast-pack projection, zero Exchange") {
+    // the cell argmax is an expression over a broadcast one-row centroid
+    // pack — no shuffle of the corpus at any size (same law as q35's
+    // assignment, proven here on the rounded deterministic variant)
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = graft.ops.Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8)
+    val p = graft.ops.Similarity.assignCellsRounded(e, "vec_id", "embedding", cents)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // the md5 centroid sample
+  }
+
+  test("q96/q98/q99 deterministic ANN twins: no single-partition window") {
+    Seq("q96_ivf_topk_md5", "q98_lsh_topk_md5", "q99_pq_topk_md5").foreach { q =>
+      assert(emptyPartitionWindows(q).isEmpty, q)
+    }
+  }
 }
