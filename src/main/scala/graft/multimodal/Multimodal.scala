@@ -64,11 +64,18 @@ object Multimodal {
     val brightness =
       if (a.content.isEmpty) 0.0
       else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length
-    val features = Array.tabulate(featureDim) { i =>
-      val chunk = a.content.indices.filter(_ % featureDim == i)
-        .foldLeft(h + i)((acc, j) => 31 * acc + a.content(j))
-      (math.floorMod(chunk, 2048).toFloat / 1024.0f) - 1.0f
+    // one pass over the bytes updating featureDim accumulators — same
+    // value as the per-feature filtered folds (byte j only ever touches
+    // accumulator j % featureDim, in index order) at 1/featureDim the
+    // scans and zero per-feature index allocations
+    val acc = Array.tabulate(featureDim)(i => h + i)
+    var j = 0
+    while (j < a.content.length) {
+      val i = j % featureDim
+      acc(i) = 31 * acc(i) + a.content(j)
+      j += 1
     }
+    val features = acc.map(c => (math.floorMod(c, 2048).toFloat / 1024.0f) - 1.0f)
     DecodedAsset(a.path, a.modality, a.length, width, height, channels,
       brightness, features)
   }

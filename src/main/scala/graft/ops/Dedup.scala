@@ -397,12 +397,19 @@ object Dedup {
     * shape as [[simhashSignatures]]: explode → 64 codegen'd
     * conditional-sum vote aggregates → one projection. */
   def simhashSignaturesMd5(idCol: String, textCol: String)(df: DataFrame): DataFrame = {
+    // the 16 nibble values are parsed ONCE per token in a projection —
+    // deriving each of the 64 vote bits straight from the hex string
+    // would run conv(substring(…)) 64× per token and measured ~10×
+    // slower than the xxhash path; with the nibble array the per-bit
+    // work is an element_at + shift, and the twin lands within ~3× of
+    // production (the md5 calls themselves)
     val toks = df.select(col(idCol).as("doc"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .withColumn("m", md5(col("w")))
+      .withColumn("nibs", array((0 until 16).map(n =>
+        conv(substring(col("m"), 1 + n, 1), 16, 10).cast("int")): _*))
     def bitOf(b: Int): Column =
-      shiftright(conv(substring(col("m"), 1 + b / 4, 1), 16, 10).cast("int"),
-        3 - b % 4).bitwiseAND(lit(1))
+      shiftright(element_at(col("nibs"), b / 4 + 1), 3 - b % 4).bitwiseAND(lit(1))
     val voteAggs = (0 until 64).map(b =>
       sum(when(bitOf(b) === 1, 1L).otherwise(-1L)).as(s"v$b"))
     toks.groupBy("doc").agg(voteAggs.head, voteAggs.tail: _*)
@@ -421,7 +428,10 @@ object Dedup {
                      (df: DataFrame): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-chunk banding is exhaustive only for maxHamming <= 3, got $maxHamming")
-    val sh = simhashSignaturesMd5(idCol, textCol)(df)
+    // staged: both sides of the band self-join consume the signatures,
+    // and the md5-per-token signature aggregation is ~5× the xxhash
+    // path's cost — unstaged it runs twice
+    val sh = Staged.stage(simhashSignaturesMd5(idCol, textCol)(df))
     val chunks = sh.select(col("doc"), col("sim"),
         posexplode(array((0 until 4).map(c =>
           substring(col("sim"), 1 + c * 16, 16)): _*)))
