@@ -25,19 +25,25 @@ object CoreQueries {
   /** q70's committed CSV fixture tree — both engines (Spark here, DuckDB
     * driver-side) must read the same files from any clone location.
     * Resolved from `-Dgraft.fixtures.dir` / `GRAFT_FIXTURES_DIR` when
-    * set, else relative to the launch cwd (the repo root for sbt/Verify);
-    * fails fast if the tree isn't there, rather than letting both engines
-    * agree on an empty read. */
-  private lazy val loomFixtureRoot: String = {
-    val root = sys.props.get("graft.fixtures.dir")
+    * set, else relative to the launch cwd (the repo root for sbt/Verify).
+    * Resolution must NOT validate: q70's oracle SQL interpolates this at
+    * query-REGISTRY construction, so a throw here would abort the whole
+    * harness over one query's fixture. [[requireLoomFixtures]] does the
+    * fail-fast inside q70's own run closure instead — a missing tree
+    * fails q70 (caught per-query by Verify) and nothing else. */
+  private lazy val loomFixtureRoot: String =
+    sys.props.get("graft.fixtures.dir")
       .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
       .map(new java.io.File(_))
       .getOrElse(new java.io.File("fixtures/loom"))
-    require(root.isDirectory,
-      s"loom fixture tree not found at ${root.getAbsolutePath}; " +
+      .getAbsolutePath
+
+  /** Fail q70 fast (rather than letting both engines agree on an empty
+    * read) — called from its run closure only. */
+  private def requireLoomFixtures(): Unit =
+    require(new java.io.File(loomFixtureRoot).isDirectory,
+      s"loom fixture tree not found at $loomFixtureRoot; " +
         "launch from the repo root or set -Dgraft.fixtures.dir / GRAFT_FIXTURES_DIR")
-    root.getAbsolutePath
-  }
 
   def all: Seq[Q] = Seq(
 
@@ -654,6 +660,7 @@ object CoreQueries {
     // both engines read identical files from any checkout location.
     Q("q70_loom_csv_ingest",
       (s, _) => {
+        requireLoomFixtures()
         val t = graft.ingest.LoomCsv.typedView(graft.ingest.LoomCsv.normalize(
           graft.ingest.LoomCsv.readMonths(s, loomFixtureRoot,
             Seq("2024-01", "2024-02"))))

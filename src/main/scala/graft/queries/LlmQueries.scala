@@ -346,7 +346,9 @@ object LlmQueries {
     // drops its asset columns with it, proving multimodal columns
     // compose with the gates instead of living beside them. Oracle =
     // q62's extended with the asset-derived columns (the stub decode's
-    // non-fake outputs are SQL-expressible, q59's pattern).
+    // non-fake outputs are SQL-expressible, q59's pattern; asset_len is
+    // byte-based on both sides, brightness inherits q59's documented
+    // ASCII-only fixture contract).
     Q("q95_multimodal_pipeline",
       (s, d) => {
         import s.implicits._
@@ -372,7 +374,7 @@ object LlmQueries {
              |norm AS (SELECT doc_id, lang,
              |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
              |    '  +', ' ', 'g') AS norm_text,
-             |  cast(length(text) AS BIGINT) AS asset_len,
+             |  cast(octet_length(encode(text)) AS BIGINT) AS asset_len,
              |  round(list_avg(list_transform(string_split(text, ''), x -> ascii(x))), 4) AS brightness
              |  FROM documents),
              |scored AS (SELECT doc_id, lang, norm_text, asset_len, brightness,
@@ -794,7 +796,11 @@ object LlmQueries {
     // oracle covers the non-stub outputs (length, mean-byte
     // "brightness"); the fake dimensions/features stay spec-tested
     // behind the documented stub boundary. Byte sums are integers, so
-    // the double mean is exact on both engines.
+    // the double mean is exact on both engines. length is byte-based on
+    // both sides (octet_length ↔ octet_length(encode(…))); brightness
+    // averages BYTES on the Spark side vs CODE POINTS in the oracle —
+    // equal only under the fixtures' pinned ASCII-only contract
+    // (verified: all sf tiers), which is the documented boundary.
     Q("q59_multimodal_decode",
       (s, d) => {
         import s.implicits._
@@ -811,7 +817,7 @@ object LlmQueries {
             round(col("brightness"), 4).as("brightness"))
       },
       Some("""SELECT cast(doc_id AS VARCHAR) AS path, 'binary' AS modality,
-             |cast(length(text) AS BIGINT) AS length,
+             |cast(octet_length(encode(text)) AS BIGINT) AS length,
              |round(list_avg(list_transform(string_split(text, ''), x -> ascii(x))), 4) AS brightness
              |FROM documents WHERE n_chars > 0""".stripMargin)),
 

@@ -280,20 +280,39 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
-  test("md5 minhash twin: pair set ≡ the xxhash64 path's at q27's parameters (sf0.01 docs)") {
-    // the check behind q91's oracle standing in for q27: the md5-signature
-    // variant is the same algorithm under a different (DuckDB-computable)
-    // hash family, so at q27's parameters it must surface the same pair
-    // SET on the real fixture — est_jaccard values may differ hash-by-hash
-    // (independent 32-perm estimates), the thresholded pairs must not.
+  test("md5 minhash twin: both hash families recall every true near-dup, admit no junk (sf0.01 docs)") {
+    // the check behind q91's oracle standing in for q27. At threshold
+    // 0.03 any band collision already clears the est filter, so the
+    // surfaced set is the band-collision candidate set — for a pair at
+    // INTERMEDIATE Jaccard (~0.5) collision is a coin flip per family,
+    // so exact cross-family set equality would hold only while the
+    // fixture's pair distribution stays bimodal. The family-independent
+    // contract (mirrors the SimHash twin test): every exact-Jaccard
+    // ≥ 0.9 pair must surface in BOTH families (per-family miss prob
+    // ≈ (1−0.9⁴)⁸ ≈ 2e-4), no surfaced pair may be junk (exact < 0.03
+    // after banding + est verify), and the families find comparably
+    // many.
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = Staged.withStaged {
+      Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.0001)(real)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map(p => (p._1, p._2) -> p._3).toMap
+    }
+    val trueDups = exact.filter(_._2 >= 0.9).keySet
+    assert(trueDups.nonEmpty, "fixture lost its near-dup pairs")
+    def check(ps: Set[(Long, Long)], label: String): Unit = {
+      assert(trueDups.subsetOf(ps),
+        s"$label missed true dups: ${(trueDups -- ps).take(5)}")
+      ps.foreach(p => assert(exact.getOrElse(p, 0.0) >= 0.03,
+        s"$label surfaced junk pair $p (exact ${exact.getOrElse(p, 0.0)})"))
+    }
     val xx = Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.03)(real)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val md = Dedup.minhashLshPairsMd5("doc_id", "text", 3, 32, 4, 0.03)(real)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(xx.nonEmpty, "xxhash path surfaced no pairs — fixture regressed")
-    assert(md === xx,
-      s"md5-only: ${(md -- xx).take(5)}; xxhash-only: ${(xx -- md).take(5)}")
+    check(xx, "xxhash"); check(md, "md5")
+    assert(math.abs(xx.size - md.size) <= math.max(xx.size, md.size) / 2,
+      s"family disparity: xxhash=${xx.size} md5=${md.size}")
   }
 
   test("minhash calibration: est_jaccard within ±0.15 of exact Jaccard (sf0.01 docs)") {
@@ -349,15 +368,19 @@ class DedupSpec extends SparkSpec {
       cs.length
     }
     val nXx = check(Dedup.simhashPairs("doc_id", "text", 3)(real), "xxhash")
-    val nMd = check(Dedup.simhashPairsMd5("doc_id", "text", 3)(real), "md5")
+    val nMd = Staged.withStaged {
+      check(Dedup.simhashPairsMd5("doc_id", "text", 3)(real), "md5")
+    }
     // and the families find comparably many (same sketch, same radius)
     assert(math.abs(nXx - nMd) <= math.max(nXx, nMd) / 2,
       s"family disparity: xxhash=$nXx md5=$nMd")
   }
 
   test("md5 simhash twin: exact dupes at Hamming 0; unrelated docs excluded") {
-    val out = Dedup.simhashPairsMd5("doc_id", "text", 3)(docs)
-      .as[(Long, Long, Long)].collect().toSeq
+    val out = Staged.withStaged {
+      Dedup.simhashPairsMd5("doc_id", "text", 3)(docs)
+        .as[(Long, Long, Long)].collect().toSeq
+    }
     assert(out.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 0L)
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }

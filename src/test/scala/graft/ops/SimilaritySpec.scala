@@ -230,8 +230,10 @@ class SimilaritySpec extends SparkSpec {
       (20L, Seq(-1.0f, 0.0f, 0.0f)), (21L, Seq(0.0f, -1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val cents = Similarity.md5SeededCentroids(dup, "vec_id", "embedding", 3)
-    val out = Similarity.semDedup(dup, "vec_id", "embedding", cents, 0.99)
-      .as[(Long, Long)].collect().toMap
+    val out = Staged.withStaged {
+      Similarity.semDedup(dup, "vec_id", "embedding", cents, 0.99)
+        .as[(Long, Long)].collect().toMap
+    }
     assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 21L))
   }
@@ -243,9 +245,11 @@ class SimilaritySpec extends SparkSpec {
     // keeps stays kept — the approximation can only keep MORE, never
     // over-delete. This is the quantitative contract behind q92.
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
-    val out = Similarity.semDedup(e, "vec_id", "embedding",
-      Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8), 0.35)
-    val labels = out.as[(Long, Long)].collect().toMap
+    val labels = Staged.withStaged {
+      Similarity.semDedup(e, "vec_id", "embedding",
+        Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8), 0.35)
+        .as[(Long, Long)].collect().toMap
+    }
     assert(labels.size === e.count()) // one row per doc, singletons included
     // label sanity: sem_cluster <= doc, and every label is itself kept
     assert(labels.forall { case (doc, c) => c <= doc })
@@ -257,8 +261,10 @@ class SimilaritySpec extends SparkSpec {
       .filter(round(graft.functions.CosineSimilarityExpr.cosineSim(
         col("va"), col("vb")), 4) >= 0.35)
       .select("id_a", "id_b")
-    val exactLabels = Dedup.duplicateClusters(exactPairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
+    val exactLabels = Staged.withStaged {
+      Dedup.duplicateClusters(exactPairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    }
     val exactKept = labels.keySet.filter(d => exactLabels.getOrElse(d, d) == d)
     val semKept = labels.keySet.filter(d => labels(d) == d)
     assert(exactKept.subsetOf(semKept),
