@@ -101,30 +101,82 @@ object CorpusStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        writeNovelBatch(rawBatch, batchId, sinkPath)
+        ()
+      }
+
+  /** One micro-batch of the append-only sink: within-batch dedup →
+    * against-corpus hash anti-join → idempotent `batch=<id>` overwrite.
+    * Returns the batch's novel documents READ BACK from the written
+    * directory (one materialization — downstream consumers don't
+    * re-execute the anti-join plan). */
+  private def writeNovelBatch(rawBatch: DataFrame, batchId: Long,
+                              sinkPath: String): DataFrame = {
+    val spark = rawBatch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(sinkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // within-BATCH exact dedup: the watermark stage only guarantees
+    // dedup for duplicates whose event times fall inside the
+    // horizon — a backfill burst can land two same-content docs
+    // hours apart in ONE micro-batch, and the anti-join below only
+    // probes PRIOR batches. Keep-min-id so the survivor is
+    // deterministic.
+    val batch = graft.ops.Merge.lastWriterWins(
+      Seq("content_hash"), Seq(col("doc_id").asc))(rawBatch)
+    val novel =
+      if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(s"$sinkPath/batch=*")).nonEmpty) {
+        // exclude THIS batch's own directory from the seen set: a
+        // replayed batch would otherwise anti-join against its own
+        // previous output and overwrite itself with nothing
+        val seen = spark.read.option("basePath", sinkPath)
+          .parquet(s"$sinkPath/batch=*")
+          .filter(col("batch") =!= batchId)
+          .select("content_hash")
+        batch.join(seen, Seq("content_hash"), "left_anti")
+      } else batch
+    novel.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+    spark.read.parquet(s"$sinkPath/batch=$batchId")
+  }
+
+  /** [[corpusIngestSink]] plus SERVING-INDEX MAINTENANCE — the streaming
+    * twin of the q94 story: each micro-batch's novel documents are
+    * embedded by the caller-supplied `embed` (at scale a model-serving
+    * join or a precomputed embedding lookup; must emit
+    * (doc_id, embedding)) and folded into the persisted
+    * [[graft.ops.Similarity.writeIvfPqIndex]] table via
+    * [[graft.ops.Similarity.appendIvfPqIndex]] — FROZEN models,
+    * batch-sized encode, base index never re-read.
+    *
+    * Replay safety: `foreachBatch` may re-run a batch after a crash, and
+    * a bucketed-table append is not idempotent by itself — so the batch
+    * anti-joins on the index's id column first (column-pruned scan) and
+    * appends only ids the index doesn't hold. A replayed batch therefore
+    * appends nothing the first run already did.
+    *
+    * Reader visibility: appends run in the micro-batch's cloned session;
+    * a SERVING session that has already resolved the index table keeps
+    * its cached file listing and must `REFRESH TABLE` (or re-resolve) to
+    * observe newly appended cells — the standard Spark catalog contract
+    * for externally-written tables. */
+  def corpusIngestSinkWithIndex(deduped: DataFrame, sinkPath: String,
+                                checkpoint: String,
+                                embed: DataFrame => DataFrame,
+                                indexTable: String, dim: Int, m: Int = 8,
+                                nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         val spark = rawBatch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(sinkPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // within-BATCH exact dedup: the watermark stage only guarantees
-        // dedup for duplicates whose event times fall inside the
-        // horizon — a backfill burst can land two same-content docs
-        // hours apart in ONE micro-batch, and the anti-join below only
-        // probes PRIOR batches. Keep-min-id so the survivor is
-        // deterministic.
-        val batch = graft.ops.Merge.lastWriterWins(
-          Seq("content_hash"), Seq(col("doc_id").asc))(rawBatch)
-        val novel =
-          if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)) &&
-              fs.globStatus(new org.apache.hadoop.fs.Path(s"$sinkPath/batch=*")).nonEmpty) {
-            // exclude THIS batch's own directory from the seen set: a
-            // replayed batch would otherwise anti-join against its own
-            // previous output and overwrite itself with nothing
-            val seen = spark.read.option("basePath", sinkPath)
-              .parquet(s"$sinkPath/batch=*")
-              .filter(col("batch") =!= batchId)
-              .select("content_hash")
-            batch.join(seen, Seq("content_hash"), "left_anti")
-          } else batch
-        novel.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        val novel = writeNovelBatch(rawBatch, batchId, sinkPath)
+        val fresh = embed(novel).join(
+          spark.table(indexTable)
+            .select(col("neighbor_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.ops.Similarity.appendIvfPqIndex(fresh, "doc_id", "embedding",
+            indexTable, dim, m, nBuckets)
         ()
       }
 }

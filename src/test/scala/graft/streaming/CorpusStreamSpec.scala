@@ -112,4 +112,62 @@ class CorpusStreamSpec extends SparkSpec {
       assert(after === ids, after.toString)
     } finally q.stop()
   }
+
+  test("corpusIngestSinkWithIndex: novel docs fold into the persisted ANN index; duplicates don't; ids never double-append") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("corpus_stream_idx").toString
+    val sink = s"$dir/corpus"
+    val tbl = "graft_stream_ivfpq"
+    // deterministic stand-in embedder (doc_id → 8-dim vector) — in
+    // production a model-serving join or precomputed lookup
+    def embed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (pmod(col("doc_id") * 31 + i, lit(97)) / 97.0).cast("float"))
+          .as("embedding"))
+    val src = MemoryStream[StreamDoc]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    // the q94 gotcha: drop catalog entries AND any stale warehouse dirs
+    // a previous (crashed) run left, or the build below dies on
+    // LOCATION_ALREADY_EXISTS
+    Seq(tbl, s"${tbl}_centroids", s"${tbl}_codebooks").foreach { x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + x)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    try {
+      graft.ops.Similarity.writeIvfPqIndex(embed(Seq(100L, 101L).toDF("doc_id")),
+        "doc_id", "embedding", tbl, dim = 8, nCentroids = 2, m = 2,
+        kCodes = 2, nBuckets = 2, trainN = 16, nIters = 0)
+      q = CorpusStream.corpusIngestSinkWithIndex(
+        CorpusStream.dedupedDocs(CorpusStream.cleanDocs(src.toDF()), "1 hour"),
+        sink, s"$dir/ckpt", embed, tbl, dim = 8, m = 2, nBuckets = 2).start()
+      src.addData(doc(1, t(1), good), doc(2, t(1), good + " indeed"))
+      q.processAllAvailable()
+      // appends land via the micro-batch's CLONED session; any other
+      // session that already resolved the table must refresh to see the
+      // new files — standard catalog semantics, documented on the sink
+      def indexed = {
+        spark.catalog.refreshTable(tbl)
+        spark.table(tbl).select("neighbor_id").as[Long].collect().toSet
+      }
+      assert(indexed === Set(100L, 101L, 1L, 2L), indexed.toString)
+      // duplicate content under a new id is not novel → not indexed;
+      // genuinely new content is
+      src.addData(doc(20, t(2), good),
+        doc(21, t(2), "a wholly different body of text here"))
+      q.processAllAvailable()
+      assert(indexed === Set(100L, 101L, 1L, 2L, 21L), indexed.toString)
+      // the id anti-join keeps the bucketed append replay-safe: no id
+      // ever appears twice in the index
+      assert(spark.table(tbl).groupBy("neighbor_id").count()
+        .filter(col("count") > 1).count() === 0L)
+    } finally {
+      if (q != null) q.stop()
+      Seq(tbl, s"${tbl}_centroids", s"${tbl}_codebooks")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
 }
