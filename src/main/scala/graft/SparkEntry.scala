@@ -25,7 +25,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (xxhash64-based MinHash/SimHash/LSH) → driver's rows-only check. */
+    * (xxhash64-based production sketches, iterative BPE) → driver's
+    * rows-only check; since round 8 every such hash family also has an
+    * md5 verification twin carrying a full oracle (q91/q96/q97/q98/q99). */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -963,12 +963,17 @@ object LlmQueries {
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id"),
         round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm"),
-        round(element_at(VectorFunctions.unitNormalize(col("embedding")), 1), 4).as("unit0"),
+        // + 0.0 collapses IEEE negative zero: a unit component that is
+        // ~±1e-18 rounds to -0.0 or 0.0 depending on each engine's
+        // summation order, and the hash compare distinguishes them
+        // (surfaced at sf0.1; sf0.01 never hit a near-zero component)
+        (round(element_at(VectorFunctions.unitNormalize(col("embedding")), 1), 4)
+          + 0.0).as("unit0"),
         array_join(VectorFunctions.quantizeInt8(col("embedding")), ",").as("quant_i8")),
       Some("""SELECT vec_id,
              |round(nrm, 4) AS l2_norm,
-             |CASE WHEN nrm = 0 THEN round(ed[1], 4)
-             |     ELSE round(ed[1] / nrm, 4) END AS unit0,
+             |CASE WHEN nrm = 0 THEN round(ed[1], 4) + 0.0
+             |     ELSE round(ed[1] / nrm, 4) + 0.0 END AS unit0,
              |CASE WHEN mx = 0 THEN array_to_string(list_transform(ed, x -> 0), ',')
              |     ELSE array_to_string(list_transform(ed, x -> CAST(round(x * 127.0 / mx) AS BIGINT)), ',')
              |END AS quant_i8
@@ -1506,13 +1511,15 @@ object LlmQueries {
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("col").cast("double")), 4).as("m"))
+          // + 0.0: an avg of ~±1e-18 rounds to a SIGNED zero whose sign
+          // is summation-order luck — normalize it (q54's fix)
+          (round(avg(col("col").cast("double")), 4) + 0.0).as("m"))
         .select("label", "pos", "n", "m"),
       Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS ed FROM embeddings),
              |x AS (SELECT label, unnest(ed) AS v,
              |        unnest(range(len(ed))) AS pos FROM e)
              |SELECT label, cast(pos AS BIGINT) AS pos, count(*) AS n,
-             |  round(avg(v), 4) AS m
+             |  round(avg(v), 4) + 0.0 AS m
              |FROM x GROUP BY 1, 2""".stripMargin)),
 
     // Padded-batching waste estimator: docs dealt into power-of-two
