@@ -97,21 +97,29 @@ object CorpusStream {
     * scan), so sink growth costs hash-column I/O, not document I/O. */
   def corpusIngestSink(deduped: DataFrame, sinkPath: String,
                        checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(deduped, checkpoint) { (rawBatch, batchId) =>
+      writeNovelBatch(rawBatch, batchId, sinkPath)
+    }
+
+  /** The shared sink scaffolding — one place owns the output mode and
+    * checkpoint wiring for every foreachBatch corpus sink. */
+  private def foreachBatchSink(deduped: DataFrame, checkpoint: String)
+                              (body: (DataFrame, Long) => Unit)
+                              : DataStreamWriter[org.apache.spark.sql.Row] =
     deduped.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        writeNovelBatch(rawBatch, batchId, sinkPath)
-        ()
+        body(rawBatch, batchId)
       }
 
   /** One micro-batch of the append-only sink: within-batch dedup →
     * against-corpus hash anti-join → idempotent `batch=<id>` overwrite.
-    * Returns the batch's novel documents READ BACK from the written
-    * directory (one materialization — downstream consumers don't
-    * re-execute the anti-join plan). */
+    * Returns Unit — a consumer that wants the written rows reads the
+    * `batch=<id>` directory back itself (the plain sink must not pay a
+    * per-batch read-back it would only discard). */
   private def writeNovelBatch(rawBatch: DataFrame, batchId: Long,
-                              sinkPath: String): DataFrame = {
+                              sinkPath: String): Unit = {
     val spark = rawBatch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(sinkPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,7 +144,6 @@ object CorpusStream {
         batch.join(seen, Seq("content_hash"), "left_anti")
       } else batch
     novel.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-    spark.read.parquet(s"$sinkPath/batch=$batchId")
   }
 
   /** [[corpusIngestSink]] plus SERVING-INDEX MAINTENANCE — the streaming
@@ -146,13 +153,28 @@ object CorpusStream {
     * (doc_id, embedding)) and folded into the persisted
     * [[graft.ops.Similarity.writeIvfPqIndex]] table via
     * [[graft.ops.Similarity.appendIvfPqIndex]] — FROZEN models,
-    * batch-sized encode, base index never re-read.
+    * batch-sized encode, base index never re-read. The PQ geometry
+    * (m, dim) is DERIVED from the persisted codebook table at sink
+    * construction, never re-stated by the caller: a restated `m` that
+    * disagreed with the codebooks would slice wrong subvectors into
+    * schema-identical, silently corrupt codes.
     *
-    * Replay safety: `foreachBatch` may re-run a batch after a crash, and
-    * a bucketed-table append is not idempotent by itself — so the batch
-    * anti-joins on the index's id column first (column-pruned scan) and
-    * appends only ids the index doesn't hold. A replayed batch therefore
-    * appends nothing the first run already did.
+    * Index identity is FIRST-WRITE-WINS per doc id: the batch anti-joins
+    * on the index's id column (column-pruned scan) and appends only ids
+    * the index doesn't hold. That one join buys two properties — a
+    * replayed batch (foreachBatch may re-run after a crash; a bucketed
+    * append is not idempotent by itself) appends nothing the first run
+    * already did, and a batch carrying the same id twice with different
+    * content cannot double-insert (the within-batch id collapse below
+    * picks one deterministically). The cost is that a RE-CRAWLED id with
+    * new content keeps serving its original embedding until the
+    * periodic full rebuild (the documented frozen-model maintenance
+    * split) — an append-only bucketed table cannot update in place.
+    *
+    * Per-batch cost: the embed + anti-join result is persisted before
+    * the emptiness check, so the (expensive, possibly model-serving)
+    * `embed` runs once per batch, not once for the check and again for
+    * the append.
     *
     * Reader visibility: appends run in the micro-batch's cloned session;
     * a SERVING session that has already resolved the index table keeps
@@ -162,21 +184,31 @@ object CorpusStream {
   def corpusIngestSinkWithIndex(deduped: DataFrame, sinkPath: String,
                                 checkpoint: String,
                                 embed: DataFrame => DataFrame,
-                                indexTable: String, dim: Int, m: Int = 8,
-                                nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
-    deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        val spark = rawBatch.sparkSession
-        val novel = writeNovelBatch(rawBatch, batchId, sinkPath)
-        val fresh = embed(novel).join(
-          spark.table(indexTable)
-            .select(col("neighbor_id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+                                indexTable: String,
+                                nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val geom = deduped.sparkSession.table(s"${indexTable}_codebooks")
+      .agg(countDistinct(col("subspace")), max(size(col("centv")))).head
+    val m = geom.getLong(0).toInt
+    val dim = m * geom.getInt(1)
+    foreachBatchSink(deduped, checkpoint) { (rawBatch, batchId) =>
+      val spark = rawBatch.sparkSession
+      writeNovelBatch(rawBatch, batchId, sinkPath)
+      val novel = spark.read.parquet(s"$sinkPath/batch=$batchId")
+      // one embedding per id even when a batch carries the same id with
+      // DIFFERENT content (the sink dedups on content hash, not id):
+      // keep the hash-min row deterministically
+      val onePerId = graft.ops.Merge.lastWriterWins(
+        Seq("doc_id"), Seq(col("content_hash").asc))(novel)
+      val fresh = embed(onePerId).join(
+        spark.table(indexTable)
+          .select(col("neighbor_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+        .persist()
+      try {
         if (!fresh.isEmpty)
           graft.ops.Similarity.appendIvfPqIndex(fresh, "doc_id", "embedding",
             indexTable, dim, m, nBuckets)
-        ()
-      }
+      } finally { fresh.unpersist(); () }
+    }
+  }
 }

@@ -143,7 +143,7 @@ class CorpusStreamSpec extends SparkSpec {
         kCodes = 2, nBuckets = 2, trainN = 16, nIters = 0)
       q = CorpusStream.corpusIngestSinkWithIndex(
         CorpusStream.dedupedDocs(CorpusStream.cleanDocs(src.toDF()), "1 hour"),
-        sink, s"$dir/ckpt", embed, tbl, dim = 8, m = 2, nBuckets = 2).start()
+        sink, s"$dir/ckpt", embed, tbl, nBuckets = 2).start()
       src.addData(doc(1, t(1), good), doc(2, t(1), good + " indeed"))
       q.processAllAvailable()
       // appends land via the micro-batch's CLONED session; any other
@@ -155,13 +155,17 @@ class CorpusStreamSpec extends SparkSpec {
       }
       assert(indexed === Set(100L, 101L, 1L, 2L), indexed.toString)
       // duplicate content under a new id is not novel → not indexed;
-      // genuinely new content is
+      // genuinely new content is; the SAME id arriving twice with
+      // different content in one batch (passes the content-hash dedup!)
+      // collapses to one embedding
       src.addData(doc(20, t(2), good),
-        doc(21, t(2), "a wholly different body of text here"))
+        doc(21, t(2), "a wholly different body of text here"),
+        doc(30, t(2), "same id first body of words entirely"),
+        doc(30, t(2), "same id second body of words entirely"))
       q.processAllAvailable()
-      assert(indexed === Set(100L, 101L, 1L, 2L, 21L), indexed.toString)
-      // the id anti-join keeps the bucketed append replay-safe: no id
-      // ever appears twice in the index
+      assert(indexed === Set(100L, 101L, 1L, 2L, 21L, 30L), indexed.toString)
+      // the id anti-join + within-batch id collapse keep the bucketed
+      // append replay-safe: no id ever appears twice in the index
       assert(spark.table(tbl).groupBy("neighbor_id").count()
         .filter(col("count") > 1).count() === 0L)
     } finally {
