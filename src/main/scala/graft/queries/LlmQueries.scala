@@ -1683,7 +1683,110 @@ object LlmQueries {
              |  round(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS overlap_frac
              |FROM sh t LEFT JOIN held h ON t.shingle = h.shingle
              |WHERE t.doc % 50 <> 0
-             |GROUP BY t.doc""".stripMargin))
+             |GROUP BY t.doc""".stripMargin)),
+
+    // Vocabulary coverage / OOV rate: per-document fraction of tokens
+    // outside the corpus's top-1000 unigram vocabulary — the coverage
+    // audit a tokenizer/vocab decision runs before training (high OOV →
+    // the vocab underserves that slice of the corpus). The vocab cut is
+    // a TakeOrderedAndProject over the (count, token) total order — no
+    // global window — and the membership join is UNHINTED on the token
+    // key like q53's vocabulary joins (the vocab side is LIMIT-bounded
+    // here, so stats pick broadcast; the exploded side never carries
+    // documents, only (doc_id, token) rows).
+    Q("q105_vocab_coverage",
+      (s, d) => {
+        val toks = graft.ops.Staged.stage(
+          Tables.documents(s, d).select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+          .orderBy(col("__c").desc, col("tok")).limit(1000)
+          .select(col("tok"), lit(1L).as("__in"))
+        toks.join(vocab, Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, 1 AS __in FROM (
+             |    SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 1000)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  cast(sum(CASE WHEN __in IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  round(sum(CASE WHEN __in IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS oov_rate
+             |FROM tk LEFT JOIN v USING (tok) GROUP BY doc_id""".stripMargin)),
+
+    // Stupid Backoff LM score (Brants et al. 2007): bigram score backs
+    // off to 0.4 × unigram when the bigram is unseen in the TRAIN half
+    // (md5-split, q58's idiom — scoring the corpus under its own counts
+    // would never back off). This is the perplexity-quality filter q73/
+    // q80 approximate, with the realistic held-out formulation: unseen
+    // unigrams floor at a 0.5 pseudo-count. The fixture's word soup is a
+    // closed vocabulary (the floor would never fire), so every ~97th doc
+    // gets a deterministic doc-unique token injected IN-QUERY on both
+    // engines (q78's injection pattern) — eval-half injected docs then
+    // exercise the unseen-bigram AND unseen-unigram branches under the
+    // hash check. Same scale shape as q80: one staged exploded-bigram
+    // table, UNHINTED count joins at (doc, bigram) grain, only the
+    // one-row train-total broadcast.
+    Q("q101_backoff_logprob",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("text",
+          concat(col("text"), when(col("doc_id") % 97 === 0,
+            concat(lit(" zzznovel"), col("doc_id"))).otherwise(lit(""))))
+        val trainPred = md5(col("doc_id").cast("string")) < lit("8")
+        val bgs = graft.ops.Staged.stage(
+          docs.select(col("doc_id"),
+            explode(TextFunctions.bigrams(TextFunctions.tokens(col("text")))).as("bg"))
+          .withColumn("pref", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+          .withColumn("__train", trainPred))
+        val cbg = bgs.filter(col("__train")).groupBy("bg").agg(count(lit(1)).as("c_bg"))
+        val cpref = bgs.filter(col("__train")).groupBy("pref").agg(count(lit(1)).as("c_pref"))
+        val cuni = graft.ops.Staged.stage(
+          docs.filter(trainPred).select(
+            explode(TextFunctions.tokens(col("text"))).as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("c_uni")))
+        val nTot = cuni.agg(sum("c_uni").as("__n"))
+        bgs.join(cbg, Seq("bg"), "left")
+          .join(cpref, Seq("pref"), "left")
+          .join(cuni, Seq("w2"), "left")
+          .crossJoin(broadcast(nTot))
+          .withColumn("__s",
+            when(col("c_bg").isNotNull, col("c_bg").cast("double") / col("c_pref"))
+              .otherwise(lit(0.4) * coalesce(col("c_uni").cast("double"), lit(0.5)) / col("__n")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("__s"))), 4).as("backoff_logprob"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id,
+             |    text || CASE WHEN doc_id % 97 = 0
+             |      THEN ' zzznovel' || cast(doc_id AS VARCHAR) ELSE '' END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w,
+             |    md5(cast(doc_id AS VARCHAR)) < '8' AS __train
+             |  FROM d0),
+             |b AS (SELECT doc_id, __train,
+             |    unnest(list_transform(range(greatest(len(w) - 1, 0)),
+             |      i -> w[i+1] || ' ' || w[i+2])) AS bg FROM t),
+             |bp AS (SELECT doc_id, __train, bg,
+             |    string_split(bg, ' ')[1] AS pref, string_split(bg, ' ')[2] AS w2 FROM b),
+             |cb AS (SELECT bg, count(*) AS c_bg FROM bp WHERE __train GROUP BY 1),
+             |cp AS (SELECT pref, count(*) AS c_pref FROM bp WHERE __train GROUP BY 1),
+             |cu AS (SELECT w2, count(*) AS c_uni FROM (
+             |    SELECT unnest(w) AS w2 FROM t WHERE __train) GROUP BY 1),
+             |n AS (SELECT cast(sum(c_uni) AS BIGINT) AS total FROM cu)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(ln(CASE WHEN c_bg IS NOT NULL THEN c_bg * 1.0 / c_pref
+             |    ELSE 0.4 * coalesce(c_uni, 0.5) / total END)), 4) AS backoff_logprob
+             |FROM bp LEFT JOIN cb USING (bg) LEFT JOIN cp USING (pref)
+             |  LEFT JOIN cu USING (w2) CROSS JOIN n
+             |GROUP BY doc_id""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
