@@ -192,6 +192,46 @@ object Sampling {
       .drop("__qrn")
   }
 
+  /** Temperature (α) mixture sampling: per-stratum quotas proportional
+    * to n_s^α — the standard rebalancing rule for skewed multilingual /
+    * multi-source corpora (α = 1 keeps the natural mix, α → 0 approaches
+    * uniform; training mixes typically run α ∈ [0.3, 0.7]). Each
+    * stratum's quota is `min(n_s, max(1, floor(budget · n_s^α / Σ
+    * n_t^α)))` — over-represented strata are squashed, tail strata keep
+    * at least one row — and the survivors are the quota hash-smallest
+    * rows per stratum ([[quotaPerStratum]]'s discipline), so the kept
+    * set is deterministic, engine-portable, and NESTED in the budget
+    * (quotas grow monotonically with budget and the per-stratum order is
+    * fixed, so raising the budget only adds rows).
+    *
+    * Cross-engine note: the scaled weight is rounded to 4dp BEFORE the
+    * floor — n^α and the float Σ are the only non-integer inputs, and
+    * the round keeps both engines' last-ulp pow/summation differences
+    * from flipping the integer cut.
+    *
+    * Scale: the counts aggregate is map-side partial (rows = #strata),
+    * quotas broadcast back, and the one corpus Exchange is the
+    * by-stratum window hash — identical to [[quotaPerStratum]]. */
+  def temperatureQuota(df: DataFrame, idCol: String, strataCol: String,
+                       alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha out of (0,1]")
+    require(budget > 0, s"budget $budget must be positive")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val z = counts.agg(sum(pow(col("__n").cast("double"), alpha)).as("__z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .withColumn("__quota", least(col("__n"), greatest(lit(1L),
+        floor(round(lit(budget.toDouble) * pow(col("__n").cast("double"), alpha)
+          / col("__z"), 4)).cast("long"))))
+      .select(col(strataCol), col("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= col("__quota"))
+      .drop("__qrn", "__quota")
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

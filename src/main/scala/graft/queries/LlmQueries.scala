@@ -1685,6 +1685,28 @@ object LlmQueries {
              |WHERE t.doc % 50 <> 0
              |GROUP BY t.doc""".stripMargin)),
 
+    // Temperature (α = 0.5) mixture sampling over the skewed lang
+    // strata: per-lang quotas ∝ √n rebalance the en-heavy fixture mix
+    // (en's natural 43.6% share drops to ~30.6% of the 300-doc budget)
+    // with md5-order survivors — the multilingual upsampling/
+    // downsampling rule every multi-source training mix applies. Kept
+    // sets are nested in the budget; the quota arithmetic rounds before
+    // the integer cut so both engines agree on every quota.
+    Q("q104_temperature_mix",
+      (s, d) => Sampling.temperatureQuota(
+          Tables.documents(s, d).select("doc_id", "lang"), "doc_id",
+          "lang", alpha = 0.5, budget = 300)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+             |q AS (SELECT lang, least(n, greatest(1,
+             |    cast(floor(round(300.0 * pow(n, 0.5) / z, 4)) AS BIGINT))) AS quota
+             |  FROM c CROSS JOIN z),
+             |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota""".stripMargin)),
+
     // Vocabulary coverage / OOV rate: per-document fraction of tokens
     // outside the corpus's top-1000 unigram vocabulary — the coverage
     // audit a tokenizer/vocab decision runs before training (high OOV →

@@ -172,6 +172,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("temperatureQuota: flattens skew toward the budget mix, nested in budget, deterministic") {
+    // 1600 'big' vs 400 'small': natural shares 80/20; alpha=0.5 shares
+    // ∝ sqrt -> 40/20 = 2:1, so a 300 budget splits 200/100
+    val docs = ids.withColumn("lang",
+      when(col("id") < 1600, "big").otherwise("small"))
+    val out = Sampling.temperatureQuota(docs, "id", "lang", 0.5, 300)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("big").size === 200)
+    assert(byLang("small").size === 100)
+    // nested: a bigger budget's kept set contains the smaller's
+    val wider = Sampling.temperatureQuota(docs, "id", "lang", 0.5, 600)
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(wider))
+    // deterministic and partitioning-independent
+    val again = Sampling.temperatureQuota(docs.repartition(13), "id", "lang", 0.5, 300)
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet === again)
+    // a stratum never exceeds its size, and tails keep at least one row
+    val tiny = docs.filter(col("id") < 1601) // 'small' has a single row
+    val keptTiny = Sampling.temperatureQuota(tiny, "id", "lang", 0.5, 100)
+      .filter(col("lang") === "small").count()
+    assert(keptTiny === 1L)
+  }
+
   test("packSequences: contiguous zero-waste packing per shard, deterministic") {
     Staged.withStaged {
       val docs = ids.select("id").withColumn("n", (col("id") % 7) + 1)
