@@ -148,6 +148,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Character-level (Levenshtein) near-duplicate pairs — the dedup
+    * family member that catches small-edit copies (typo fixes, boiler-
+    * plate substitutions, version bumps) where token-set Jaccard stays
+    * high but EXACT dedup misses; conversely a word-order scramble keeps
+    * Jaccard at 1.0 while edit similarity collapses, so the two metrics
+    * are complementary and real pipelines gate on both.
+    *
+    * Plan: candidates come from the same inverted sub-maxDf shingle
+    * index as [[ngramJaccardPairs]] (only docs sharing ≥ 1 rare
+    * n-shingle ever meet — never all-pairs), texts are re-joined only
+    * for the surviving candidate pairs, and a length band (lev ≥
+    * |len_a − len_b|, so a gap beyond (1−θ)·maxLen already caps
+    * similarity below θ) prunes before any pair pays the O(len²) DP.
+    *
+    * Cross-engine determinism: lev and the lengths are integers; the
+    * similarity 1 − lev/maxLen is a single IEEE division, so the
+    * UNROUNDED threshold filter agrees bit-for-bit between engines (the
+    * emitted `edit_sim` is rounded 4dp for display only) and the band
+    * equality boundary coincides with the raw filter's.
+    *
+    * Output: (id_a, id_b, edit_sim), id_a < id_b, edit similarity
+    * = 1 − lev/max(len) ≥ threshold. */
+  def editDistancePairs(idCol: String, textCol: String, n: Int,
+                        threshold: Double, maxDf: Long = 1000L,
+                        tokensCol: Option[String] = None)
+                       (df: DataFrame): DataFrame = {
+    val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
+    val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).drop("__df"),
+        "shingle")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val mx = greatest(greatest(length(col("__ta")), length(col("__tb"))), lit(1))
+    val rawSim = lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") / mx
+    cand
+      .join(texts.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(texts.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))).cast("double")
+        <= lit(1.0 - threshold) * mx)
+      .filter(rawSim >= threshold)
+      .select(col("id_a"), col("id_b"), round(rawSim, 4).as("edit_sim"))
+  }
+
   /** [[ngramJaccardPairs]] restricted to pairs touching at least one
     * `fresh` document: fresh×base and fresh×fresh, never base×base — the
     * pair generator of an INCREMENTAL dedup pass

@@ -1685,6 +1685,34 @@ object LlmQueries {
              |WHERE t.doc % 50 <> 0
              |GROUP BY t.doc""".stripMargin)),
 
+    // Character-level near-dup pairs: Levenshtein similarity over
+    // candidates from the 5-shingle inverted index (maxDf 50) — the
+    // complement of q26's token-set Jaccard (an edit moves few chars but
+    // keeps most shingles; a word scramble keeps Jaccard ≈ 1 while edit
+    // similarity collapses). The threshold filter runs on the UNROUNDED
+    // single-division similarity, so both engines make identical keep
+    // decisions; the O(len²) DP is paid only by length-band survivors.
+    Q("q100_edit_distance_pairs",
+      (s, d) => Dedup.editDistancePairs("doc_id", "text", 5,
+          threshold = 0.8, maxDf = 50L)(Tables.documents(s, d)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 4, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+             |rare AS (SELECT sh.* FROM sh JOIN df USING (shingle) WHERE c <= 50),
+             |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+             |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc),
+             |lv AS (SELECT id_a, id_b,
+             |    levenshtein(da.text, db.text) AS lev,
+             |    greatest(greatest(length(da.text), length(db.text)), 1) AS mx
+             |  FROM cand JOIN documents da ON da.doc_id = id_a
+             |            JOIN documents db ON db.doc_id = id_b
+             |  WHERE abs(length(da.text) - length(db.text)) * 1.0 <=
+             |    0.19999999999999996 * greatest(greatest(length(da.text), length(db.text)), 1))
+             |SELECT id_a, id_b, round(1.0 - lev * 1.0 / mx, 4) AS edit_sim
+             |FROM lv WHERE 1.0 - lev * 1.0 / mx >= 0.8""".stripMargin)),
+
     // Temperature (α = 0.5) mixture sampling over the skewed lang
     // strata: per-lang quotas ∝ √n rebalance the en-heavy fixture mix
     // (en's natural 43.6% share drops to ~30.6% of the 300-doc budget)

@@ -270,6 +270,30 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("editDistancePairs: catches the small edit, not the word scramble Jaccard can't see") {
+    Staged.withStaged {
+      val scrambled = base.trim.split("\\s+").reverse.mkString(" ")
+      val d = Seq(
+        (0L, base),
+        (1L, base.replace("tonight", "tonite")),  // 2-char edit: edit_sim high
+        (2L, scrambled),                          // same token SET: Jaccard-1 on 1-shingles, edit_sim low
+        (3L, "completely unrelated text about spark catalyst optimizer rules and physical plans here")
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.editDistancePairs("doc_id", "text", 3, 0.8)(d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((0L, 1L)))
+      // the scrambled doc IS a 1-gram Jaccard dupe — the two metrics split
+      val jac = Dedup.ngramJaccardPairs("doc_id", "text", 1, 0.99)(d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(jac.contains((0L, 2L)) && !pairs.contains((0L, 2L)))
+      // identical texts score exactly 1.0
+      val exactPair = Dedup.editDistancePairs("doc_id", "text", 3, 0.8)(
+          Seq((0L, base), (1L, base)).toDF("doc_id", "text"))
+        .collect()
+      assert(exactPair.length === 1 && exactPair.head.getDouble(2) === 1.0)
+    }
+  }
+
   test("minhash LSH surfaces exact and near dupes as candidates") {
     val pairs = Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.3)(docs)
       .as[(Long, Long, Double)].collect().toSeq
