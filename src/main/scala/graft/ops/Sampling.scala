@@ -192,6 +192,61 @@ object Sampling {
       .drop("__qrn")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its hashed n-gram features look like a TARGET
+    * distribution (here: the rows matching `targetPred`) versus the raw
+    * pool — the principled replacement for hand-tuned quality filters
+    * when a trusted exemplar corpus exists. Features are unigram +
+    * bigram occurrences hashed into `nBuckets` buckets (md5 — engine-
+    * portable like [[hashFraction]]); bucket probabilities are Laplace-
+    * smoothed (+1, so target-absent buckets stay finite); the document
+    * weight is Σ log(p_target(b)/p_raw(b)) over its feature occurrences.
+    *
+    * Cross-engine determinism: each bucket's log-ratio is quantized to a
+    * ×10⁴ BIGINT before the per-document sum — integer sums are
+    * order-independent where float sums are not (the q99 discipline) —
+    * and `weight_q` is that exact integer (dsir_weight = weight_q/10⁴
+    * for reading). Downstream selection (top-n, resampling thresholds)
+    * must order on (weight_q, id).
+    *
+    * Scale: two map-side-partial bucket aggregates (rows ≤ nBuckets) +
+    * one broadcast of the nBuckets-row ratio table back onto the
+    * exploded features; shuffles carry (doc, bucket)-level rows, never
+    * documents. Output: (idCol, n_feats, weight_q, dsir_weight). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets $nBuckets out of (0, 65536] (bucketing reads 4 hex chars)")
+    val toks = df.select(col(idCol).as("__did"), targetPred.as("__tgt"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__w"))
+    val feats = Staged.stage(toks
+      .select(col("__did"), col("__tgt"),
+        explode(concat(col("__w"),
+          graft.functions.TextFunctions.bigrams(col("__w")))).as("__f"))
+      .withColumn("__b",
+        conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("long") % nBuckets)
+      .drop("__f"))
+    val rawCnt = feats.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgtCnt = feats.filter(col("__tgt")).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val totals = feats.agg(count(lit(1)).as("__R"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__T"))
+    // every bucket a document can hit is present in rawCnt by
+    // construction; target-absent buckets coalesce to the smoothing floor
+    val ratios = rawCnt.join(tgtCnt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log(((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__T") + nBuckets))
+          / ((col("__cr") + 1.0) / (col("__R") + nBuckets))) * 10000)
+          .cast("long").as("__lw"))
+    feats.join(broadcast(ratios), "__b")
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__lw")).as("weight_q"))
+      .select(col("__did").as(idCol), col("n_feats"), col("weight_q"),
+        round(col("weight_q") / 10000.0, 4).as("dsir_weight"))
+  }
+
   /** Temperature (α) mixture sampling: per-stratum quotas proportional
     * to n_s^α — the standard rebalancing rule for skewed multilingual /
     * multi-source corpora (α = 1 keeps the natural mix, α → 0 approaches

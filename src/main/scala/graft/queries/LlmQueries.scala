@@ -1685,6 +1685,34 @@ object LlmQueries {
              |WHERE t.doc % 50 <> 0
              |GROUP BY t.doc""".stripMargin)),
 
+    // DSIR importance weights against the English slice as the target
+    // distribution: hashed unigram+bigram features (64 md5 buckets),
+    // Laplace-smoothed bucket log-ratios quantized to ×10⁴ BIGINTs
+    // before the per-doc sum (integer sums are order-independent — the
+    // q99 discipline — so the full score table hash-checks). en docs
+    // score high, other langs negative — the data-selection scorer a
+    // "make it look like Wikipedia" mix runs at corpus scale.
+    Q("q102_dsir_weights",
+      (s, d) => Sampling.dsirWeights(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", nBuckets = 64),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |f AS (SELECT doc_id, tgt, unnest(w ||
+             |    list_transform(range(greatest(len(w) - 1, 0)),
+             |      i -> w[i+1] || ' ' || w[i+2])) AS f FROM t),
+             |fb AS (SELECT doc_id, tgt, ('0x' || substr(md5(f), 1, 4))::BIGINT % 64 AS b FROM f),
+             |cr AS (SELECT b, count(*) AS c_r FROM fb GROUP BY 1),
+             |ct AS (SELECT b, count(*) AS c_t FROM fb WHERE tgt GROUP BY 1),
+             |tot AS (SELECT count(*) AS r, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t FROM fb),
+             |lw AS (SELECT b, cast(round(ln(((coalesce(c_t, 0) + 1.0) / (t + 64))
+             |    / ((c_r + 1.0) / (r + 64))) * 10000) AS BIGINT) AS lw
+             |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_feats,
+             |  cast(sum(lw) AS BIGINT) AS weight_q,
+             |  round(sum(lw) / 10000.0, 4) AS dsir_weight
+             |FROM fb JOIN lw USING (b) GROUP BY doc_id""".stripMargin)),
+
     // Character-level near-dup pairs: Levenshtein similarity over
     // candidates from the 5-shingle inverted index (maxDf 50) — the
     // complement of q26's token-set Jaccard (an edit moves few chars but

@@ -172,6 +172,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("dsirWeights: target-vocabulary docs outscore off-target docs, deterministic, integer-exact") {
+    Staged.withStaged {
+      // two disjoint vocabularies; target = the 'good' half. A held-back
+      // good doc (not flagged target) must still score like the target
+      // docs — the whole point of importance weighting vs a label filter.
+      val good = (0L until 20L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa w$i", i < 19))
+      val bad = (20L until 40L).map(i => (i, s"one two three four five six seven eight nine ten w$i", false))
+      val docs = (good ++ bad).toDF("id", "text", "is_tgt")
+      val out = Sampling.dsirWeights(docs, "id", "text", col("is_tgt"), 64)
+        .select("id", "weight_q").as[(Long, Long)].collect().toMap
+      val heldBackGood = out(19L)
+      assert(bad.forall { case (i, _, _) => out(i) < heldBackGood },
+        s"held-back good doc $heldBackGood not above bad docs")
+      assert(good.filter(_._3).forall { case (i, _, _) => out(i) > out(20L) })
+      // partitioning-independent (integer quantization makes sums exact)
+      val again = Sampling.dsirWeights(docs.repartition(13), "id", "text", col("is_tgt"), 64)
+        .select("id", "weight_q").as[(Long, Long)].collect().toMap
+      assert(out === again)
+    }
+  }
+
   test("temperatureQuota: flattens skew toward the budget mix, nested in budget, deterministic") {
     // 1600 'big' vs 400 'small': natural shares 80/20; alpha=0.5 shares
     // ∝ sqrt -> 40/20 = 2:1, so a 300 budget splits 200/100
