@@ -620,14 +620,20 @@ object Similarity {
 
   /** [[assignCells]] under the rounded deterministic metric — same
     * broadcast-pack projection (no shuffle at any corpus size), same
-    * output shape (neighbor_id, cv, centroid_id). */
+    * output shape (neighbor_id, cv, centroid_id). `carry` columns ride
+    * the projection unchanged (metadata a filtered search scopes on —
+    * at scale they live IN the cell-bucketed index row, not behind a
+    * corpus-sized join-back). */
   def assignCellsRounded(corpus: DataFrame, idCol: String, vecCol: String,
-                         centroids: DataFrame): DataFrame =
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+                         centroids: DataFrame,
+                         carry: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv")
+        +: carry.map(col): _*)
       .crossJoin(broadcast(packCentroids(centroids)))
-      .select(col("neighbor_id"), col("cv"),
-        array_min(roundedCentroidScores(col("cv")))
-          .getField("centroid_id").as("centroid_id"))
+      .select(col("neighbor_id") +: col("cv")
+        +: array_min(roundedCentroidScores(col("cv")))
+          .getField("centroid_id").as("centroid_id")
+        +: carry.map(col): _*)
 
   /** md5-seeded, NO-LLOYD PQ codebooks `(subspace, code, centv)`: the
     * kCodes md5(id)-smallest unit-normalized corpus vectors, sliced into
@@ -753,5 +759,50 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         col("__p").getField("centroid_id").as("centroid_id"))
     rankTopK(assigned.join(probes, "centroid_id"), k)
+  }
+
+  /** Filtered ANN: [[ivfTopKDeterministic]] under a per-query metadata
+    * constraint — each query retrieves its top-k only among corpus rows
+    * whose `metaCol` equals the query's own ("search within my
+    * category": the tenant/language/label scoping every production
+    * vector store exposes as a search-time filter). The predicate is
+    * POST-FILTER-then-rank (candidates failing the filter are discarded
+    * BEFORE any ranking slot is spent, so the k results are all valid —
+    * the FAISS IDSelector / Qdrant-filter semantics), applied at the
+    * cell-candidate join where the metadata rides the index row itself
+    * ([[assignCellsRounded]]'s carry) — no corpus-sized join-back, no
+    * distance math on filtered-out rows.
+    *
+    * Recall caveat (documented, inherent to IVF filtering): probes are
+    * chosen by unfiltered cell proximity, so a heavily-filtered query
+    * may see fewer than k candidates in its probed cells; raise nProbe
+    * when filters are selective. Determinism: identical to
+    * [[ivfTopKDeterministic]] (rounded metrics, id tiebreaks) — fully
+    * reproducible cross-engine.
+    *
+    * Output: (query_id, metaCol, neighbor_id, sim, rk). */
+  def ivfTopKDeterministicFiltered(corpus: DataFrame, queries: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   metaCol: String, k: Int,
+                                   centroids: DataFrame,
+                                   nProbe: Int = 2): DataFrame = {
+    val assigned = assignCellsRounded(corpus, idCol, vecCol, centroids,
+      carry = Seq(metaCol))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(metaCol).as("__qm"))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("query_id"), col("qv"), col("__qm"),
+        explode(slice(array_sort(roundedCentroidScores(col("qv"))), 1, nProbe)).as("__p"))
+      .select(col("query_id"), col("qv"), col("__qm"),
+        col("__p").getField("centroid_id").as("centroid_id"))
+    val scored = assigned.join(probes, "centroid_id")
+      .filter(col(metaCol) === col("__qm"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", metaCol, "neighbor_id", "sim", "rk")
   }
 }

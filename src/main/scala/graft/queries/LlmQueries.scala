@@ -712,6 +712,49 @@ object LlmQueries {
              |  ORDER BY sim DESC, neighbor_id) AS rk FROM s2)
              |WHERE rk <= 5""".stripMargin)),
 
+    // Filtered ANN: q96's deterministic IVF search scoped per query to
+    // same-label corpus rows — the tenant/category/language search-time
+    // filter every production vector store exposes. The label rides the
+    // cell assignment itself (no corpus join-back) and prunes candidates
+    // BEFORE any distance math or ranking slot; the whole filtered
+    // search (cells, probes, filter, top-k) reproduces in DuckDB.
+    Q("q103_filtered_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKDeterministicFiltered(emb,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding", "label",
+          5, Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16),
+          nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |scored AS (SELECT e.vec_id, e.label, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, label, cid AS cell FROM (
+             |    SELECT vec_id, label, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |probes AS (SELECT query_id, qlabel, cid AS cell FROM (
+             |    SELECT vec_id AS query_id, label AS qlabel, cid, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS pn
+             |    FROM scored WHERE vec_id < 100) WHERE pn <= 8),
+             |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.label
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  WHERE a.vec_id <> p.query_id AND a.label = p.qlabel),
+             |s2 AS (SELECT c.query_id, c.label, c.neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+             |              JOIN e en ON en.vec_id = c.neighbor_id)
+             |SELECT query_id, label, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s2)
+             |WHERE rk <= 5""".stripMargin)),
+
     // ANN recall harness: join each approximate method's top-k against
     // the exact brute-force top-k and report per-method recall — the
     // quantitative check that turns "runs" into "measurably correct"

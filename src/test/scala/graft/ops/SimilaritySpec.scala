@@ -80,6 +80,35 @@ class SimilaritySpec extends SparkSpec {
     assert(partialBest.forall { case (q, s) => s <= fullBest(q) })
   }
 
+  test("ivfTopKDeterministicFiltered ≡ unfiltered search over the pre-filtered corpus; neighbors share the query's label") {
+    // cell assignment is per-row against broadcast centroids, so
+    // filter-then-search and search-with-filter must commute — the
+    // equivalence that makes the filter's semantics exact, not a rerank
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(-1.0f, 0.0f), 1),
+      (4L, Seq(0.8f, 0.2f), 0), (5L, Seq(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.md5SeededCentroids(labeled, "vec_id", "embedding", 2)
+    val filtered = Similarity.ivfTopKDeterministicFiltered(labeled, labeled,
+      "vec_id", "embedding", "label", 2, cents, nProbe = 2)
+    // every returned neighbor carries the query's own label
+    val byQuery = labeled.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val neigh = filtered.select("query_id", "label", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(neigh.nonEmpty)
+    assert(neigh.forall { case (q, l, n) => byQuery(q) === l && byQuery(n) === l })
+    // ≡ running the unfiltered search per label slice
+    val bySlice = Seq(0, 1).map { l =>
+      val slice = labeled.filter(col("label") === l)
+      Similarity.ivfTopKDeterministic(slice, slice, "vec_id", "embedding", 2,
+        cents, nProbe = 2).withColumn("label", lit(l))
+        .select("query_id", "label", "neighbor_id", "sim", "rk")
+    }.reduce(_ union _)
+    assert(filtered.exceptAll(bySlice).count() === 0 &&
+      bySlice.exceptAll(filtered).count() === 0)
+  }
+
   test("Lloyd refinement does not worsen cell balance on a clustered fixture") {
     // two tight clusters; hash-sampled seeds can land lopsided — after a
     // refinement round centroids move toward cell means, so the cell-size
