@@ -225,6 +225,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // the md5 centroid sample
   }
 
+  test("q100 edit-distance pairs: shingle equi-join candidates, never a nested-loop cross join") {
+    val p = plan("q100_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(emptyPartitionWindows("q100_edit_distance_pairs").isEmpty)
+  }
+
+  test("q102 DSIR: bucket ratio table broadcasts back, no single-partition window") {
+    val p = plan("q102_dsir_weights")
+    // the nBuckets-row ratio join is hint-broadcast (bounded by
+    // construction, like the one-row totals) — both must stay broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(emptyPartitionWindows("q102_dsir_weights").isEmpty)
+  }
+
+  test("q103 filtered ANN: carry-column assignment stays a zero-Exchange projection") {
+    // same law as q92's assignment: adding the metadata carry must not
+    // introduce a corpus shuffle or a join-back
+    val emb = graft.Tables.embeddings(spark, sf)
+    val assigned = graft.ops.Similarity.assignCellsRounded(emb, "vec_id",
+      "embedding",
+      graft.ops.Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16),
+      carry = Seq("label"))
+    val phys = assigned.queryExecution.explainString(SimpleMode)
+    // only the one-row centroid-pack BroadcastExchange may appear — the
+    // corpus itself must never shuffle (q92's law, plus the carry)
+    assert(!phys.contains("Exchange hashpartitioning"), phys)
+    assert(phys.contains("label"), phys) // the carry survives the projection
+    assert(emptyPartitionWindows("q103_filtered_ann").isEmpty)
+  }
+
+  test("q104 temperature mix: quota window runs by stratum, quotas broadcast") {
+    assert(emptyPartitionWindows("q104_temperature_mix").isEmpty)
+    val p = plan("q104_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p) // #strata-row quota join
+  }
+
+  test("q105 vocab coverage: top-K vocab via TakeOrderedAndProject, no global sort") {
+    val p = plan("q105_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(emptyPartitionWindows("q105_vocab_coverage").isEmpty)
+  }
+
   test("q96/q98/q99 deterministic ANN twins: no single-partition window") {
     Seq("q96_ivf_topk_md5", "q98_lsh_topk_md5", "q99_pq_topk_md5").foreach { q =>
       assert(emptyPartitionWindows(q).isEmpty, q)
