@@ -195,6 +195,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(rawSim, 4).as("edit_sim"))
   }
 
+  /** Representative selection for duplicate clusters by QUALITY, not min
+    * id: every doc gets its cluster label (singletons label themselves,
+    * [[graft.ops.Similarity.semDedup]]'s convention) and each cluster
+    * keeps the row with the best `score` — a real corpus build keeps the
+    * longest / highest-quality / most-canonical copy, not whichever got
+    * the smallest crawl id. Which copy survives changes training data;
+    * min-id keep is an artifact of the clustering algebra, score keep is
+    * a policy.
+    *
+    * Determinism: the keeper is row_number over (score desc, doc asc) —
+    * supply an integer-valued or pre-rounded score so both engines rank
+    * identically (the oracle discipline: never order on raw doubles).
+    *
+    * Scale: the cluster labels come from the iterative
+    * [[duplicateClusters]] (or its star-contraction twin); the rank +
+    * member-count windows share one by-cluster partitioning, and only
+    * (doc, cluster, score) rows ride it — never texts.
+    *
+    * Output: (cluster, keep_id, n_members), one row per cluster over
+    * the WHOLE corpus (singletons keep themselves, n_members = 1). */
+  def keepBestPerCluster(df: DataFrame, idCol: String, score: Column,
+                         pairs: DataFrame, aCol: String = "doc_a",
+                         bCol: String = "doc_b",
+                         maxIter: Int = 20): DataFrame = {
+    val clusters = duplicateClusters(pairs, aCol, bCol, maxIter)
+    val labeled = df.select(col(idCol).as("doc"), score.as("__score"))
+      .join(clusters, Seq("doc"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc")))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    labeled
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("__score").desc, col("doc"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc").as("keep_id"), col("n_members"))
+  }
+
   /** [[ngramJaccardPairs]] restricted to pairs touching at least one
     * `fresh` document: fresh×base and fresh×fresh, never base×base — the
     * pair generator of an INCREMENTAL dedup pass

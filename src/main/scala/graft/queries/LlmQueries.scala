@@ -1728,6 +1728,115 @@ object LlmQueries {
              |WHERE t.doc % 50 <> 0
              |GROUP BY t.doc""".stripMargin)),
 
+    // Per-source length-band pruning: drop each source's shortest and
+    // longest 10% by token count (P10/P90 via percentile ≡ quantile_cont,
+    // q56's parity) — the "prune both tails" heuristic that removes
+    // fragments and concatenation artifacts per source rather than with
+    // one global cutoff that would gut short-form sources. Bounds are a
+    // #sources-row broadcast; the keep decision is a scan-level filter.
+    Q("q106_length_band_prune",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val bounds = toks.groupBy("source").agg(
+          expr("percentile(n_tokens, 0.1)").as("__lo"),
+          expr("percentile(n_tokens, 0.9)").as("__hi"))
+        toks.join(broadcast(bounds), "source")
+          .filter(col("n_tokens") >= col("__lo") && col("n_tokens") <= col("__hi"))
+          .select("doc_id", "source", "n_tokens")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT source, quantile_cont(n_tokens, 0.1) AS lo,
+             |    quantile_cont(n_tokens, 0.9) AS hi FROM t GROUP BY 1)
+             |SELECT doc_id, source, n_tokens
+             |FROM t JOIN b USING (source)
+             |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin)),
+
+    // Quality-keep dedup: q61's clusters, but each cluster keeps its
+    // LONGEST member (doc-id tiebreak), not the min id — representative
+    // selection is a data policy, and "longest copy" is the standard
+    // boilerplate-stripping heuristic. Singletons keep themselves, so
+    // the output is the full post-dedup corpus census.
+    Q("q107_cluster_best_keep",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.keepBestPerCluster(docs, "doc_id", length(col("text")),
+          docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)))
+      },
+      Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |cl AS (SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1),
+             |lab AS (SELECT d.doc_id AS doc, coalesce(cl.cluster, d.doc_id) AS cluster,
+             |    length(d.text) AS sc FROM documents d LEFT JOIN cl ON cl.doc = d.doc_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+             |    ORDER BY sc DESC, doc) AS rn,
+             |    count(*) OVER (PARTITION BY cluster) AS n FROM lab)
+             |SELECT cluster, doc AS keep_id, cast(n AS BIGINT) AS n_members
+             |FROM r WHERE rn = 1""".stripMargin)),
+
+    // Leakage-free train/val/test split: q58's md5 split keyed on the
+    // near-dup CLUSTER label instead of the doc id, so a near-duplicate
+    // can never straddle train and test — the contamination mode a
+    // doc-keyed split provably has (spec pins a q58-split cluster that
+    // leaks). Cluster labels from q61's machinery; singletons fall back
+    // to their own id, so non-duplicated docs split exactly like q58.
+    Q("q108_leakage_free_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.duplicateClusters(
+          docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+          "doc_a", "doc_b")
+        val labeled = docs.select(col("doc_id").as("doc"))
+          .join(clusters, Seq("doc"), "left_outer")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc")))
+        Sampling.splitByHash(labeled, "cluster",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc").as("doc_id"), col("cluster"), col("split"))
+      },
+      Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |cl AS (SELECT src AS doc, min(dst) AS cluster FROM reach GROUP BY 1),
+             |lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+             |  FROM documents d LEFT JOIN cl ON cl.doc = d.doc_id)
+             |SELECT doc_id, cluster,
+             |  CASE WHEN substr(md5(cast(cluster AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM lab""".stripMargin)),
+
     // DSIR importance weights against the English slice as the target
     // distribution: hashed unigram+bigram features (64 md5 buckets),
     // Laplace-smoothed bucket log-ratios quantized to ×10⁴ BIGINTs

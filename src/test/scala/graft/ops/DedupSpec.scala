@@ -294,6 +294,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBestPerCluster: longest member survives, singletons keep themselves, counts exact") {
+    Staged.withStaged {
+      // cluster {1,2,3} via pairs; doc 2 is longest; 9 is a singleton
+      val d = Seq(
+        (1L, "short text"),
+        (2L, "the considerably longer canonical copy of the text"),
+        (3L, "medium length text here"),
+        (9L, "unrelated singleton")
+      ).toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      val out = Dedup.keepBestPerCluster(d, "doc_id", length(col("text")), pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set((1L, 2L, 3L), (9L, 9L, 1L)))
+      // equal scores fall back to the id tiebreak (deterministic keeper)
+      val tied = Seq((5L, "aaaa"), (6L, "bbbb")).toDF("doc_id", "text")
+      val keptTied = Dedup.keepBestPerCluster(tied, "doc_id", length(col("text")),
+          Seq((5L, 6L)).toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(keptTied === Set((5L, 5L, 2L)))
+    }
+  }
+
   test("minhash LSH surfaces exact and near dupes as candidates") {
     val pairs = Dedup.minhashLshPairs("doc_id", "text", 3, 32, 4, 0.3)(docs)
       .as[(Long, Long, Double)].collect().toSeq

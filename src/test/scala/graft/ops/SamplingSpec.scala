@@ -172,6 +172,26 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("cluster-keyed split never straddles a cluster; the doc-keyed split provably leaks") {
+    // near-dup clusters as (doc -> cluster label); under a DOC-keyed
+    // md5 split some cluster must land in two splits (the leakage mode
+    // q108 exists to kill); keying the same split on the CLUSTER label
+    // makes straddling impossible by construction
+    val members = (0L until 200L).map(i => (i, i / 4 * 4)) // clusters of 4
+    val df = members.toDF("doc_id", "cluster")
+    val docKeyed = Sampling.splitByHash(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("cluster", "split").as[(Long, String)].collect()
+    assert(docKeyed.groupBy(_._1).values.exists(_.map(_._2).distinct.size > 1),
+      "expected at least one doc-keyed cluster to straddle splits")
+    val clusterKeyed = Sampling.splitByHash(df, "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("cluster", "split").as[(Long, String)].collect()
+    assert(clusterKeyed.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    // every split still non-empty at these rates on 50 clusters
+    assert(clusterKeyed.map(_._2).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
   test("dsirWeights: target-vocabulary docs outscore off-target docs, deterministic, integer-exact") {
     Staged.withStaged {
       // two disjoint vocabularies; target = the 'good' half. A held-back
