@@ -175,10 +175,13 @@ object Dedup {
                         tokensCol: Option[String] = None)
                        (df: DataFrame): DataFrame = {
     val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
-    val rare = sh.join(
+    // staged like ngramJaccardPairs' rare table: both sides of the
+    // candidate self-join consume it, and its lineage is the maxDf
+    // aggregate + join over the full shingle table
+    val rare = Staged.stage(sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df"),
-        "shingle")
+        "shingle"))
     val cand = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))

@@ -25,13 +25,23 @@ object Similarity {
     * BEFORE ranking, ties broken on neighbor_id, rank cast to long — so
     * a tweak applied to one variant cannot silently diverge the others
     * (q50 compares methods under these exact rules). */
-  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+  /** `carryOut` columns ride into the output between query_id and the
+    * neighbor columns; `collapseZero` applies the `+ 0.0` IEEE
+    * negative-zero collapse to the emitted sim (the q54/q88 parity
+    * lesson — a near-zero rounded sim is -0.0 or 0.0 by summation-order
+    * luck, and the oracle hash distinguishes them; ordering is
+    * unaffected since -0.0 = 0.0 compares equal). Only queries whose
+    * ORACLE also collapses may set it. */
+  private def rankTopK(candidates: DataFrame, k: Int,
+                       carryOut: Seq[String] = Nil,
+                       collapseZero: Boolean = false): DataFrame = {
+    val rounded = round(cosineSim(col("qv"), col("cv")), 4)
     val scored = candidates
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
+      .withColumn("sim", if (collapseZero) rounded + lit(0.0) else rounded)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+      .select((Seq("query_id") ++ carryOut ++ Seq("neighbor_id", "sim", "rk")).map(col): _*)
   }
 
   /** Exact top-k cosine neighbors for each row of `queries` (small,
@@ -747,17 +757,30 @@ object Similarity {
     * is reproducible bit-for-bit in DuckDB and gets a full hash oracle
     * (the production xxhash64-seeded q35 keeps its rows-only check +
     * recall floor). */
+  /** Per-query probe cells under the rounded deterministic metric: one
+    * row per (query, probed centroid), nProbe nearest cells each.
+    * `carry` columns (renamed source → output) ride the projection —
+    * shared by the filtered and unfiltered deterministic searches so
+    * probe semantics can never diverge between them. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, nProbe: Int,
+                         carry: Seq[(String, String)] = Nil): DataFrame = {
+    val carried = carry.map { case (c, a) => col(c).as(a) }
+    val carriedOut = carry.map { case (_, a) => col(a) }
+    queries
+      .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: carried: _*)
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .select(col("query_id") +: col("qv") +: carriedOut :+
+        explode(slice(array_sort(roundedCentroidScores(col("qv"))), 1, nProbe)).as("__p"): _*)
+      .select(col("query_id") +: col("qv") +: carriedOut :+
+        col("__p").getField("centroid_id").as("centroid_id"): _*)
+  }
+
   def ivfTopKDeterministic(corpus: DataFrame, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int,
                            centroids: DataFrame, nProbe: Int = 2): DataFrame = {
     val assigned = assignCellsRounded(corpus, idCol, vecCol, centroids)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(packCentroids(centroids)))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(roundedCentroidScores(col("qv"))), 1, nProbe)).as("__p"))
-      .select(col("query_id"), col("qv"),
-        col("__p").getField("centroid_id").as("centroid_id"))
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
     rankTopK(assigned.join(probes, "centroid_id"), k)
   }
 
@@ -777,8 +800,12 @@ object Similarity {
     * chosen by unfiltered cell proximity, so a heavily-filtered query
     * may see fewer than k candidates in its probed cells; raise nProbe
     * when filters are selective. Determinism: identical to
-    * [[ivfTopKDeterministic]] (rounded metrics, id tiebreaks) — fully
-    * reproducible cross-engine.
+    * [[ivfTopKDeterministic]] (shared [[probeCells]]/[[rankTopK]] —
+    * rounded metrics, id tiebreaks), plus the `+ 0.0` signed-zero
+    * collapse on the emitted sim: thinned candidate sets can rank a
+    * near-orthogonal pair, whose ±1e-18 sim rounds to -0.0 or 0.0 by
+    * engine summation order (the q54/q88 lesson — q103's oracle
+    * collapses identically).
     *
     * Output: (query_id, metaCol, neighbor_id, sim, rk). */
   def ivfTopKDeterministicFiltered(corpus: DataFrame, queries: DataFrame,
@@ -788,21 +815,10 @@ object Similarity {
                                    nProbe: Int = 2): DataFrame = {
     val assigned = assignCellsRounded(corpus, idCol, vecCol, centroids,
       carry = Seq(metaCol))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col(metaCol).as("__qm"))
-      .crossJoin(broadcast(packCentroids(centroids)))
-      .select(col("query_id"), col("qv"), col("__qm"),
-        explode(slice(array_sort(roundedCentroidScores(col("qv"))), 1, nProbe)).as("__p"))
-      .select(col("query_id"), col("qv"), col("__qm"),
-        col("__p").getField("centroid_id").as("centroid_id"))
-    val scored = assigned.join(probes, "centroid_id")
-      .filter(col(metaCol) === col("__qm"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("query_id", metaCol, "neighbor_id", "sim", "rk")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe,
+      carry = Seq(metaCol -> "__qm"))
+    rankTopK(
+      assigned.join(probes, "centroid_id").filter(col(metaCol) === col("__qm")),
+      k, carryOut = Seq(metaCol), collapseZero = true)
   }
 }

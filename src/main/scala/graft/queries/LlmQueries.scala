@@ -747,7 +747,7 @@ object LlmQueries {
              |s2 AS (SELECT c.query_id, c.label, c.neighbor_id,
              |    round(list_dot_product(eq.v, en.v) /
              |      (sqrt(list_dot_product(eq.v, eq.v)) *
-             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
              |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
              |              JOIN e en ON en.vec_id = c.neighbor_id)
              |SELECT query_id, label, neighbor_id, sim, rk FROM
@@ -1738,9 +1738,13 @@ object LlmQueries {
       (s, d) => {
         val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        // bounds round to 4dp before the compare: interpolated
+        // percentiles are a + frac*(b-a)-style float chains, not a
+        // single IEEE op — last-ulp dust must not flip an integer
+        // token count across the boundary (cross-engine discipline)
         val bounds = toks.groupBy("source").agg(
-          expr("percentile(n_tokens, 0.1)").as("__lo"),
-          expr("percentile(n_tokens, 0.9)").as("__hi"))
+          round(expr("percentile(n_tokens, 0.1)"), 4).as("__lo"),
+          round(expr("percentile(n_tokens, 0.9)"), 4).as("__hi"))
         toks.join(broadcast(bounds), "source")
           .filter(col("n_tokens") >= col("__lo") && col("n_tokens") <= col("__hi"))
           .select("doc_id", "source", "n_tokens")
@@ -1749,8 +1753,8 @@ object LlmQueries {
              |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
              |      x -> x <> '')) AS BIGINT) AS n_tokens
              |  FROM documents),
-             |b AS (SELECT source, quantile_cont(n_tokens, 0.1) AS lo,
-             |    quantile_cont(n_tokens, 0.9) AS hi FROM t GROUP BY 1)
+             |b AS (SELECT source, round(quantile_cont(n_tokens, 0.1), 4) AS lo,
+             |    round(quantile_cont(n_tokens, 0.9), 4) AS hi FROM t GROUP BY 1)
              |SELECT doc_id, source, n_tokens
              |FROM t JOIN b USING (source)
              |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin)),

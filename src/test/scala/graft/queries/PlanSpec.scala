@@ -262,6 +262,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // #strata-row quota join
   }
 
+  test("q107 cluster best-keep: rank and count share the by-cluster window, none single-partition") {
+    assert(emptyPartitionWindows("q107_cluster_best_keep").isEmpty)
+    // the rank (ordered frame) and member count (unbounded frame) stay
+    // two logical Window nodes, but both require the same by-cluster
+    // distribution — the physical plan must satisfy them with ONE
+    // Exchange on the cluster key (SCALE.md's shared-partitioning claim)
+    val phys = SparkEntry.queries("q107_cluster_best_keep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val clusterExchanges = "Exchange hashpartitioning\\(cluster".r
+      .findAllIn(phys).size
+    assert(clusterExchanges === 1, phys)
+  }
+
   test("q105 vocab coverage: top-K vocab via TakeOrderedAndProject, no global sort") {
     val p = plan("q105_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"), p)
