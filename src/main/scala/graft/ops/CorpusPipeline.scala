@@ -102,14 +102,22 @@ object CorpusPipeline {
     * ride the same rows through gate/dedup/cluster/split, so a dropped
     * document drops its asset columns with it — multimodal columns
     * compose with the pipeline instead of living beside it (q95).
-    */
+    *
+    * `keepScore` selects the near-dup representative policy: `None`
+    * (default) keeps each cluster's min-id member — label algebra, an
+    * id-only anti-join, no window; `Some(score)` keeps the
+    * highest-scoring member per cluster ([[Dedup.keepBestPerCluster]]'s
+    * policy — q107 — e.g. `col("n_tokens")` for longest-copy), paying
+    * one by-cluster window over id-level rows. Supply an integer or
+    * pre-rounded score (the cross-engine ranking discipline). */
   def run(docs: DataFrame,
           pairGen: DataFrame => DataFrame,
           minTokens: Int = 5,
           splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           clusterer: (DataFrame, String, String) => DataFrame =
             Dedup.duplicateClusters(_, _, _),
-          carry: Seq[String] = Nil)
+          carry: Seq[String] = Nil,
+          keepScore: Option[Column] = None)
          : DataFrame = {
     val norm = docs.select(col("doc_id") +: col("lang") +:
       normalize(col("text")).as("norm_text") +: carry.map(col): _*)
@@ -129,9 +137,26 @@ object CorpusPipeline {
     val keepObserved = keep.observe("corpus_keep",
       count(lit(1)).as("rows_kept"),
       sum(col("__n_dupes")).as("rows_gated"))
-    val reps = keepObserved.join(
-      clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
-      Seq("doc_id"), "left_anti")
+    val reps = keepScore match {
+      case None =>
+        // min-id policy: the cluster LABEL is the keeper, so dropping
+        // non-representatives is an id-only anti-join — no window
+        keepObserved.join(
+          clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case Some(score) =>
+        // score policy: label every kept doc (singletons label
+        // themselves), rank by (score desc, id) within the cluster —
+        // the one by-cluster window carries id-level rows only
+        val labeled = keepObserved
+          .join(clusters.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left_outer")
+          .withColumn("__cl", coalesce(col("cluster"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__cl").orderBy(score.desc, col("doc_id"))
+        labeled.withColumn("__krn", row_number().over(w))
+          .filter(col("__krn") === 1)
+          .drop("__cl", "cluster", "__krn")
+    }
     Sampling.splitByHash(
       reps.select("doc_id", ("lang" +: "lang_pred" +: "n_tokens" +: carry): _*),
       "doc_id", splits)

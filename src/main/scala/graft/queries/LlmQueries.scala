@@ -1841,6 +1841,67 @@ object LlmQueries {
              |       ELSE 'test' END AS split
              |FROM lab""".stripMargin)),
 
+    // q62's pipeline under the q107 keep POLICY: near-dup clusters keep
+    // their LONGEST member (n_tokens desc, id tiebreak) instead of the
+    // min id — proving representative selection composes into the
+    // production pipeline rather than living beside it (the q95 carry
+    // precedent). Oracle = q62's with the drop stage replaced by the
+    // per-cluster rank; everything upstream (gates, exact dedup, pair
+    // graph, closure) is byte-identical.
+    Q("q109_corpus_pipeline_bestkeep",
+      (s, d) => graft.ops.CorpusPipeline.run(
+        Tables.documents(s, d),
+        keep => keep.transform(Dedup.ngramJaccardPairs(
+          "doc_id", "norm_text", 3, 0.03, tokensCol = Some("__w"))),
+        keepScore = Some(col("n_tokens"))),
+      Some("""WITH RECURSIVE
+             |norm AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text FROM documents),
+             |scored AS (SELECT doc_id, lang, norm_text,
+             |  string_split_regex(trim(norm_text), '\s+') AS w FROM norm),
+             |langed AS (SELECT doc_id, lang, norm_text, w,
+             |  cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored))),
+             |gated AS (SELECT * FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+             |keepd AS (SELECT g.* FROM gated g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)) k USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle FROM keepd)),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1),
+             |lab AS (SELECT k.doc_id, k.lang, k.lang_pred, k.n_tokens,
+             |    coalesce(cl.cluster, k.doc_id) AS cl
+             |  FROM keepd k LEFT JOIN cl USING (doc_id)),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY cl
+             |    ORDER BY n_tokens DESC, doc_id) AS rn FROM lab)
+             |SELECT doc_id, lang, lang_pred, n_tokens,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM rk WHERE rn = 1""".stripMargin)),
+
     // DSIR importance weights against the English slice as the target
     // distribution: hashed unigram+bigram features (64 md5 buckets),
     // Laplace-smoothed bucket log-ratios quantized to ×10⁴ BIGINTs

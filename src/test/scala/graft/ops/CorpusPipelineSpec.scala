@@ -57,6 +57,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(starsFed === exactFed)
   }
 
+  test("keepScore policy (q109's hook): clusters keep their longest member, survivor count matches min-id") {
+    import spark.implicits._
+    Staged.withStaged {
+      // 10/11 near-dup (11 one word longer); 30 unrelated; all pass gates
+      val base = "the quick brown fox jumps over the lazy dog tonight"
+      val docs = Seq(
+        (10L, "en", base),
+        (11L, "en", base + " again"),
+        (30L, "en", "a completely different story about catalyst plans and the physical execution of a query")
+      ).toDF("doc_id", "lang", "text")
+      val gen = (keep: org.apache.spark.sql.DataFrame) =>
+        keep.transform(Dedup.ngramJaccardPairs("doc_id", "norm_text", 3, 0.3,
+          tokensCol = Some("__w")))
+      val minId = CorpusPipeline.run(docs, gen)
+        .select("doc_id").as[Long].collect().toSet
+      val best = CorpusPipeline.run(docs, gen, keepScore = Some(col("n_tokens")))
+        .select("doc_id").as[Long].collect().toSet
+      assert(minId === Set(10L, 30L))  // label algebra keeps the min id
+      assert(best === Set(11L, 30L))   // policy keeps the LONGEST copy
+      assert(minId.size === best.size) // same one-per-cluster census
+    }
+  }
+
   test("carry columns thread through the gates and drop with their document (q95's hook)") {
     import spark.implicits._
     val docs = Seq(
