@@ -287,6 +287,41 @@ object Sampling {
       .drop("__qrn", "__quota")
   }
 
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weightCol` — Efraimidis & Spirakis (2006,
+    * "Weighted random sampling with a reservoir"): each row draws
+    * u ∈ (0,1] and the k largest u^(1/w) win. We rank on the
+    * monotone-equivalent key ln(u)/w (u ≤ 1 ⇒ key ≤ 0; larger weight
+    * pulls the key toward 0), which avoids the pow() underflow u^(1/w)
+    * hits when w is small. u derives from the first 16 md5 hex bits of
+    * the id ((h+1)/65536 — the +1 keeps ln() off −∞), so the draw is
+    * deterministic, engine-portable ([[hashFraction]]'s idiom), and
+    * independent of row order. Rows with weight ≤ 0 or null have
+    * inclusion probability 0 and are dropped, per the paper.
+    *
+    * Selection compares UNROUNDED keys (both engines evaluate the same
+    * IEEE expression tree on exact integer inputs) with the id as total-
+    * order tiebreak; the emitted `es_key` is rounded to 4dp for output
+    * parity only.
+    *
+    * Scale: the k-row cut is an `orderBy(...).limit(k)` — Catalyst plans
+    * TakeOrderedAndProject (per-partition heaps + one k-row driver
+    * merge), never a global sort; the weight scan is map-side. This IS
+    * the distributed form of the paper's reservoir: each partition
+    * keeps its local top-k by key, the merge keeps the global top-k. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + lit(1.0)) / lit(65536.0)
+    df.filter(weightCol > 0)
+      .withColumn("__esk", log(u) / weightCol.cast("double"))
+      .orderBy(col("__esk").desc, col(idCol))
+      .limit(k)
+      .withColumn("es_key", round(col("__esk"), 4))
+      .drop("__esk")
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

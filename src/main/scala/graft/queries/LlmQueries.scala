@@ -2081,7 +2081,31 @@ object LlmQueries {
              |    ELSE 0.4 * coalesce(c_uni, 0.5) / total END)), 4) AS backoff_logprob
              |FROM bp LEFT JOIN cb USING (bg) LEFT JOIN cp USING (pref)
              |  LEFT JOIN cu USING (w2) CROSS JOIN n
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // Importance-weighted corpus sample: 200 docs drawn WITHOUT
+    // replacement with inclusion probability ∝ token count (Efraimidis–
+    // Spirakis exponential-keys reservoir) — the sampling step that
+    // turns q102-style importance weights or length priors into an
+    // actual subset, vs q104's per-stratum quotas (category-balanced)
+    // and q52's fixed-rate strata (probability-balanced). Selection is
+    // on the unrounded key; both engines draw identical u from md5, so
+    // the 200-row cut hash-checks end to end.
+    Q("q112_weighted_sample",
+      (s, d) => Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), k = 200),
+      Some("""WITH t AS (SELECT doc_id,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |k AS (SELECT doc_id, n_tokens,
+             |    ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1.0)
+             |      / 65536.0) / n_tokens AS ek
+             |  FROM t WHERE n_tokens > 0)
+             |SELECT doc_id, n_tokens, round(ek, 4) AS es_key
+             |FROM k ORDER BY ek DESC, doc_id LIMIT 200""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

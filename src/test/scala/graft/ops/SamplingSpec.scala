@@ -280,4 +280,56 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("weightedSample: k rows, zero/null weights excluded, deterministic across partitionings") {
+    val docs = ids.select(col("id"),
+      when(col("id") % 100 === 0, lit(null).cast("long"))
+        .when(col("id") % 100 === 1, lit(0L))
+        .otherwise(col("id") % 7 + 1).as("w"))
+    val out = Sampling.weightedSample(docs, "id", col("w"), 300)
+      .select("id").as[Long].collect().toSet
+    assert(out.size === 300)
+    assert(out.forall(i => i % 100 != 0 && i % 100 != 1))
+    val again = Sampling.weightedSample(docs.repartition(13), "id", col("w"), 300)
+      .select("id").as[Long].collect().toSet
+    assert(out === again)
+  }
+
+  test("weightedSample: matches the Efraimidis–Spirakis order computed by hand") {
+    val docs = Seq((1L, 5L), (2L, 1L), (3L, 50L), (4L, 10L)).toDF("id", "w")
+    // replicate: u = (first-16-md5-bits + 1)/65536, key = ln(u)/w, top-2
+    val expected = docs.collect().map { r =>
+      val id = r.getLong(0); val w = r.getLong(1)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      (id, math.log((java.lang.Long.parseLong(hex, 16) + 1.0) / 65536.0) / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(2).map(_._1).toSet
+    val got = Sampling.weightedSample(docs, "id", col("w"), 2)
+      .select("id").as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("weightedSample: higher weight wins at equal hash draw (key monotone in weight)") {
+    // two ids with the SAME u would need an md5 collision; instead pin
+    // monotonicity directly: raising one row's weight can only move it
+    // INTO the sample, never out (the paper's key is monotone in w)
+    val base = ids.select(col("id"), (col("id") % 7 + 1).as("w"))
+    val kept = Sampling.weightedSample(base, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    val boosted = base.withColumn("w",
+      when(col("id") === 42L, lit(10000L)).otherwise(col("w")))
+    val kept2 = Sampling.weightedSample(boosted, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(kept2.contains(42L))
+    // only id 42's membership may differ
+    assert((kept2 - 42L).subsetOf(kept + 42L) && (kept -- kept2 - 42L).size <= 1)
+  }
+
+  test("weightedSample plans TakeOrderedAndProject, never a global Sort") {
+    val docs = ids.select(col("id"), (col("id") % 7 + 1).as("w"))
+    val plan = Sampling.weightedSample(docs, "id", col("w"), 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
