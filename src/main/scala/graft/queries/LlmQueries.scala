@@ -2105,7 +2105,56 @@ object LlmQueries {
              |      / 65536.0) / n_tokens AS ek
              |  FROM t WHERE n_tokens > 0)
              |SELECT doc_id, n_tokens, round(ek, 4) AS es_key
-             |FROM k ORDER BY ek DESC, doc_id LIMIT 200""".stripMargin))
+             |FROM k ORDER BY ek DESC, doc_id LIMIT 200""".stripMargin)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    // LANGUAGE, split the corpus into head/middle/tail thirds by LM
+    // score — the standard crawl-curation move (train on head+middle,
+    // quarantine tail) that q73's raw score only enables. Tertile
+    // bounds are exact percentiles rounded to 4dp BEFORE the compare
+    // (q106's cross-engine discipline: the interpolation is a float
+    // chain, the scores are 4dp-rounded doubles, so the bucket decision
+    // must compare like against like); the bucket CASE order matches
+    // the SQL so boundary ties resolve identically. Scale: the score is
+    // q73's shape (unhinted vocab join, (doc,token)-grain shuffles); the
+    // bounds are a #langs-row broadcast and the bucket assignment a
+    // scan-level projection — at corpus scale swap the exact percentile
+    // for approx_percentile and nothing else moves.
+    Q("q110_perplexity_buckets",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum("cnt").as("__total"))
+        val scored = toks.join(vocab, "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id", "lang")
+          .agg(round(avg(log(col("cnt") / col("__total"))), 4).as("logprob"))
+        val bounds = scored.groupBy("lang").agg(
+          round(expr("percentile(logprob, 1.0/3)"), 4).as("__lo"),
+          round(expr("percentile(logprob, 2.0/3)"), 4).as("__hi"))
+        scored.join(broadcast(bounds), "lang")
+          .withColumn("bucket",
+            when(col("logprob") >= col("__hi"), "head")
+              .when(col("logprob") >= col("__lo"), "middle")
+              .otherwise("tail"))
+          .select("doc_id", "lang", "logprob", "bucket")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+             |t AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM v),
+             |sc AS (SELECT doc_id, lang,
+             |    round(avg(ln(cnt * 1.0 / total)), 4) AS logprob
+             |  FROM tk JOIN v USING (tok) CROSS JOIN t GROUP BY doc_id, lang),
+             |b AS (SELECT lang, round(quantile_cont(logprob, 1.0/3), 4) AS lo,
+             |    round(quantile_cont(logprob, 2.0/3), 4) AS hi FROM sc GROUP BY 1)
+             |SELECT doc_id, lang, logprob,
+             |  CASE WHEN logprob >= hi THEN 'head'
+             |       WHEN logprob >= lo THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc JOIN b USING (lang)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
