@@ -2154,7 +2154,41 @@ object LlmQueries {
              |  CASE WHEN logprob >= hi THEN 'head'
              |       WHEN logprob >= lo THEN 'middle'
              |       ELSE 'tail' END AS bucket
-             |FROM sc JOIN b USING (lang)""".stripMargin))
+             |FROM sc JOIN b USING (lang)""".stripMargin)),
+
+    // Cluster-balanced (diversity) sampling: assign every embedding to
+    // its nearest md5-seeded centroid cell (q92/q96's deterministic
+    // assignment), then cap each cell at a fixed quota with md5-order
+    // survivors (q84's cut) — the embedding-space twin of per-source
+    // quotas, which flattens over-represented semantic regions instead
+    // of over-represented sources (the "cluster-then-balance" step of
+    // SemDeDup-style curation, kept as a SAMPLE rather than a dedup).
+    // Scale: cell assignment is a zero-shuffle broadcast-pack
+    // projection; the quota is one (cell, id)-grain window — no
+    // vector-carrying shuffle anywhere.
+    Q("q113_cluster_balanced_sample",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cells = Similarity.assignCellsRounded(e, "vec_id", "embedding",
+            Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8))
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id").as("cell"))
+        Sampling.quotaPerStratum(cells, "vec_id", "cell", quota = 40)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+             |    ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) AS rn
+             |  FROM assign)
+             |SELECT vec_id, cell FROM r WHERE rn <= 40""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
