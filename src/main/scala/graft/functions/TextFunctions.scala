@@ -47,6 +47,18 @@ object TextFunctions {
       )
     ).otherwise(array().cast("array<string>"))
 
+  /** [[shinglesFromTokens]] WITHOUT the distinct — multiplicity
+    * preserved, for weighted (tf) consumers like
+    * [[graft.ops.Dedup.sparseCosinePairs]] where a repeated shingle
+    * must count twice. */
+  def shinglesWithMultiplicity(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")
+      )
+    ).otherwise(array().cast("array<string>"))
+
   /** Stopword hits: number of tokens present in `stopwords`. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), w => w.isInCollection(stopwords)))

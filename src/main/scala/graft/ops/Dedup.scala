@@ -148,6 +148,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** TF-IDF-weighted sparse cosine near-dup pairs over n-word-shingle
+    * features — the vector-space member of the text near-dup family:
+    * where [[ngramJaccardPairs]] treats shingles as a SET, this weights
+    * them (tf × idf), so a pair dominated by a few distinctive repeated
+    * shingles scores high even when the symmetric-difference tail drags
+    * Jaccard down, and ubiquitous shingles contribute ~nothing instead
+    * of inflating the union. Candidates come from the same inverted
+    * sub-maxDf shingle index (vectors are defined OVER the capped
+    * vocabulary — numerator and norms consistently drop hot shingles,
+    * [[ngramJaccardPairs]]' consistency rule).
+    *
+    * Cross-engine determinism (the q99/q102 integer discipline): idf is
+    * quantized to a ×10⁴ BIGINT once per term, so per-doc norms and
+    * per-pair dots are EXACT integer sums — order-independent where
+    * float sums are not — and the cosine is one double division of
+    * exactly-representable integers (all < 2⁵³ by construction: wq ≤
+    * tf·ln(N)·10⁴). The threshold filter runs on that unrounded cosine;
+    * `cos_sim` is rounded 4dp for output parity only.
+    *
+    * Scale: weights/norms shuffle at (doc, term) / (doc) grain — never
+    * text; the pair join is the inverted-index equi-join; maxDf is the
+    * skew cap. Output: (id_a, id_b, cos_sim), id_a < id_b. */
+  def sparseCosinePairs(idCol: String, textCol: String, n: Int,
+                        threshold: Double, maxDf: Long = 1000L,
+                        tokensCol: Option[String] = None)
+                       (df: DataFrame): DataFrame = {
+    // multiplicity-preserving shingles: tf must count a repeated
+    // shingle twice ([[shingles]]' array_distinct would flatten tf to 1)
+    val terms = tokensCol match {
+      case Some(tc) => df.select(col(idCol).as("doc"),
+        explode(shinglesWithMultiplicity(col(tc), n)).as("term"))
+      case None => df.select(col(idCol).as("doc"),
+        explode(shinglesWithMultiplicity(tokens(col(textCol)), n)).as("term"))
+    }
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // staged: norms and the two sides of the pair join all consume the
+    // weight table; unstaged, the explode + two aggregates run 3×
+    val w = Staged.stage(tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("term"),
+        (col("tf") * round(log((col("n_docs") + 1).cast("double")
+          / (col("__df") + 1)) * 10000).cast("long")).as("wq")))
+    val norms = w.groupBy("doc").agg(sum(col("wq") * col("wq")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("__dot"))
+    dots
+      .join(norms.select(col("doc").as("id_a"), col("n2").as("__na")), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("n2").as("__nb")), "id_b")
+      .withColumn("__cos", col("__dot").cast("double")
+        / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cos_sim"))
+  }
+
   /** Character-level (Levenshtein) near-duplicate pairs — the dedup
     * family member that catches small-edit copies (typo fixes, boiler-
     * plate substitutions, version bumps) where token-set Jaccard stays

@@ -2188,7 +2188,35 @@ object LlmQueries {
              |r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
              |    ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) AS rn
              |  FROM assign)
-             |SELECT vec_id, cell FROM r WHERE rn <= 40""".stripMargin))
+             |SELECT vec_id, cell FROM r WHERE rn <= 40""".stripMargin)),
+
+    // TF-IDF sparse cosine near-dup pairs (3-shingle features, maxDf
+    // 50, θ 0.5): the vector-space complement of q26's set Jaccard and
+    // q100's edit similarity — weighted shingle vectors with integer-
+    // quantized idf, so dots/norms are exact BIGINT sums and the
+    // unrounded cosine threshold agrees bit-for-bit with the oracle.
+    // On the fixture the score is cleanly bimodal (near-dup pairs ≥
+    // 0.99, inverted-index noise < 0.3), so θ 0.5 sits in the gap.
+    Q("q111_sparse_cosine_pairs",
+      (s, d) => Dedup.sparseCosinePairs("doc_id", "text", 3,
+        threshold = 0.5, maxDf = 50L)(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |    x -> x <> '') AS w FROM documents),
+             |sh AS (SELECT doc_id AS doc, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS term FROM t),
+             |tf AS (SELECT doc, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |wt AS (SELECT doc, term,
+             |    tf * cast(round(ln((n_docs + 1) * 1.0 / (df + 1)) * 10000) AS BIGINT) AS wq
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |norms AS (SELECT doc, sum(wq * wq) AS n2 FROM wt GROUP BY 1),
+             |dots AS (SELECT a.doc AS id_a, b.doc AS id_b, sum(a.wq * b.wq) AS dot
+             |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b,
+             |    dot * 1.0 / (sqrt(na.n2 * 1.0) * sqrt(nb.n2 * 1.0)) AS cos
+             |  FROM dots JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b)
+             |SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM c WHERE cos >= 0.5""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

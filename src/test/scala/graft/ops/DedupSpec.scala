@@ -480,4 +480,50 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs("doc_id", "text", maxHamming = 4)(docs)
     }
   }
+
+  test("sparse cosine pairs: exact dupes score 1.0, near-dupes high, unrelated docs never meet") {
+    Staged.withStaged {
+      val pairs = Dedup.sparseCosinePairs("doc_id", "text", 3, threshold = 0.5)(docs)
+        .as[(Long, Long, Double)].collect().toSeq
+      val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+      assert(m((0L, 1L)) === 1.0)                       // identical vectors
+      assert(m((0L, 2L)) > 0.5 && m((0L, 2L)) < 1.0)    // one-word edit
+      assert(pairs.forall(p => p._1 < p._2))
+      assert(!m.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    }
+  }
+
+  test("sparse cosine pairs: a repeated distinctive shingle weighs more than a set metric sees") {
+    Staged.withStaged {
+      // a & b share boilerplate REPEATED 3×; c has it once plus unique tail.
+      // tf weighting must rank (a,b) above (a,c); set Jaccard can't (it
+      // flattens the repeat).
+      val boiler = "subscribe to our newsletter today"
+      val fixture = Seq(
+        (0L, s"$boiler $boiler $boiler alpha beta gamma"),
+        (1L, s"$boiler $boiler $boiler delta epsilon zeta"),
+        (2L, s"$boiler unique tail words entirely different topic matter here")
+      ).toDF("doc_id", "text")
+      val m = Dedup.sparseCosinePairs("doc_id", "text", 3, threshold = 0.0)(fixture)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(m((0L, 1L)) > m((0L, 2L)),
+        s"tf-weighted: ${m((0L, 1L))} should beat ${m((0L, 2L))}")
+    }
+  }
+
+  test("sparse cosine pairs: maxDf drops ubiquitous shingles from vectors on both sides") {
+    Staged.withStaged {
+      // the shared shingle appears in every doc -> df 3 > maxDf 2 ->
+      // no candidates survive the capped vocabulary
+      val common = "lorem ipsum dolor"
+      val fixture = Seq(
+        (0L, s"$common alpha beta gamma"),
+        (1L, s"$common delta epsilon zeta"),
+        (2L, s"$common eta theta iota")
+      ).toDF("doc_id", "text")
+      assert(Dedup.sparseCosinePairs("doc_id", "text", 3,
+        threshold = 0.0, maxDf = 2L)(fixture).count() === 0)
+    }
+  }
 }
