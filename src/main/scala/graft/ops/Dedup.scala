@@ -374,6 +374,84 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s BOUNDED-MEMORY
+    * scale path. [[decontaminate]] broadcasts the held-out set's
+    * distinct shingle STRINGS, which grows without bound as the eval
+    * suite does; this variant broadcasts a Bloom filter of them instead:
+    * k hash positions per shingle into an m-bit space, membership = all
+    * k bits set. The filter is represented relationally as the DISTINCT
+    * set of SET bit positions (≤ m rows of one long — capped at m·8
+    * bytes no matter how large the held-out set grows), which keeps the
+    * whole operator declarative: building it is an explode + distinct,
+    * probing it is a broadcast equi-join on the bit id, and Catalyst
+    * sees ordinary joins it can reorder and push into. A dedicated
+    * bitmap `sketch.BloomFilter` binary would save constant factors but
+    * hides the probe from the optimizer and needs driver-side assembly.
+    *
+    * One-sided error, in the SAFE direction: a Bloom filter has no
+    * false negatives, so every genuinely contaminated document is
+    * dropped (the guarantee decontamination exists for); false
+    * positives drop extra clean docs at rate ≈ fill^k per shingle —
+    * size m so n_heldout·k/m stays well under 1 (spec pins the
+    * kept ⊆ [[decontaminate]]-kept law).
+    *
+    * `shingleKey` compresses the probe-side aggregate key (the
+    * production path hashes the shingle to a long so the only
+    * corpus-sized shuffle carries (doc, long, bit) rows, never shingle
+    * strings; the md5 verification twin keeps the string so the oracle
+    * stays readable). Output: the clean subset of `train`, original
+    * schema — [[decontaminate]]'s contract. */
+  private def bloomDecontaminateCore(idCol: String, textCol: String, n: Int,
+                                     mBits: Long, kHashes: Int,
+                                     pos: (Column, Int) => Column,
+                                     shingleKey: Column => Column)
+                                    (train: DataFrame,
+                                     heldOut: DataFrame): DataFrame = {
+    require(mBits > 0, s"mBits $mBits must be positive")
+    require(kHashes > 0, s"kHashes $kHashes must be positive")
+    val seeds = 0 until kHashes
+    def positions(shingle: Column): Column =
+      array(seeds.map(s => pos(shingle, s)): _*)
+    val bits = explodedShingles(heldOut, idCol, textCol, n)
+      .select(explode(positions(col("shingle"))).as("bit"))
+      .distinct()
+    val probes = explodedShingles(train, idCol, textCol, n)
+      .select(col("doc"), shingleKey(col("shingle")).as("__sk"),
+        explode(positions(col("shingle"))).as("bit"))
+    val contaminated = probes
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy("doc", "__sk")
+      .agg(sum(when(col("__set").isNotNull, 1).otherwise(0)).as("__m"))
+      .filter(col("__m") === kHashes)
+      .select(col("doc").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Production [[bloomDecontaminateCore]]: xxhash64 positions (seeded
+    * per hash function), shingle keys hashed to longs so no corpus-
+    * sized shuffle carries strings. Not SQL-expressible (xxhash64) →
+    * rows-only registration; [[bloomDecontaminateMd5]] is the fully
+    * oracle-checked twin (the q27↔q91 discipline). */
+  def bloomDecontaminate(idCol: String, textCol: String, n: Int,
+                         mBits: Long, kHashes: Int)
+                        (train: DataFrame, heldOut: DataFrame): DataFrame =
+    bloomDecontaminateCore(idCol, textCol, n, mBits, kHashes,
+      (shingle, s) => pmod(xxhash64(lit(s), shingle), lit(mBits)),
+      xxhash64(_))(train, heldOut)
+
+  /** md5 verification twin of [[bloomDecontaminate]]: positions from
+    * the first 32 md5 bits of "seed|shingle" — reproducible in any
+    * engine with md5, so the ENTIRE bloom construction (bit set, probe,
+    * FP behavior included) hash-checks against a SQL oracle. */
+  def bloomDecontaminateMd5(idCol: String, textCol: String, n: Int,
+                            mBits: Long, kHashes: Int)
+                           (train: DataFrame, heldOut: DataFrame): DataFrame =
+    bloomDecontaminateCore(idCol, textCol, n, mBits, kHashes,
+      (shingle, s) => conv(substring(
+          md5(concat(lit(s"$s|"), shingle)), 1, 8), 16, 10)
+        .cast("long") % mBits,
+      identity)(train, heldOut)
+
   /** Graded twin of [[decontaminate]]: instead of the binary drop, score
     * every training document by its shingle overlap with the held-out
     * set — (n_shingles, n_contaminated, overlap_frac). Thresholding is

@@ -2216,7 +2216,58 @@ object LlmQueries {
              |c AS (SELECT id_a, id_b,
              |    dot * 1.0 / (sqrt(na.n2 * 1.0) * sqrt(nb.n2 * 1.0)) AS cos
              |  FROM dots JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b)
-             |SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM c WHERE cos >= 0.5""".stripMargin))
+             |SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM c WHERE cos >= 0.5""".stripMargin)),
+
+    // Bloom-filter decontamination, production path: q63's semantics
+    // under a BOUNDED broadcast — the held-out set is summarized into a
+    // 2²⁰-bit Bloom filter (relational: the distinct set-bit positions)
+    // instead of broadcasting its shingle strings; k=4 xxhash64
+    // positions per shingle. xxhash64 isn't SQL-expressible → rows-only;
+    // q115 is the md5 twin carrying the full oracle, and DedupSpec pins
+    // kept ⊆ q63-kept (no false negatives) for both hash families.
+    Q("q114_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bloomDecontaminate("doc_id", "text", 3,
+          mBits = 1L << 20, kHashes = 4)(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      },
+      None),
+
+    // md5 verification twin of q114: positions from the first 32 md5
+    // bits of "seed|shingle", so the bit set, the probe, and any false
+    // positives are all reproduced exactly by the SQL oracle — the
+    // whole Bloom construction hash-checks, not just its effect.
+    Q("q115_bloom_decontaminate_md5",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bloomDecontaminateMd5("doc_id", "text", 3,
+          mBits = 1L << 20, kHashes = 4)(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |bits AS (SELECT DISTINCT unnest(list_transform(range(4),
+             |    s -> ('0x' || substr(md5(cast(s AS VARCHAR) || '|' || shingle), 1, 8))::BIGINT
+             |      % 1048576)) AS bit
+             |  FROM sh WHERE doc % 50 = 0),
+             |probe AS (SELECT doc, shingle, unnest(list_transform(range(4),
+             |    s -> ('0x' || substr(md5(cast(s AS VARCHAR) || '|' || shingle), 1, 8))::BIGINT
+             |      % 1048576)) AS bit
+             |  FROM sh WHERE doc % 50 <> 0),
+             |cont AS (SELECT DISTINCT doc FROM (
+             |    SELECT doc, shingle, count(*) FILTER (b.bit IS NOT NULL) AS m
+             |    FROM probe p LEFT JOIN bits b ON p.bit = b.bit GROUP BY 1, 2)
+             |  WHERE m = 4)
+             |SELECT doc_id, lang, cast(n_chars AS BIGINT) AS n_chars
+             |FROM documents
+             |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc FROM cont)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

@@ -481,6 +481,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination: kept ⊆ exact-kept (no false negatives), both hash families (sf0.01 docs)") {
+    // the law behind q114/q115 standing beside q63: a Bloom filter can
+    // only OVER-drop (false positives), never under-drop — every doc the
+    // exact semi-join flags is flagged here too. At m=2^20 / k=4 and the
+    // fixture's ~1.2k held-out shingles the fill is ~0.4%, FP ≈ 2e-10
+    // per shingle, so the kept sets should be exactly equal on this
+    // data; the subset assertion is the structural guarantee, the
+    // equality the measured outcome.
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val train = real.filter(col("doc_id") % 50 =!= 0)
+    val held = real.filter(col("doc_id") % 50 === 0)
+    val exactKept = Dedup.decontaminate("doc_id", "text", 3)(train, held)
+      .select("doc_id").as[Long].collect().toSet
+    def kept(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Set[Long] =
+      f(train, held).select("doc_id").as[Long].collect().toSet
+    val xx = kept(Dedup.bloomDecontaminate("doc_id", "text", 3, 1L << 20, 4))
+    val md = kept(Dedup.bloomDecontaminateMd5("doc_id", "text", 3, 1L << 20, 4))
+    assert(xx.subsetOf(exactKept), s"xxhash under-dropped: kept ${(xx -- exactKept).take(5)}")
+    assert(md.subsetOf(exactKept), s"md5 under-dropped: kept ${(md -- exactKept).take(5)}")
+    assert(xx === exactKept && md === exactKept,
+      s"unexpected FPs at this fill: xx drops ${exactKept -- xx} md drops ${exactKept -- md}")
+  }
+
+  test("bloom decontamination: an undersized filter over-drops but still never under-drops") {
+    // force false positives with a tiny m: the kept set shrinks (extra
+    // clean docs sacrificed) yet remains inside the exact kept set —
+    // the one-sided-error direction is structural, not parametric
+    val train = Seq((1L, base), (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val held = Seq((50L, "totally disjoint heldout benchmark text with many words")).toDF("doc_id", "text")
+    val exactKept = Dedup.decontaminate("doc_id", "text", 3)(train, held)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept === Set(1L, 2L))
+    val tiny = Dedup.bloomDecontaminateMd5("doc_id", "text", 3, mBits = 2L, kHashes = 1)(train, held)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(exactKept))
+    assert(tiny.size < exactKept.size, s"expected FP drops at m=2, kept $tiny")
+  }
+
   test("sparse cosine pairs: exact dupes score 1.0, near-dupes high, unrelated docs never meet") {
     Staged.withStaged {
       val pairs = Dedup.sparseCosinePairs("doc_id", "text", 3, threshold = 0.5)(docs)
