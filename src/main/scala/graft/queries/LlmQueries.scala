@@ -2267,7 +2267,114 @@ object LlmQueries {
              |  WHERE m = 4)
              |SELECT doc_id, lang, cast(n_chars AS BIGINT) AS n_chars
              |FROM documents
-             |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc FROM cont)""".stripMargin))
+             |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc FROM cont)""".stripMargin)),
+
+    // Cross-source overlap matrix: pairwise shingle-set Jaccard between
+    // SOURCES (not documents) — the audit that catches two crawls/dumps
+    // feeding the mix the same underlying content before doc-level
+    // dedup has to clean it up. Same inverted-index shape as q26 lifted
+    // one grain up: distinct (source, shingle) rows, equi-join on
+    // shingle, |A|+|B|−inter denominator. Output rows only for source
+    // pairs sharing ≥ 1 shingle. Scale: the per-source shingle sets are
+    // map-side-partial distincts; a ubiquitous shingle fans out to at
+    // most #sources² rows — sources number in the hundreds, not the
+    // billions, so the join is skew-safe without a cap.
+    Q("q116_source_overlap",
+      (s, d) => {
+        val sh = graft.ops.Staged.stage(Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+          .distinct())
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(sizes.select(col("source").as("source_a"), col("sz").as("__sa")), "source_a")
+          .join(sizes.select(col("source").as("source_b"), col("sz").as("__sb")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double")
+              / (col("__sa") + col("__sb") - col("n_shared")), 4).as("jaccard"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT source, shingle FROM (
+             |  SELECT source, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    count(*) AS n_shared
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared,
+             |  round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.source = source_a
+             |  JOIN sizes sb ON sb.source = source_b""".stripMargin)),
+
+    // Per-source quality-rank normalization: percent_rank of the
+    // stopword-ratio quality signal WITHIN each source, keep above the
+    // 20th percentile — the cross-source fairness fix for one global
+    // threshold (a clean academic source would sail through a cutoff
+    // that guts a noisy crawl; ranking per source drops each source's
+    // own worst 20%). Deterministic: ranks order by (score, doc_id) so
+    // no rank ties exist, and the keep filter runs on the UNROUNDED
+    // percent_rank (an exact small-integer ratio, identical in both
+    // engines). Scale: one window sort per source partition — the q17
+    // total-order discipline, range-partitioned by Catalyst; the signal
+    // itself is a pure projection.
+    Q("q117_quality_rank_norm",
+      (s, d) => {
+        val qs = TextFunctions.qualityStruct(col("text"), stopwords)
+        val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          qs.getField("stopword_ratio").as("score"))
+        val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+        scored.withColumn("__pr", percent_rank().over(w))
+          .filter(col("__pr") >= 0.2)
+          .select(col("doc_id"), col("source"), col("score"),
+            round(col("__pr"), 4).as("q_rank"))
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x)))
+             |      * 1.0 / len(w), 4) AS score
+             |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)),
+             |r AS (SELECT doc_id, source, score, percent_rank() OVER (
+             |    PARTITION BY source ORDER BY score, doc_id) AS pr FROM sc)
+             |SELECT doc_id, source, score, round(pr, 4) AS q_rank
+             |FROM r WHERE pr >= 0.2""".stripMargin)),
+
+    // Character-entropy quality signal: Shannon entropy of each doc's
+    // character distribution — low entropy exposes repetitive junk
+    // (aaaa…, repeated boilerplate runs) that token-level ratios (q24)
+    // and n-gram repetition (q64) can miss at the sub-token level.
+    // Cross-engine determinism is the q99/q102 integer discipline
+    // applied to entropy: H = ln(n) − Σ c·ln(c) / n needs a float sum
+    // over per-char counts, so ln(c) is quantized to a ×10⁴ BIGINT and
+    // the Σ is exact integer arithmetic; the only float ops are the
+    // final ln(n) and one division, identical in both engines. Scale:
+    // (doc, char)-grain explode + two hash aggregates, nothing wider.
+    Q("q118_char_entropy",
+      (s, d) => {
+        val chars = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+        chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_chars"),
+            sum(col("c") * round(log(col("c")) * 10000).cast("long")).as("__s"))
+          .select(col("doc_id"), col("n_chars"),
+            round(log(col("n_chars")) - col("__s") / lit(10000.0) / col("n_chars"), 4)
+              .as("char_entropy"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE length(text) > 0),
+             |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+             |SELECT doc_id, cast(sum(c) AS BIGINT) AS n_chars,
+             |  round(ln(sum(c)) - sum(c * cast(round(ln(c) * 10000) AS BIGINT))
+             |    / 10000.0 / sum(c), 4) AS char_entropy
+             |FROM cc GROUP BY doc_id""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
