@@ -286,4 +286,56 @@ class PlanSpec extends SparkSpec {
       assert(emptyPartitionWindows(q).isEmpty, q)
     }
   }
+
+  test("q110 perplexity buckets: per-lang bounds broadcast back, no single-partition window") {
+    val p = plan("q110_perplexity_buckets")
+    assert(p.contains("BroadcastHashJoin"), p) // #langs-row bounds join
+    assert(emptyPartitionWindows("q110_perplexity_buckets").isEmpty)
+  }
+
+  test("q111 sparse cosine: term equi-join candidates, never a nested-loop cross join") {
+    graft.ops.Staged.withStaged {
+      val p = plan("q111_sparse_cosine_pairs")
+      assert(!p.contains("CartesianProduct"), p)
+      // every nested-loop in the tree is the one-row n_docs cross
+      // broadcast (reprinted once per InMemoryRelation branch of the
+      // staged weight table) — never a pair-generating join
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val oneRowCross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+      assert(bnl === oneRowCross, p)
+    }
+  }
+
+  test("q112 weighted sample: TakeOrderedAndProject cut, no global sort or window") {
+    val p = plan("q112_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(emptyPartitionWindows("q112_weighted_sample").isEmpty)
+  }
+
+  test("q113 cluster-balanced sample: zero-Exchange assignment, quota window by cell") {
+    assert(emptyPartitionWindows("q113_cluster_balanced_sample").isEmpty)
+    val phys = SparkEntry.queries("q113_cluster_balanced_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one Exchange total: the per-cell quota window's — the centroid
+    // assignment itself is a broadcast-pack projection
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(phys).size
+    assert(exchanges === 1, phys)
+  }
+
+  test("q114/q115 bloom decontamination: bit set broadcasts, no cross join") {
+    Seq("q114_bloom_decontaminate", "q115_bloom_decontaminate_md5").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p") // bit-position probe
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q117 quality rank normalization: window partitioned by source, never single-partition") {
+    assert(emptyPartitionWindows("q117_quality_rank_norm").isEmpty)
+  }
+
+  test("q118 char entropy: map-side partial aggregation at (doc, char) grain") {
+    val p = plan("q118_char_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }
