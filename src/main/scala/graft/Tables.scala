@@ -21,15 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (`nanosAsLong`) and convert to a TimestampType of microseconds —
-    * lossless for this data (driver generates µs-aligned instants). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some driver
+    * generations (which Spark's vectorized reader rejects —
+    * [PARQUET_TYPE_ILLEGAL] — so it's read as raw nanos via
+    * `nanosAsLong` and converted) and TIMESTAMP(MICROS) in others
+    * (read as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ).
+    * Dispatch on the type the scan actually produced; every path lands
+    * on a session-TZ TimestampType of the stored microseconds (sessions
+    * run UTC, so the NTZ→TZ cast is value-preserving and `unix_micros`
+    * matches DuckDB's `epoch_us` over the same file). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
