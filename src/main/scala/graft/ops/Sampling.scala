@@ -318,7 +318,7 @@ object Sampling {
       .withColumn("__esk", log(u) / weightCol.cast("double"))
       .orderBy(col("__esk").desc, col(idCol))
       .limit(k)
-      .withColumn("es_key", round(col("__esk"), 4))
+      .withColumn("es_key", graft.functions.Num.round4(col("__esk")))
       .drop("__esk")
   }
 

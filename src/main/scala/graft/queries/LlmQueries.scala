@@ -2104,7 +2104,7 @@ object LlmQueries {
              |    ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1.0)
              |      / 65536.0) / n_tokens AS ek
              |  FROM t WHERE n_tokens > 0)
-             |SELECT doc_id, n_tokens, round(ek, 4) AS es_key
+             |SELECT doc_id, n_tokens, round(ek, 4) + 0.0 AS es_key
              |FROM k ORDER BY ek DESC, doc_id LIMIT 200""".stripMargin)),
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
