@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.Num
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -143,7 +144,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        Num.roundz(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -204,7 +205,7 @@ object Dedup {
       .withColumn("__cos", col("__dot").cast("double")
         / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
       .filter(col("__cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), Num.roundz(col("__cos"), 4).as("cos_sim"))
   }
 
   /** Character-level (Levenshtein) near-duplicate pairs — the dedup
@@ -254,7 +255,7 @@ object Dedup {
       .filter(abs(length(col("__ta")) - length(col("__tb"))).cast("double")
         <= lit(1.0 - threshold) * mx)
       .filter(rawSim >= threshold)
-      .select(col("id_a"), col("id_b"), round(rawSim, 4).as("edit_sim"))
+      .select(col("id_a"), col("id_b"), Num.roundz(rawSim, 4).as("edit_sim"))
   }
 
   /** Representative selection for duplicate clusters by QUALITY, not min
@@ -341,7 +342,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        Num.roundz(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -475,7 +476,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
       .withColumn("overlap_frac",
-        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+        Num.roundz(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
 
   /** Corpus snapshot diff: classify every document as added / removed /
@@ -587,7 +588,7 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand.withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        Num.roundz(size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / numPerms, 4))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -244,7 +245,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_feats"),
         sum(col("__lw")).as("weight_q"))
       .select(col("__did").as(idCol), col("n_feats"), col("weight_q"),
-        round(col("weight_q") / 10000.0, 4).as("dsir_weight"))
+        Num.roundz(col("weight_q") / 10000.0, 4).as("dsir_weight"))
   }
 
   /** Temperature (α) mixture sampling: per-stratum quotas proportional

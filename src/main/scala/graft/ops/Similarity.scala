@@ -26,19 +26,19 @@ object Similarity {
     * a tweak applied to one variant cannot silently diverge the others
     * (q50 compares methods under these exact rules). */
   /** `carryOut` columns ride into the output between query_id and the
-    * neighbor columns; `collapseZero` applies the `+ 0.0` IEEE
-    * negative-zero collapse to the emitted sim (the q54/q88 parity
-    * lesson — a near-zero rounded sim is -0.0 or 0.0 by summation-order
-    * luck, and the oracle hash distinguishes them; ordering is
-    * unaffected since -0.0 = 0.0 compares equal). Only queries whose
-    * ORACLE also collapses may set it. */
+    * neighbor columns. The sim is [[graft.functions.Num.round4]]ed —
+    * rounded 4dp with the `+ 0.0` IEEE negative-zero collapse — before
+    * it becomes the rank key (the q54/q88/q103/q112 parity lesson: a
+    * near-zero sim rounds to -0.0 or 0.0 by engine summation-order
+    * luck; the oracle hash distinguishes the zeros AND DuckDB's sort
+    * splits them apart while Spark's row write normalizes, so the
+    * collapse must land before ORDER BY on both sides). Every variant's
+    * oracle mirrors `+ 0.0` in its sim CTE. */
   private def rankTopK(candidates: DataFrame, k: Int,
-                       carryOut: Seq[String] = Nil,
-                       collapseZero: Boolean = false): DataFrame = {
-    val rounded = round(cosineSim(col("qv"), col("cv")), 4)
+                       carryOut: Seq[String] = Nil): DataFrame = {
     val scored = candidates
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", if (collapseZero) rounded + lit(0.0) else rounded)
+      .withColumn("sim", graft.functions.Num.round4(cosineSim(col("qv"), col("cv"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
       .select((Seq("query_id") ++ carryOut ++ Seq("neighbor_id", "sim", "rk")).map(col): _*)
@@ -542,7 +542,7 @@ object Similarity {
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("sim", round(cosineSim(col("va"), col("vb")), 4))
+      .withColumn("sim", graft.functions.Num.round4(cosineSim(col("va"), col("vb"))))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -624,8 +624,12 @@ object Similarity {
     * raw doubles are float-path-sensitive. */
   private def roundedCentroidScores(v: Column): Column =
     transform(col("__cents"), ce =>
-      struct(negate(round(coalesce(
-          cosineSim(v, ce.getField("centv")), lit(-2.0)), 4)).as("ns"),
+      // zcollapse AFTER negate: a +0.0-rounded cosine would otherwise
+      // negate to -0.0 and sort apart from a -0.0-cosine's +0.0 inside
+      // array_min's struct ordering (expression eval sees raw IEEE
+      // doubles — row-write normalization hasn't happened yet)
+      struct(graft.functions.Num.zcollapse(negate(round(coalesce(
+          cosineSim(v, ce.getField("centv")), lit(-2.0)), 4))).as("ns"),
         ce.getField("centroid_id").as("centroid_id")))
 
   /** [[assignCells]] under the rounded deterministic metric — same
@@ -819,6 +823,6 @@ object Similarity {
       carry = Seq(metaCol -> "__qm"))
     rankTopK(
       assigned.join(probes, "centroid_id").filter(col(metaCol) === col("__qm")),
-      k, carryOut = Seq(metaCol), collapseZero = true)
+      k, carryOut = Seq(metaCol))
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Num
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,7 +111,7 @@ object CoreQueries {
           .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
           .join(broadcast(top2), Seq("month"), "left_semi")
           .groupBy("month")
-          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .agg(count(lit(1)).as("n"), Num.roundz(sum("l_quantity"), 2).as("sum_qty"))
       },
       Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS c
              |FROM orders GROUP BY 1 ORDER BY c DESC, month LIMIT 2)
@@ -147,7 +148,7 @@ object CoreQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")),
+          Num.roundz(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")),
       Some("""SELECT r_name AS region, n_name AS nation, count(*) AS n,
              |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
              |FROM lineitem
@@ -214,7 +215,7 @@ object CoreQueries {
       (s, d) => Tables.orders(s, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           col("o_orderstatus").as("status"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total")),
+        .agg(count(lit(1)).as("n"), Num.roundz(sum("o_totalprice"), 2).as("total")),
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
              |count(*) AS n, round(sum(o_totalprice), 2) AS total
              |FROM orders GROUP BY 1, 2""".stripMargin)),
@@ -224,7 +225,7 @@ object CoreQueries {
     Q("q15_promo_ratio",
       (s, d) => Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .agg(round(lit(100.0) *
+        .agg(Num.roundz(lit(100.0) *
           sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
             .otherwise(0.0)) /
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct")),
@@ -304,7 +305,7 @@ object CoreQueries {
         col("text").endsWith("n").as("ends_n"),
         col("text").rlike("merge\\s+join").as("has_mj"),
         regexp_extract(col("source"), "(\\d+)", 1).as("src_num"),
-        round(col("n_chars").cast("double") / 100.0, 4).as("chars_h")),
+        Num.roundz(col("n_chars").cast("double") / 100.0, 4).as("chars_h")),
       Some("""SELECT doc_id, substr(trim(text), 1, 30) AS head,
              |string_split_regex(trim(text), '\s+')[1] AS tok0,
              |translate(lang, 'aeiou', 'AEIOU') AS lang_t,
@@ -341,8 +342,8 @@ object CoreQueries {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(countDistinct(col("o_custkey")).as("n_exact"),
           approx_count_distinct(col("o_custkey"), 0.02).as("n_hll"),
-          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_sketch"),
-          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_sketch")),
+          Num.roundz(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_sketch"),
+          Num.roundz(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_sketch")),
       None),
 
     // Q48 — formatting + epoch-seconds scalars (§2.8's f"{x:.1f}" /
@@ -355,7 +356,7 @@ object CoreQueries {
         // differs between Java (HALF_UP over decimal expansion) and C
         // (nearest-even over binary); after round(…,1) the value is
         // unambiguous for both
-        format_string("v=%.1f", round(col("value"), 1)).as("v_fmt"),
+        format_string("v=%.1f", Num.roundz(col("value"), 1)).as("v_fmt"),
         from_unixtime(expr("unix_micros(ts) DIV 1000000")).as("ts_str"),
         unix_micros(timestamp_seconds(expr("unix_micros(ts) DIV 1000000"))).as("ts_s_us")),
       Some("""SELECT event_id, printf('v=%.1f', round(value, 1)) AS v_fmt,
@@ -372,10 +373,10 @@ object CoreQueries {
     Q("q56_percentiles",
       (s, d) => Tables.events(s, d).groupBy("event_type").agg(
         count(lit(1)).as("n"),
-        round(min("value"), 4).as("v_min"),
-        round(expr("percentile(value, 0.5)"), 4).as("v_p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("v_p90"),
-        round(max("value"), 4).as("v_max")),
+        Num.roundz(min("value"), 4).as("v_min"),
+        Num.roundz(expr("percentile(value, 0.5)"), 4).as("v_p50"),
+        Num.roundz(expr("percentile(value, 0.9)"), 4).as("v_p90"),
+        Num.roundz(max("value"), 4).as("v_max")),
       Some("""SELECT event_type, count(*) AS n, round(min(value), 4) AS v_min,
              |round(quantile_cont(value, 0.5), 4) AS v_p50,
              |round(quantile_cont(value, 0.9), 4) AS v_p90,
@@ -390,7 +391,7 @@ object CoreQueries {
         sum(when(col("text").isNull || trim(col("text")) === "", 1L)
           .otherwise(0L)).as("n_empty"),
         countDistinct(col("source")).as("n_sources"),
-        round(avg(length(col("text"))), 4).as("avg_len"),
+        Num.roundz(avg(length(col("text"))), 4).as("avg_len"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars")),
       Some("""SELECT lang, count(*) AS n_rows,
@@ -415,7 +416,7 @@ object CoreQueries {
           r => (r._2, r._3)).toColumn
         li.groupByKey(_._1).agg(wm.name("wmean"))
           .toDF("l_returnflag", "wmean")
-          .select(col("l_returnflag"), round(col("wmean"), 4).as("wmean"))
+          .select(col("l_returnflag"), Num.roundz(col("wmean"), 4).as("wmean"))
       },
       Some("""SELECT l_returnflag,
              |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean
@@ -428,7 +429,7 @@ object CoreQueries {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
           .rowsBetween(-6, 0)
         Tables.events(s, d)
-          .withColumn("roll_avg", round(avg("value").over(w), 4))
+          .withColumn("roll_avg", Num.roundz(avg("value").over(w), 4))
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("ts_us"), col("roll_avg"))
       },
@@ -489,7 +490,7 @@ object CoreQueries {
           "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
             "'discount', l_discount, 'tax', l_tax) AS (metric, val)"))
         .groupBy(col("l_returnflag").as("returnflag"), col("metric"))
-        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total")),
+        .agg(count(lit(1)).as("n"), Num.roundz(sum("val"), 2).as("total")),
       Some("""SELECT l_returnflag AS returnflag, metric, count(*) AS n,
              |round(sum(val), 2) AS total FROM (
              |  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
@@ -506,7 +507,7 @@ object CoreQueries {
           get_json_object(col("props"), "$.k").try_cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
-          round(avg("k"), 4).as("avg_k")),
+          Num.roundz(avg("k"), 4).as("avg_k")),
       Some("""SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
              |round(avg(k), 4) AS avg_k FROM (
              |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
@@ -547,7 +548,7 @@ object CoreQueries {
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("ts_us"),
             (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
-            round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"))
+            Num.roundz(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"))
       },
       Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              |epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
@@ -572,7 +573,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_events"),
             unix_micros(min(col("ts"))).as("start_us"),
             unix_micros(max(col("ts"))).as("end_us"),
-            round(sum("value"), 4).as("total_value"))
+            Num.roundz(sum("value"), 4).as("total_value"))
       },
       Some("""WITH flagged AS (SELECT user_id, ts, event_id, value,
              |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
@@ -594,7 +595,7 @@ object CoreQueries {
           (floor(unix_micros(col("ts")) / (8L * 3600 * 1000000)) *
             (8L * 3600 * 1000000)).cast("long"))
         .groupBy("shift_start_us", "event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")),
+        .agg(count(lit(1)).as("n"), Num.roundz(sum("value"), 4).as("total")),
       Some("""SELECT CAST(epoch_us(ts) // (8::BIGINT*3600*1000000) * (8::BIGINT*3600*1000000) AS BIGINT)
              |  AS shift_start_us, event_type,
              |count(*) AS n, round(sum(value), 4) AS total
@@ -616,7 +617,7 @@ object CoreQueries {
             col("l_quantity"))
         RangeJoin.pointInInterval(l, o, "d", "start_d", "end_d", bandWidth = 7L)
           .groupBy(col("o_orderkey").as("orderkey"))
-          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .agg(count(lit(1)).as("n"), Num.roundz(sum("l_quantity"), 2).as("sum_qty"))
       },
       Some("""WITH o AS (SELECT o_orderkey,
              |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS s

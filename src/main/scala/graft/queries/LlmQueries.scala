@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Num, TextFunctions, VectorFunctions}
 import graft.ops.{Dedup, IncrementalDedup, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +47,7 @@ object LlmQueries {
           qs.getField("n_tokens").cast("long").as("n_tokens"),
           qs.getField("mean_token_len").as("mean_token_len"),
           qs.getField("stopword_ratio").as("stopword_ratio"),
-          round((length(col("text")) -
+          Num.roundz((length(col("text")) -
             length(regexp_replace(col("text"), "[.,;:!?'\"()-]", ""))).cast("double") /
             greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
       },
@@ -363,7 +363,7 @@ object LlmQueries {
           .toDF()
           .select(col("path").cast("bigint").as("doc_id"),
             col("length").as("asset_len"),
-            round(col("brightness"), 4).as("brightness"))
+            Num.roundz(col("brightness"), 4).as("brightness"))
         graft.ops.CorpusPipeline.run(
           docs.join(decoded, Seq("doc_id"), "left"),
           keep => keep.transform(Dedup.ngramJaccardPairs(
@@ -576,7 +576,7 @@ object LlmQueries {
              |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
              |s AS (SELECT query_id, neighbor_id,
              |  round(list_dot_product(qv, cv) /
-             |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+             |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) + 0.0 AS sim
              |  FROM c, q WHERE neighbor_id <> query_id)
              |SELECT query_id, neighbor_id, sim, rk FROM
              |(SELECT *, row_number() OVER (PARTITION BY query_id
@@ -623,7 +623,7 @@ object LlmQueries {
              |s AS (SELECT query_id, neighbor_id,
              |    round(list_dot_product(eq.v, en.v) /
              |      (sqrt(list_dot_product(eq.v, eq.v)) *
-             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
              |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
              |            JOIN e en ON en.vec_id = cand.neighbor_id)
              |SELECT query_id, neighbor_id, sim, rk FROM
@@ -643,7 +643,7 @@ object LlmQueries {
         val c2 = Tables.embeddings(s, d)
           .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         c.join(c2, col("id_a") < col("id_b"))
-          .withColumn("sim", round(
+          .withColumn("sim", Num.roundz(
             graft.functions.CosineSimilarityExpr.cosineSim(col("va"), col("vb")), 4))
           .filter(col("sim") >= 0.35)
           .select("id_a", "id_b", "sim")
@@ -689,7 +689,7 @@ object LlmQueries {
              |scored AS (SELECT e.vec_id, c.cid,
              |    round(list_dot_product(e.v, c.cv) /
              |      (sqrt(list_dot_product(e.v, e.v)) *
-             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
              |  FROM e CROSS JOIN cent c),
              |assign AS (SELECT vec_id, cid AS cell FROM (
              |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -704,7 +704,7 @@ object LlmQueries {
              |s2 AS (SELECT c.query_id, c.neighbor_id,
              |    round(list_dot_product(eq.v, en.v) /
              |      (sqrt(list_dot_product(eq.v, eq.v)) *
-             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
              |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
              |              JOIN e en ON en.vec_id = c.neighbor_id)
              |SELECT query_id, neighbor_id, sim, rk FROM
@@ -732,7 +732,7 @@ object LlmQueries {
              |scored AS (SELECT e.vec_id, e.label, c.cid,
              |    round(list_dot_product(e.v, c.cv) /
              |      (sqrt(list_dot_product(e.v, e.v)) *
-             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
              |  FROM e CROSS JOIN cent c),
              |assign AS (SELECT vec_id, label, cid AS cell FROM (
              |    SELECT vec_id, label, cid, row_number() OVER (PARTITION BY vec_id
@@ -793,7 +793,7 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_returned"),
             sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
           .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
-          .withColumn("recall", round(col("n_hit").cast("double") / col("n_exact"), 4))
+          .withColumn("recall", Num.roundz(col("n_hit").cast("double") / col("n_exact"), 4))
           .select("method", "n_returned", "n_hit", "n_exact", "recall")
       },
       None),
@@ -857,7 +857,7 @@ object LlmQueries {
         graft.multimodal.Multimodal.decodeBatch(assets, featureDim = 16)
           .toDF()
           .select(col("path"), col("modality"), col("length"),
-            round(col("brightness"), 4).as("brightness"))
+            Num.roundz(col("brightness"), 4).as("brightness"))
       },
       Some("""SELECT cast(doc_id AS VARCHAR) AS path, 'binary' AS modality,
              |cast(octet_length(encode(text)) AS BIGINT) AS length,
@@ -913,7 +913,7 @@ object LlmQueries {
         val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
         tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-          .withColumn("tfidf", round(col("tf") *
+          .withColumn("tfidf", Num.roundz(col("tf") *
             log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
@@ -950,7 +950,7 @@ object LlmQueries {
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            round(avg(log(col("cnt") / col("__total"))), 4).as("logprob_per_token"))
+            Num.roundz(avg(log(col("cnt") / col("__total"))), 4).as("logprob_per_token"))
       },
       Some("""WITH tk AS (SELECT doc_id,
              |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
@@ -981,8 +981,10 @@ object LlmQueries {
           .crossJoin(broadcast(corpusTot))
           .groupBy("source")
           .agg(sum("c_s").as("n_tokens"),
-            round(sum((col("c_s") / col("t_s")) *
-              log((col("c_s") / col("t_s")) / (col("c") / col("t")))), 4).as("kl_nats"))
+            // KL is ≥ 0 mathematically but the float sum of signed terms
+            // can land at -1e-17 for a near-global source → signed zero
+            Num.round4(sum((col("c_s") / col("t_s")) *
+              log((col("c_s") / col("t_s")) / (col("c") / col("t"))))).as("kl_nats"))
       },
       Some("""WITH tk AS (SELECT source,
              |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
@@ -992,7 +994,7 @@ object LlmQueries {
              |cc AS (SELECT tok, cast(sum(c_s) AS BIGINT) AS c FROM sc GROUP BY 1),
              |ct AS (SELECT cast(sum(c) AS BIGINT) AS t FROM cc)
              |SELECT source, cast(sum(c_s) AS BIGINT) AS n_tokens,
-             |  round(sum((c_s * 1.0 / t_s) * ln((c_s * 1.0 / t_s) / (c * 1.0 / t))), 4) AS kl_nats
+             |  round(sum((c_s * 1.0 / t_s) * ln((c_s * 1.0 / t_s) / (c * 1.0 / t))), 4) + 0.0 AS kl_nats
              |FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN ct
              |GROUP BY source""".stripMargin)),
 
@@ -1005,13 +1007,11 @@ object LlmQueries {
     Q("q54_embed_quantize",
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id"),
-        round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm"),
-        // + 0.0 collapses IEEE negative zero: a unit component that is
-        // ~±1e-18 rounds to -0.0 or 0.0 depending on each engine's
-        // summation order, and the hash compare distinguishes them
-        // (surfaced at sf0.1; sf0.01 never hit a near-zero component)
-        (round(element_at(VectorFunctions.unitNormalize(col("embedding")), 1), 4)
-          + 0.0).as("unit0"),
+        Num.roundz(VectorFunctions.norm(col("embedding")), 4).as("l2_norm"),
+        // a unit component that is ~±1e-18 rounds to -0.0 or 0.0 by
+        // engine summation-order luck (surfaced at sf0.1)
+        Num.round4(element_at(VectorFunctions.unitNormalize(col("embedding")), 1))
+          .as("unit0"),
         array_join(VectorFunctions.quantizeInt8(col("embedding")), ",").as("quant_i8")),
       Some("""SELECT vec_id,
              |round(nrm, 4) AS l2_norm,
@@ -1286,7 +1286,7 @@ object LlmQueries {
           .orderBy(col("score").desc, col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), score.as("score"))
-          .withColumn("pr", round(percent_rank().over(w), 4))
+          .withColumn("pr", Num.roundz(percent_rank().over(w), 4))
           .filter(col("pr") <= 0.8)
       },
       Some("""WITH s AS (SELECT doc_id, source,
@@ -1322,7 +1322,7 @@ object LlmQueries {
         bgs.join(bgCnt, "bg").join(prefCnt, "pref")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log(col("c_bg") / col("c_pref"))), 4).as("logprob_per_bigram"))
+            Num.roundz(avg(log(col("c_bg") / col("c_pref"))), 4).as("logprob_per_bigram"))
       },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
@@ -1466,7 +1466,7 @@ object LlmQueries {
              |s AS (SELECT cand.query_id, cand.neighbor_id,
              |    round(list_dot_product(eq.v, en.v) /
              |      (sqrt(list_dot_product(eq.v, eq.v)) *
-             |       sqrt(list_dot_product(en.v, en.v))), 4) AS sim
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
              |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
              |            JOIN e en ON en.vec_id = cand.neighbor_id)
              |SELECT query_id, neighbor_id, sim, rk FROM
@@ -1523,12 +1523,12 @@ object LlmQueries {
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum("__nt").as("total_tokens"),
-          round(avg("__nt"), 4).as("mean_tokens"),
-          round(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
-          round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          Num.roundz(avg("__nt"), 4).as("mean_tokens"),
+          Num.roundz(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
+          Num.roundz(sum(when(col("lang") === "en", 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 4).as("en_frac"),
           countDistinct(col("__h")).as("n_unique"),
-          round(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
+          Num.roundz(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
             .as("dup_rate")),
       Some("""SELECT source, count(*) AS n_docs,
              |cast(sum(nt) AS BIGINT) AS total_tokens,
@@ -1554,9 +1554,9 @@ object LlmQueries {
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
-          // + 0.0: an avg of ~±1e-18 rounds to a SIGNED zero whose sign
-          // is summation-order luck — normalize it (q54's fix)
-          (round(avg(col("col").cast("double")), 4) + 0.0).as("m"))
+          // an avg of ~±1e-18 rounds to a SIGNED zero whose sign is
+          // summation-order luck (q54's fix)
+          Num.round4(avg(col("col").cast("double"))).as("m"))
         .select("label", "pos", "n", "m"),
       Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS ed FROM embeddings),
              |x AS (SELECT label, unnest(ed) AS v,
@@ -1590,7 +1590,7 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum("__nt").as("total_tokens"),
             sum(col("bucket") - col("__nt")).as("padding_waste"),
-            round(sum(col("bucket") - col("__nt")).cast("double") /
+            Num.roundz(sum(col("bucket") - col("__nt")).cast("double") /
               sum(col("bucket")), 4).as("waste_frac"))
       },
       Some("""WITH t AS (SELECT cast(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1638,9 +1638,9 @@ object LlmQueries {
           // must yield a null z, not an ANSI DIVIDE_BY_ZERO — the
           // oracle's 0/0 is NULL in DuckDB and the filter drops it
           .withColumn("z", when(col("sd") > 0,
-            round((col("dist") - col("mu")) / col("sd"), 4)))
+            Num.roundz((col("dist") - col("mu")) / col("sd"), 4)))
           .filter(col("z") >= 2.0)
-          .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+          .select(col("vec_id"), col("label"), Num.roundz(col("dist"), 4).as("dist"),
             col("z"))
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ed FROM embeddings),
@@ -1681,7 +1681,7 @@ object LlmQueries {
              |scored AS (SELECT e.vec_id, c.cid,
              |    round(list_dot_product(e.v, c.cv) /
              |      (sqrt(list_dot_product(e.v, e.v)) *
-             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
              |  FROM e CROSS JOIN cent c),
              |assign AS (SELECT vec_id, cid AS cell FROM (
              |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -1743,8 +1743,8 @@ object LlmQueries {
         // single IEEE op — last-ulp dust must not flip an integer
         // token count across the boundary (cross-engine discipline)
         val bounds = toks.groupBy("source").agg(
-          round(expr("percentile(n_tokens, 0.1)"), 4).as("__lo"),
-          round(expr("percentile(n_tokens, 0.9)"), 4).as("__hi"))
+          Num.roundz(expr("percentile(n_tokens, 0.1)"), 4).as("__lo"),
+          Num.roundz(expr("percentile(n_tokens, 0.9)"), 4).as("__hi"))
         toks.join(broadcast(bounds), "source")
           .filter(col("n_tokens") >= col("__lo") && col("n_tokens") <= col("__hi"))
           .select("doc_id", "source", "n_tokens")
@@ -2002,7 +2002,7 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
           .withColumn("oov_rate",
-            round(col("n_oov").cast("double") / col("n_tokens"), 4))
+            Num.roundz(col("n_oov").cast("double") / col("n_tokens"), 4))
       },
       Some("""WITH tk AS (SELECT doc_id,
              |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
@@ -2056,7 +2056,7 @@ object LlmQueries {
               .otherwise(lit(0.4) * coalesce(col("c_uni").cast("double"), lit(0.5)) / col("__n")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log(col("__s"))), 4).as("backoff_logprob"))
+            Num.roundz(avg(log(col("__s"))), 4).as("backoff_logprob"))
       },
       Some("""WITH d0 AS (SELECT doc_id,
              |    text || CASE WHEN doc_id % 97 = 0
@@ -2129,10 +2129,10 @@ object LlmQueries {
         val scored = toks.join(vocab, "tok")
           .crossJoin(broadcast(total))
           .groupBy("doc_id", "lang")
-          .agg(round(avg(log(col("cnt") / col("__total"))), 4).as("logprob"))
+          .agg(Num.roundz(avg(log(col("cnt") / col("__total"))), 4).as("logprob"))
         val bounds = scored.groupBy("lang").agg(
-          round(expr("percentile(logprob, 1.0/3)"), 4).as("__lo"),
-          round(expr("percentile(logprob, 2.0/3)"), 4).as("__hi"))
+          Num.roundz(expr("percentile(logprob, 1.0/3)"), 4).as("__lo"),
+          Num.roundz(expr("percentile(logprob, 2.0/3)"), 4).as("__hi"))
         scored.join(broadcast(bounds), "lang")
           .withColumn("bucket",
             when(col("logprob") >= col("__hi"), "head")
@@ -2180,7 +2180,7 @@ object LlmQueries {
              |scored AS (SELECT e.vec_id, c.cid,
              |    round(list_dot_product(e.v, c.cv) /
              |      (sqrt(list_dot_product(e.v, e.v)) *
-             |       sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
              |  FROM e CROSS JOIN cent c),
              |assign AS (SELECT vec_id, cid AS cell FROM (
              |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -2295,7 +2295,7 @@ object LlmQueries {
           .join(sizes.select(col("source").as("source_a"), col("sz").as("__sa")), "source_a")
           .join(sizes.select(col("source").as("source_b"), col("sz").as("__sb")), "source_b")
           .select(col("source_a"), col("source_b"), col("n_shared"),
-            round(col("n_shared").cast("double")
+            Num.roundz(col("n_shared").cast("double")
               / (col("__sa") + col("__sb") - col("n_shared")), 4).as("jaccard"))
       },
       Some("""WITH sh AS (SELECT DISTINCT source, shingle FROM (
@@ -2332,7 +2332,7 @@ object LlmQueries {
         scored.withColumn("__pr", percent_rank().over(w))
           .filter(col("__pr") >= 0.2)
           .select(col("doc_id"), col("source"), col("score"),
-            round(col("__pr"), 4).as("q_rank"))
+            Num.roundz(col("__pr"), 4).as("q_rank"))
       },
       Some("""WITH sc AS (SELECT doc_id, source,
              |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x)))
@@ -2359,13 +2359,18 @@ object LlmQueries {
         val chars = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+            // split by empty pattern = one O(len) pass over the string;
+            // the sequence+substring form was O(len²) per document
+            // (each substring(text, i, 1) rescans i bytes of UTF8)
+            explode(split(col("text"), "")).as("ch"))
         chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(sum("c").as("n_chars"),
             sum(col("c") * round(log(col("c")) * 10000).cast("long")).as("__s"))
           .select(col("doc_id"), col("n_chars"),
-            round(log(col("n_chars")) - col("__s") / lit(10000.0) / col("n_chars"), 4)
+            // a uniform doc's entropy is ln(n) minus its own quantized
+            // self → ±1e-5-ish residue that rounds to a SIGNED zero
+            Num.round4(log(col("n_chars")) - col("__s") / lit(10000.0) / col("n_chars"))
               .as("char_entropy"))
       },
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -2373,7 +2378,7 @@ object LlmQueries {
              |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
              |SELECT doc_id, cast(sum(c) AS BIGINT) AS n_chars,
              |  round(ln(sum(c)) - sum(c * cast(round(ln(c) * 10000) AS BIGINT))
-             |    / 10000.0 / sum(c), 4) AS char_entropy
+             |    / 10000.0 / sum(c), 4) + 0.0 AS char_entropy
              |FROM cc GROUP BY doc_id""".stripMargin))
   )
 
