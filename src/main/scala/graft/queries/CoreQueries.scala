@@ -46,6 +46,21 @@ object CoreQueries {
       s"loom fixture tree not found at $loomFixtureRoot; " +
         "launch from the repo root or set -Dgraft.fixtures.dir / GRAFT_FIXTURES_DIR")
 
+  /** q119's committed scraped-dimension fixtures (S6–S8 boundary output:
+    * option lines, month selects, collector monitor log) — same
+    * resolution contract as [[loomFixtureRoot]], own override knob. */
+  private lazy val dimsFixtureRoot: String =
+    sys.props.get("graft.fixtures.dims.dir")
+      .orElse(sys.env.get("GRAFT_DIMS_FIXTURES_DIR"))
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("fixtures/dims"))
+      .getAbsolutePath
+
+  private def requireDimsFixtures(): Unit =
+    require(new java.io.File(dimsFixtureRoot).isDirectory,
+      s"dims fixture tree not found at $dimsFixtureRoot; " +
+        "launch from the repo root or set -Dgraft.fixtures.dims.dir / GRAFT_DIMS_FIXTURES_DIR")
+
   def all: Seq[Q] = Seq(
 
     // Q1 — positional projection + rename + trim (P1/P2,
@@ -691,6 +706,58 @@ object CoreQueries {
              |  CASE WHEN rpm_s = '' THEN 0.0 ELSE try_cast(rpm_s AS DOUBLE) END AS rpm,
              |  CASE WHEN ef_s = '' THEN 0.0 ELSE try_cast(ef_s AS DOUBLE) END AS eficiencia,
              |  CASE WHEN metros_s = '' THEN 0.0 ELSE try_cast(metros_s AS DOUBLE) END AS metros
-             |FROM kept""".stripMargin))
+             |FROM kept""".stripMargin)),
+
+    // Q119 — the scraped-dimension surfaces S6–S8 driver-gated in one
+    // query (the last reference-parity tags that were spec-only): S6
+    // loom dim from option lines (reference src/main_01.py:48-72 — id =
+    // first token, name = rest), S7 month dim with the YYYY.MM format
+    // gate + dedup (src/main_02.py:144-192, src/tms_exporter.py:46-49),
+    // O2-over-S7 head-2 most-recent months per type
+    // (src/main_02.py:226-232), and S8 status-pattern monitor scan
+    // (src/tms_colector.py:252-286). Inputs are the committed
+    // fixtures/dims boundary files; the three dimension shapes union
+    // into one (kind, a, b) frame so the single driver compare covers
+    // all three. Scale: each arm is a scan-level projection/filter; the
+    // only shuffle is the #month_types-group head-2 window.
+    Q("q119_scraped_dims",
+      (s, _) => {
+        requireDimsFixtures()
+        val looms = graft.ingest.Dims.loomDim(
+            graft.ingest.Dims.fromTextFiles(s, s"$dimsFixtureRoot/looms.txt"))
+          .select(lit("loom").as("kind"), col("tear_id").as("a"),
+            col("tear_name").as("b"))
+        val months = graft.ingest.Dims.lastTwoMonthsPerType(
+            graft.ingest.Dims.monthDim(
+              s.read.option("header", "true").csv(s"$dimsFixtureRoot/months.csv")))
+          .select(lit("month").as("kind"), col("month_type").as("a"),
+            col("month").as("b"))
+        val status = graft.ingest.Dims.statusLines(
+            graft.ingest.Dims.fromTextFiles(s, s"$dimsFixtureRoot/monitor.txt"))
+          .select(lit("status").as("kind"), col("line").as("a"),
+            lit("").as("b"))
+        looms.unionAll(months).unionAll(status)
+      },
+      Some(s"""WITH loom_tok AS (
+             |  SELECT string_split_regex(trim(line), '\\s+') AS w FROM (
+             |    SELECT unnest(string_split(content, chr(10))) AS line
+             |    FROM read_text('$dimsFixtureRoot/looms.txt'))),
+             |looms AS (SELECT 'loom' AS kind, w[1] AS a,
+             |    coalesce(array_to_string(w[2:], ' '), '') AS b
+             |  FROM loom_tok WHERE regexp_matches(w[1], '^\\d+$$')),
+             |m AS (SELECT DISTINCT month_type, month
+             |  FROM read_csv('$dimsFixtureRoot/months.csv',
+             |                header=true, all_varchar=true)
+             |  WHERE regexp_matches(month, '^\\d{4}\\.\\d{2}$$')),
+             |m2 AS (SELECT 'month' AS kind, month_type AS a, month AS b FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY month_type
+             |      ORDER BY month DESC) AS rk FROM m) WHERE rk <= 2),
+             |st AS (SELECT 'status' AS kind, line AS a, '' AS b FROM (
+             |    SELECT unnest(string_split(content, chr(10))) AS line
+             |    FROM read_text('$dimsFixtureRoot/monitor.txt'))
+             |  WHERE line LIKE '%--->%' OR line LIKE '%Sucesso%'
+             |     OR line LIKE '%Incorreto%')
+             |SELECT * FROM looms UNION ALL SELECT * FROM m2
+             |UNION ALL SELECT * FROM st""".stripMargin))
   )
 }
