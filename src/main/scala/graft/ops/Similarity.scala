@@ -491,6 +491,104 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** [[writeIvfPqIndex]]'s verification twin: same persisted layout
+    * (cell-bucketed (centroid_id, neighbor_id, codes) + frozen
+    * `_centroids`/`_codebooks` model tables) but the models are
+    * md5-seeded ([[md5SeededCentroids]] raw-vector cells per q96,
+    * [[md5SeededPqCodebooks]] unit slices per q99) and every encode
+    * decision is the deterministic rounded/quantized form, so the WHOLE
+    * build → append → serve lifecycle reproduces in DuckDB and the
+    * persisted-index family gets a full hash oracle (q120; the
+    * production xxhash64/Lloyd q94 keeps its rows-only check). */
+  def writeIvfPqIndexDeterministic(corpus: DataFrame, idCol: String,
+                                   vecCol: String, table: String, dim: Int,
+                                   nCentroids: Int = 16, m: Int = 8,
+                                   kCodes: Int = 16, nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    md5SeededCentroids(corpus, idCol, vecCol, nCentroids)
+      .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    md5SeededPqCodebooks(corpus, idCol, vecCol, dim, m, kCodes)
+      .write.mode("overwrite").saveAsTable(s"${table}_codebooks")
+    encodeForIndexDeterministic(corpus, idCol, vecCol,
+      spark.table(s"${table}_centroids"),
+      spark.table(s"${table}_codebooks"), dim, m)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
+  }
+
+  /** [[encodeForIndex]]'s deterministic twin under GIVEN frozen models:
+    * cell = rounded-cosine argmax over the raw vector
+    * ([[assignCellsRounded]], q96's contract), codes = ×10⁴-quantized
+    * l2 argmin with code tiebreak over the unit-normalized vector
+    * (q99's contract). Shared by the initial build and the append, so
+    * append ≡ fresh-encode-of-union holds by construction
+    * (`BucketedAnnSpec` pins it as frame equality). */
+  def encodeForIndexDeterministic(corpus: DataFrame, idCol: String,
+                                  vecCol: String, centroids: DataFrame,
+                                  codebooks: DataFrame,
+                                  dim: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    assignCellsRounded(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        "neighbor_id", "__v", centroids)
+      .withColumn("uv", unitNormalize(col("cv")))
+      .crossJoin(broadcast(packCodebooks(codebooks)))
+      .select(col("centroid_id"), col("neighbor_id"),
+        transform(col("__cb"), jcb =>
+          array_min(transform(jcb.getField("cb"), ce =>
+            struct(round(l2sq(
+                slice(col("uv"), jcb.getField("subspace") * sub + 1, lit(sub)),
+                ce.getField("centv")) * 10000).cast("long").as("d"),
+              ce.getField("code").as("code")))).getField("code")).as("codes"))
+  }
+
+  /** [[appendIvfPqIndex]]'s deterministic twin: encode the batch against
+    * the persisted FROZEN md5-seeded models (batch-sized cost, base
+    * never re-read) and append into the cell buckets. */
+  def appendIvfPqIndexDeterministic(newBatch: DataFrame, idCol: String,
+                                    vecCol: String, table: String, dim: Int,
+                                    m: Int = 8, nBuckets: Int = 8): Unit = {
+    val spark = newBatch.sparkSession
+    encodeForIndexDeterministic(newBatch, idCol, vecCol,
+      spark.table(s"${table}_centroids"),
+      spark.table(s"${table}_codebooks"), dim, m)
+      .write.mode("append")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
+  }
+
+  /** The deterministic serve over a [[writeIvfPqIndexDeterministic]]
+    * table: probe list under the rounded metric ([[probeCells]], q96),
+    * ×10⁴-integer ADC LUTs (q99 — integer sums are order-independent),
+    * codes-only approx scan, exact [[rankTopK]] rerank. */
+  def ivfPqTopKIndexedDeterministic(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, corpus: DataFrame,
+                                    queries: DataFrame, idCol: String,
+                                    vecCol: String, k: Int, dim: Int,
+                                    nProbe: Int = 2, m: Int = 8,
+                                    refine: Int = 4): DataFrame = {
+    val sub = dim / m
+    val cents = spark.table(s"${table}_centroids")
+    val cbs = spark.table(s"${table}_codebooks")
+    val luts = queries
+      .select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("uq"))
+      .crossJoin(broadcast(packCodebooks(cbs)))
+      .withColumn("lut", transform(col("__cb"), jcb =>
+        transform(jcb.getField("cb"), ce =>
+          round(dot(slice(col("uq"), jcb.getField("subspace") * sub + 1, lit(sub)),
+            ce.getField("centv")) * 10000).cast("long"))))
+      .select("query_id", "lut")
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
+      .select("query_id", "centroid_id")
+      .join(luts, "query_id")
+    val cand = adcTopCandidates(
+      spark.table(table).join(broadcast(probes), "centroid_id"), k * refine)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    rankTopK(cand.join(vecs, "neighbor_id").join(broadcast(qvecs), "query_id"), k)
+  }
+
   /** [[ivfPqTopK]] served from a [[writeIvfPqIndex]] staging table:
     * training and encoding are NOT re-run per query batch — the plan
     * scans the persisted (cell, id, codes) index (codes-only I/O) and

@@ -1419,6 +1419,101 @@ object LlmQueries {
       },
       None),
 
+    // q94's verification twin — the whole persisted-index LIFECYCLE
+    // (build on the first corpus half, frozen-model append of the
+    // second, serve from the bucketed table) under md5-seeded models
+    // and rounded/quantized decisions, so DuckDB reproduces it end to
+    // end by encoding base ∪ batch against the base-trained models (the
+    // frozen-model append contract: append ≡ fresh encode of the union,
+    // which BucketedAnnSpec pins as frame equality). Completes the last
+    // rows-only ANN family with a full hash oracle; q94 keeps the
+    // production xxhash64/Lloyd path.
+    Q("q120_ivfpq_append_md5",
+      (s, d) => {
+        val t = "graft_q120_ivfpq_md5"
+        Seq(t, s"${t}_centroids", s"${t}_codebooks").foreach { x =>
+          s.sql(s"DROP TABLE IF EXISTS $x")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + x)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val emb = Tables.embeddings(s, d)
+        val cut = emb.agg((max("vec_id") / lit(2.0)).as("__cut"))
+        val withCut = emb.crossJoin(broadcast(cut))
+        val base = withCut.filter(col("vec_id") <= col("__cut")).drop("__cut")
+        val batch = withCut.filter(col("vec_id") > col("__cut")).drop("__cut")
+        Similarity.writeIvfPqIndexDeterministic(base, "vec_id", "embedding",
+          t, dim = 64, nCentroids = 16, m = 16, kCodes = 16, nBuckets = 8)
+        Similarity.appendIvfPqIndexDeterministic(batch, "vec_id", "embedding",
+          t, dim = 64, m = 16, nBuckets = 8)
+        Similarity.ivfPqTopKIndexedDeterministic(s, t, emb,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding", 5,
+          dim = 64, nProbe = 8, m = 16, refine = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cut AS (SELECT max(vec_id) / 2.0 AS c FROM e),
+             |base AS (SELECT e.vec_id, e.v FROM e, cut WHERE e.vec_id <= c),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM base
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |u AS (SELECT vec_id, v,
+             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+             |  FROM e),
+             |seed AS (SELECT uv, row_number() OVER (
+             |      ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1 AS code
+             |  FROM (SELECT b.vec_id, u.uv FROM base b JOIN u ON u.vec_id = b.vec_id
+             |    ORDER BY md5(cast(b.vec_id AS VARCHAR)), b.vec_id LIMIT 16)),
+             |cb AS (SELECT code, j AS subspace,
+             |    uv[cast(j * 4 + 1 AS INT):cast(j * 4 + 4 AS INT)] AS centv
+             |  FROM seed CROSS JOIN range(16) t(j)),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |enc AS (SELECT cu.vec_id AS neighbor_id, cb.subspace, cb.code,
+             |    cast(round(list_sum(list_transform(range(4), i ->
+             |      (cu.uv[cast(cb.subspace * 4 + i + 1 AS INT)] - cb.centv[cast(i + 1 AS INT)]) *
+             |      (cu.uv[cast(cb.subspace * 4 + i + 1 AS INT)] - cb.centv[cast(i + 1 AS INT)])))
+             |      * 10000) AS BIGINT) AS d
+             |  FROM u cu CROSS JOIN cb),
+             |codes AS (SELECT neighbor_id, subspace, code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY neighbor_id, subspace
+             |      ORDER BY d, code) AS rn FROM enc) WHERE rn = 1),
+             |probes AS (SELECT query_id, cid AS cell FROM (
+             |    SELECT vec_id AS query_id, cid, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS pn
+             |    FROM scored WHERE vec_id < 100) WHERE pn <= 8),
+             |lut AS (SELECT qu.vec_id AS query_id, cb.subspace, cb.code,
+             |    cast(round(list_sum(list_transform(range(4), i ->
+             |      qu.uv[cast(cb.subspace * 4 + i + 1 AS INT)] * cb.centv[cast(i + 1 AS INT)]))
+             |      * 10000) AS BIGINT) AS l
+             |  FROM u qu CROSS JOIN cb WHERE qu.vec_id < 100),
+             |cand0 AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  WHERE a.vec_id <> p.query_id),
+             |approx AS (SELECT c0.query_id, c0.neighbor_id, sum(l.l) AS ap
+             |  FROM cand0 c0 JOIN codes c ON c.neighbor_id = c0.neighbor_id
+             |  JOIN lut l ON l.query_id = c0.query_id
+             |    AND l.subspace = c.subspace AND l.code = c.code
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY ap DESC, neighbor_id) AS crk FROM approx) WHERE crk <= 40),
+             |s AS (SELECT cand.query_id, cand.neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+             |            JOIN e en ON en.vec_id = cand.neighbor_id)
+             |SELECT query_id, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+             |WHERE rk <= 5""".stripMargin)),
+
     // q82's deterministic twin: md5-seeded no-Lloyd codebooks, encode
     // argmin and ADC LUT entries quantized to ×10⁴ integers (exact,
     // order-independent sums — ties-away rounding agrees across
