@@ -17,15 +17,18 @@ case class DecodedAsset(path: String, modality: String, length: Long,
   * columns with typed metadata, decoded/feature-extracted in
   * partition-level batches.
   *
-  * ==STUB BOUNDARY==
-  * This container has no image/audio codecs, so `decodeBatch` is a
-  * **clearly-marked deterministic fake**: metadata and features are
-  * derived purely from the bytes (hashes / byte statistics), standing in
-  * for a real JNI/FFI decoder. Everything AROUND the stub — the
+  * ==CODEC BOUNDARY==
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — zero added dependencies):
+  * width/height/channels/brightness come from actual pixels. Audio and
+  * video decode, image FEATURE extraction, and any byte payload the
+  * magic-byte sniff rejects fall back to a **clearly-marked
+  * deterministic fake** (hashes / byte statistics) standing in for a
+  * real JNI/FFI decoder. Everything AROUND the boundary — the
   * binaryFile source, the schema, the partition-batched Dataset
   * transform, the feature-vector column shape feeding
-  * [[graft.ops.Similarity]] — is real, tested Spark plumbing; swapping
-  * in a real decoder changes only the body of [[decodeOne]].
+  * [[graft.ops.Similarity]] — is real, tested Spark plumbing; widening
+  * the real side changes only the body of [[decodeOne]].
   *
   * Scale: `binaryFile` splits by file; batch size is bounded per
   * partition (mapPartitions streams, never materializing a partition);
@@ -53,17 +56,58 @@ object Multimodal {
           .otherwise("binary"))
       .drop("ext")
 
-  /** STUB decoder for one asset — deterministic fake standing in for a
-    * real codec. Real plumbing boundary: replace this body only. */
+  /** Magic-byte sniff for the formats `javax.imageio` can decode — the
+    * cheap gate that keeps non-image payloads (and the synthetic
+    * byte-blob assets the verification queries build from text) off the
+    * ImageIO attempt entirely. Extension metadata can lie; 8 bytes
+    * can't. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+  /** Mean per-pixel luminance ((r+g+b)/3, 0..255) over the decoded
+    * raster — one sequential pass, no per-pixel allocation. */
+  private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toLong * img.getHeight)
+  }
+
+  /** Decode one asset. Image payloads that pass the magic-byte sniff are
+    * REALLY decoded with the JDK's ImageIO (PNG/BMP/GIF/JPEG) —
+    * width/height/channels/brightness are pixel truth. Everything else
+    * (audio/video, undecodable bytes, and the feature vector — still a
+    * declared stub) is the deterministic byte-statistics fake. */
   private[multimodal] def decodeOne(a: RawAsset, featureDim: Int): DecodedAsset = {
     val h = a.content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
+    val real: Option[(Int, Int, Int, Double)] =
+      if (a.modality == "image" && looksLikeImage(a.content)) {
+        try {
+          Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.content)))
+            .map(img => (img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, meanLuminance(img)))
+        } catch { case _: java.io.IOException => None }
+      } else None
     // fake-but-stable "dimensions" and byte-statistics "brightness"
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 10, 1024).toInt
-    val channels = if (a.modality == "image") 3 else 1
-    val brightness =
+    val width = real.fold(64 + math.floorMod(h, 1024).toInt)(_._1)
+    val height = real.fold(64 + math.floorMod(h >> 10, 1024).toInt)(_._2)
+    val channels = real.fold(if (a.modality == "image") 3 else 1)(_._3)
+    val brightness = real.fold(
       if (a.content.isEmpty) 0.0
-      else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length
+      else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length)(_._4)
     // one pass over the bytes updating featureDim accumulators — same
     // value as the per-feature filtered folds (byte j only ever touches
     // accumulator j % featureDim, in index order) at 1/featureDim the

@@ -17,6 +17,35 @@ class MultimodalSpec extends SparkSpec {
     d
   }
 
+  test("real image decode: committed PNG fixture yields pixel-truth metadata") {
+    // fixtures/assets/tiny.png: 3x2 RGB — row0 (255,0,0)(0,255,0)(0,0,255),
+    // row1 (255,255,255)(0,0,0)(128,128,128); mean luminance = 638/6
+    val assets = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec = Multimodal.decodeBatch(assets, featureDim = 8).collect()
+      .find(_.path.endsWith("tiny.png")).get
+    assert(dec.modality === "image")
+    assert(dec.width === 3 && dec.height === 2 && dec.channels === 3)
+    assert(math.abs(dec.brightness - 638.0 / 6.0) < 1e-9, dec.brightness)
+    assert(dec.features.length === 8) // feature vector remains the declared stub
+  }
+
+  test("non-image bytes with an image extension fall back to the deterministic fake") {
+    // a.jpg's payload is a byte ramp, not a JPEG: the magic-byte sniff
+    // must route it to the stub, not an ImageIO error
+    val assets = Multimodal.readAssets(spark, dir.toString)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec = Multimodal.decodeBatch(assets, featureDim = 8).collect()
+      .find(_.path.endsWith("a.jpg")).get
+    assert(dec.modality === "image")
+    val expected = Array.tabulate(300)(i => (i % 251) & 0xff)
+      .map(_.toDouble).sum / 300
+    assert(math.abs(dec.brightness - expected) < 1e-9)
+  }
+
   test("binaryFile ingest: modality from extension, opaque bytes + length") {
     val df = Multimodal.readAssets(spark, dir.toString)
     val m = df.select("modality").as[String].collect().sorted.toSeq
