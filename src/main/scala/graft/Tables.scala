@@ -34,11 +34,28 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // the NTZ→TZ cast reinterprets wall-clock micros in the session
+        // zone; only UTC preserves the stored values. Enforce rather
+        // than assume — an external session (GraftExtensions, a user
+        // notebook) on a non-UTC JVM default would otherwise silently
+        // shift every event timestamp by its zone offset.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC to read " +
+            "the TIMESTAMP_NTZ ts column without shifting values; got " +
+            s.conf.get("spark.sql.session.timeZone"))
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType => raw
+      case other =>
+        // schema drift in a future driver generation must surface HERE
+        // with the type named, not downstream as an opaque
+        // unix_micros/cast error
+        throw new IllegalStateException(
+          s"events.ts has unexpected parquet type $other; expected " +
+            "TIMESTAMP(NANOS) (nanosAsLong long), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
