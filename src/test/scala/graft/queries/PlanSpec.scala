@@ -338,4 +338,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q118_char_entropy")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("q119 scraped dims: scan-level filters, head-2 window by month_type, no cross join") {
+    val p = plan("q119_scraped_dims")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q119_scraped_dims").isEmpty)
+  }
+
+  test("q120 md5 index lifecycle: serve reads the persisted bucketed index, no cross join") {
+    val p = plan("q120_ivfpq_append_md5") // run closure builds + appends first
+    assert(p.contains("graft_q120_ivfpq_md5"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q120_ivfpq_append_md5").isEmpty)
+  }
 }
