@@ -351,4 +351,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(emptyPartitionWindows("q120_ivfpq_append_md5").isEmpty)
   }
+
+  test("as-of join timeBucket skew path: row window partitions on (key, bucket), cross-bucket carry ranks buckets") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val left = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val p = graft.ops.AsOfJoin.join(left, right, Seq("user_id"), "ts",
+        Seq("value"), timeBucket = Some(ts => date_trunc("day", ts)))
+      .queryExecution.explainString(SimpleMode)
+    // the per-row carry window must be sub-partitioned by the time
+    // bucket — THE skew lever: a hot user's rows spread across days
+    assert("windowspecdefinition\\(user_id#\\d+L, __b#\\d+".r
+      .findFirstIn(p).isDefined, p)
+    // and the cross-bucket stitch window ranks (key, bucket) HEAD rows
+    // (one per bucket): partitioned by the key alone, ORDERED by bucket
+    assert("windowspecdefinition\\(user_id#\\d+L, __b#\\d+ ASC".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
