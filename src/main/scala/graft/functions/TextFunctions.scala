@@ -74,10 +74,10 @@ object TextFunctions {
     struct(
       length(text).as("n_chars"),
       n.as("n_tokens"),
-      round(when(n > 0,
+      Num.roundz(when(n > 0,
         aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / n), 4)
         .as("mean_token_len"),
-      round(when(n > 0,
+      Num.roundz(when(n > 0,
         size(filter(ts, w => w.isInCollection(stopwords))).cast("double") / n), 4)
         .as("stopword_ratio")
     )
@@ -115,9 +115,9 @@ object TextFunctions {
     val nb = size(bg)
     struct(
       n.cast("long").as("n_tokens"),
-      round(when(n > 0,
+      Num.roundz(when(n > 0,
         lit(1.0) - size(array_distinct(ws)).cast("double") / n), 4).as("dup_token_frac"),
-      round(when(nb > 0,
+      Num.roundz(when(nb > 0,
         lit(1.0) - size(array_distinct(bg)).cast("double") / nb), 4).as("dup_bigram_frac")
     )
   }
