@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
 case class RawAsset(path: String, modality: String, length: Long,
                     content: Array[Byte])
 
-/** Decoded asset: STUB-decoded metadata + feature vector. */
+/** Decoded asset: metadata + feature vector. For images width/height
+  * are pixels; for PCM WAV audio `sampleRateHz`/`durationMs` are real
+  * (0 elsewhere) and `brightness` is the mean |amplitude| in [0, 1]. */
 case class DecodedAsset(path: String, modality: String, length: Long,
                         width: Int, height: Int, channels: Int,
+                        sampleRateHz: Int, durationMs: Long,
                         brightness: Double, features: Array[Float])
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -20,13 +23,16 @@ case class DecodedAsset(path: String, modality: String, length: Long,
   * ==CODEC BOUNDARY==
   * Image decode is REAL for the formats the JDK ships codecs for
   * (PNG/BMP/GIF/JPEG via `javax.imageio` — zero added dependencies):
-  * width/height/channels/brightness come from actual pixels. Audio and
-  * video decode, image FEATURE extraction, and any byte payload the
-  * magic-byte sniff rejects fall back to a **clearly-marked
-  * deterministic fake** (hashes / byte statistics) standing in for a
-  * real JNI/FFI decoder. Everything AROUND the boundary — the
-  * binaryFile source, the schema, the partition-batched Dataset
-  * transform, the feature-vector column shape feeding
+  * width/height/channels/brightness come from actual pixels. Audio
+  * decode is REAL for PCM RIFF/WAVE (a ~44-byte header parse + a pass
+  * over the 8/16-bit samples — no codec needed): channels, sample
+  * rate, duration and mean |amplitude| come from the actual samples.
+  * Compressed audio (mp3/flac), video, image/audio FEATURE extraction,
+  * and any byte payload the magic-byte sniffs reject fall back to a
+  * **clearly-marked deterministic fake** (hashes / byte statistics)
+  * standing in for a real JNI/FFI decoder. Everything AROUND the
+  * boundary — the binaryFile source, the schema, the partition-batched
+  * Dataset transform, the feature-vector column shape feeding
   * [[graft.ops.Similarity]] — is real, tested Spark plumbing; widening
   * the real side changes only the body of [[decodeOne]].
   *
@@ -85,10 +91,62 @@ object Multimodal {
     sum / (img.getWidth.toLong * img.getHeight)
   }
 
-  /** Decode one asset. Image payloads that pass the magic-byte sniff are
-    * REALLY decoded with the JDK's ImageIO (PNG/BMP/GIF/JPEG) —
-    * width/height/channels/brightness are pixel truth. Everything else
-    * (audio/video, undecodable bytes, and the feature vector — still a
+  /** Parsed PCM WAV facts: (channels, sampleRateHz, durationMs,
+    * mean |amplitude| normalized to [0, 1]). */
+  private case class WavFacts(channels: Int, sampleRateHz: Int,
+                              durationMs: Long, meanAmp: Double)
+
+  /** Minimal RIFF/WAVE reader for UNCOMPRESSED PCM (format tag 1, 8 or
+    * 16 bits): walks the chunk list to `fmt ` and `data` (tolerating
+    * extra chunks like LIST), then one pass over the samples. Returns
+    * None for compressed/malformed payloads — those stay on the fake
+    * path. Pure byte arithmetic: deterministic on any JVM. */
+  private def parseWav(b: Array[Byte]): Option[WavFacts] = {
+    def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (pos + 8 <= b.length) {
+      val id = tag(pos); val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        if (u16(pos + 8) != 1) return None // not uncompressed PCM
+        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+      } else if (id == "data") {
+        val (ch, rate, bits) = fmt.getOrElse(return None)
+        if (ch <= 0 || rate <= 0 || (bits != 8 && bits != 16)) return None
+        val n = math.min(sz, b.length - pos - 8) // sample bytes present
+        val bytesPerFrame = ch * bits / 8
+        val frames = if (bytesPerFrame == 0) 0L else n.toLong / bytesPerFrame
+        var sum = 0.0
+        var i = pos + 8
+        val end = pos + 8 + n
+        if (bits == 8) { // unsigned, midpoint 128
+          while (i < end) { sum += math.abs((b(i) & 0xff) - 128) / 128.0; i += 1 }
+        } else {
+          while (i + 1 < end) {
+            val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort
+            sum += math.abs(s.toDouble) / 32768.0
+            i += 2
+          }
+        }
+        val nSamples = if (bits == 8) n else n / 2
+        return Some(WavFacts(ch, rate, frames * 1000L / rate,
+          if (nSamples == 0) 0.0 else sum / nSamples))
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Decode one asset. Image payloads that pass the magic-byte sniff
+    * are REALLY decoded with the JDK's ImageIO (PNG/BMP/GIF/JPEG) —
+    * width/height/channels/brightness are pixel truth. Audio payloads
+    * that parse as PCM RIFF/WAVE get REAL channels/sample-rate/duration
+    * and mean-|amplitude| brightness. Everything else (compressed
+    * audio, video, undecodable bytes, and the feature vector — still a
     * declared stub) is the deterministic byte-statistics fake. */
   private[multimodal] def decodeOne(a: RawAsset, featureDim: Int): DecodedAsset = {
     val h = a.content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
@@ -101,13 +159,16 @@ object Multimodal {
               img.getColorModel.getNumComponents, meanLuminance(img)))
         } catch { case _: java.io.IOException => None }
       } else None
+    val wav: Option[WavFacts] =
+      if (a.modality == "audio") parseWav(a.content) else None
     // fake-but-stable "dimensions" and byte-statistics "brightness"
     val width = real.fold(64 + math.floorMod(h, 1024).toInt)(_._1)
     val height = real.fold(64 + math.floorMod(h >> 10, 1024).toInt)(_._2)
-    val channels = real.fold(if (a.modality == "image") 3 else 1)(_._3)
-    val brightness = real.fold(
+    val channels = wav.map(_.channels).orElse(real.map(_._3))
+      .getOrElse(if (a.modality == "image") 3 else 1)
+    val brightness = wav.map(_.meanAmp).orElse(real.map(_._4)).getOrElse(
       if (a.content.isEmpty) 0.0
-      else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length)(_._4)
+      else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length)
     // one pass over the bytes updating featureDim accumulators — same
     // value as the per-feature filtered folds (byte j only ever touches
     // accumulator j % featureDim, in index order) at 1/featureDim the
@@ -121,6 +182,7 @@ object Multimodal {
     }
     val features = acc.map(c => (math.floorMod(c, 2048).toFloat / 1024.0f) - 1.0f)
     DecodedAsset(a.path, a.modality, a.length, width, height, channels,
+      wav.map(_.sampleRateHz).getOrElse(0), wav.map(_.durationMs).getOrElse(0L),
       brightness, features)
   }
 

@@ -32,6 +32,35 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.features.length === 8) // feature vector remains the declared stub
   }
 
+  test("real PCM WAV parse: committed fixture yields sample-truth audio metadata") {
+    // fixtures/assets/tone.wav: 16-bit stereo 8 kHz, 4000 frames of the
+    // repeating samples (16384,-16384)(0,32767)(-32768,8192)(4096,-4096)
+    val assets = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec = Multimodal.decodeBatch(assets, featureDim = 8).collect()
+      .find(_.path.endsWith("tone.wav")).get
+    assert(dec.modality === "audio")
+    assert(dec.channels === 2)
+    assert(dec.sampleRateHz === 8000)
+    assert(dec.durationMs === 500L)
+    assert(math.abs(dec.brightness - 0.4374961853027344) < 1e-12, dec.brightness)
+  }
+
+  test("non-RIFF audio bytes fall back to the deterministic fake (c.wav ramp)") {
+    val assets = Multimodal.readAssets(spark, dir.toString)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec = Multimodal.decodeBatch(assets, featureDim = 8).collect()
+      .find(_.path.endsWith("c.wav")).get
+    assert(dec.modality === "audio")
+    assert(dec.sampleRateHz === 0 && dec.durationMs === 0L)
+    val expected = Array.tabulate(500)(i => ((i * 7) % 256) & 0xff)
+      .map(_.toDouble).sum / 500
+    assert(math.abs(dec.brightness - expected) < 1e-9)
+  }
+
   test("non-image bytes with an image extension fall back to the deterministic fake") {
     // a.jpg's payload is a byte ramp, not a JPEG: the magic-byte sniff
     // must route it to the stub, not an ImageIO error
