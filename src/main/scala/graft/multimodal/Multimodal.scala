@@ -141,13 +141,77 @@ object Multimodal {
     None
   }
 
+  /** Parsed MP4 facts: presentation width/height in pixels (from the
+    * first video `tkhd`) and movie duration in ms (from `mvhd`). */
+  private case class Mp4Facts(width: Int, height: Int, durationMs: Long)
+
+  /** Minimal ISO-BMFF (MP4) box walk: top level → `moov` → `mvhd`
+    * (timescale + duration) and `trak`/`tkhd` (16.16 fixed-point
+    * presentation dims; first track with nonzero dims wins). Samples
+    * are NOT decoded — this is container metadata only, which is the
+    * honest boundary without a video codec. 64-bit extended box sizes
+    * abort to the fake path. */
+  private def parseMp4(b: Array[Byte]): Option[Mp4Facts] = {
+    def u32(i: Int) = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def findBox(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val sz = u32(pos)
+        if (sz < 8 || pos + sz > to) return None // size 0/1 (to-end, 64-bit) unhandled
+        if (tag(pos + 4) == name) return Some((pos + 8, pos + sz.toInt))
+        pos += sz.toInt
+      }
+      None
+    }
+    if (b.length < 12 || tag(4) != "ftyp") return None
+    for {
+      (moovS, moovE) <- findBox(0, b.length, "moov")
+      (mvhdS, _) <- findBox(moovS, moovE, "mvhd")
+    } yield {
+      val v = b(mvhdS) & 0xff
+      val (timescale, duration) =
+        if (v == 1) (u32(mvhdS + 20), (u32(mvhdS + 24) << 32) | u32(mvhdS + 28))
+        else (u32(mvhdS + 12), u32(mvhdS + 16))
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      // first trak whose tkhd has nonzero presentation dims
+      var dims = (0, 0)
+      var pos = moovS
+      while (dims == ((0, 0)) && pos + 8 <= moovE) {
+        val sz = u32(pos)
+        if (sz < 8 || pos + sz > moovE) { pos = moovE } else {
+          if (tag(pos + 4) == "trak") {
+            findBox(pos + 8, pos + sz.toInt, "tkhd").foreach { case (tk, tkE) =>
+              val tv = b(tk) & 0xff
+              // version/flags + creation + modification + trackID +
+              // reserved + duration (fields are 8-byte in v1 where noted)
+              val base = if (tv == 1) tk + 4 + 8 + 8 + 4 + 4 + 8
+                         else tk + 4 + 4 + 4 + 4 + 4 + 4
+              val dimOff = base + 8 + 2 + 2 + 2 + 2 + 36
+              if (dimOff + 8 <= tkE) {
+                val w = (u32(dimOff) >> 16).toInt
+                val h = (u32(dimOff + 4) >> 16).toInt
+                if (w > 0 && h > 0) dims = (w, h)
+              }
+            }
+          }
+          pos += sz.toInt
+        }
+      }
+      Mp4Facts(dims._1, dims._2, durMs)
+    }
+  }
+
   /** Decode one asset. Image payloads that pass the magic-byte sniff
     * are REALLY decoded with the JDK's ImageIO (PNG/BMP/GIF/JPEG) —
     * width/height/channels/brightness are pixel truth. Audio payloads
     * that parse as PCM RIFF/WAVE get REAL channels/sample-rate/duration
-    * and mean-|amplitude| brightness. Everything else (compressed
-    * audio, video, undecodable bytes, and the feature vector — still a
-    * declared stub) is the deterministic byte-statistics fake. */
+    * and mean-|amplitude| brightness. Video payloads that parse as
+    * ISO-BMFF (MP4) get REAL presentation width/height and duration
+    * (container metadata; samples stay undecoded). Everything else
+    * (compressed audio, undecodable bytes, and the feature vector —
+    * still a declared stub) is the deterministic byte-statistics fake. */
   private[multimodal] def decodeOne(a: RawAsset, featureDim: Int): DecodedAsset = {
     val h = a.content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
     val real: Option[(Int, Int, Int, Double)] =
@@ -161,9 +225,13 @@ object Multimodal {
       } else None
     val wav: Option[WavFacts] =
       if (a.modality == "audio") parseWav(a.content) else None
+    val mp4: Option[Mp4Facts] =
+      if (a.modality == "video") parseMp4(a.content) else None
     // fake-but-stable "dimensions" and byte-statistics "brightness"
-    val width = real.fold(64 + math.floorMod(h, 1024).toInt)(_._1)
-    val height = real.fold(64 + math.floorMod(h >> 10, 1024).toInt)(_._2)
+    val width = mp4.filter(_.width > 0).map(_.width)
+      .orElse(real.map(_._1)).getOrElse(64 + math.floorMod(h, 1024).toInt)
+    val height = mp4.filter(_.height > 0).map(_.height)
+      .orElse(real.map(_._2)).getOrElse(64 + math.floorMod(h >> 10, 1024).toInt)
     val channels = wav.map(_.channels).orElse(real.map(_._3))
       .getOrElse(if (a.modality == "image") 3 else 1)
     val brightness = wav.map(_.meanAmp).orElse(real.map(_._4)).getOrElse(
@@ -182,7 +250,8 @@ object Multimodal {
     }
     val features = acc.map(c => (math.floorMod(c, 2048).toFloat / 1024.0f) - 1.0f)
     DecodedAsset(a.path, a.modality, a.length, width, height, channels,
-      wav.map(_.sampleRateHz).getOrElse(0), wav.map(_.durationMs).getOrElse(0L),
+      wav.map(_.sampleRateHz).getOrElse(0),
+      wav.map(_.durationMs).orElse(mp4.map(_.durationMs)).getOrElse(0L),
       brightness, features)
   }
 

@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(dec.brightness - 0.4374961853027344) < 1e-12, dec.brightness)
   }
 
+  test("real MP4 container parse: committed fixture yields mvhd/tkhd truth") {
+    // fixtures/assets/clip.mp4: ftyp + moov(mvhd timescale 1000,
+    // duration 7500; trak/tkhd 640x360 as 16.16 fixed) + empty mdat
+    val assets = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val dec = Multimodal.decodeBatch(assets, featureDim = 8).collect()
+      .find(_.path.endsWith("clip.mp4")).get
+    assert(dec.modality === "video")
+    assert(dec.width === 640 && dec.height === 360)
+    assert(dec.durationMs === 7500L)
+    assert(dec.sampleRateHz === 0)
+  }
+
   test("non-RIFF audio bytes fall back to the deterministic fake (c.wav ramp)") {
     val assets = Multimodal.readAssets(spark, dir.toString)
       .select(col("path"), col("modality"), col("length"), col("content"))
