@@ -111,6 +111,10 @@ object Multimodal {
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     while (pos + 8 <= b.length) {
       val id = tag(pos); val sz = u32(pos + 4).toInt
+      // untrusted bytes: a chunk size with the high bit set wraps to a
+      // negative Int and would walk `pos` BACKWARDS — an infinite loop,
+      // not just a bad parse. Bail to the fake path instead.
+      if (sz < 0) return None
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
         if (u16(pos + 8) != 1) return None // not uncompressed PCM
         fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))

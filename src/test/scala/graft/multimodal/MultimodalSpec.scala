@@ -76,6 +76,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(dec.brightness - expected) < 1e-9)
   }
 
+  test("malformed containers terminate and fall back (adversarial chunk sizes)") {
+    def decode(name: String, bytes: Array[Byte]): DecodedAsset = {
+      val modality = if (name.endsWith(".wav")) "audio" else "video"
+      Multimodal.decodeBatch(
+        Seq(RawAsset(name, modality, bytes.length.toLong, bytes)).toDS(),
+        featureDim = 8).collect().head
+    }
+    // RIFF/WAVE whose first chunk claims size 0xFFFFFFFF (negative as
+    // Int): the walk must bail, not loop or scan backwards
+    val evilWav = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array[Byte](-1, -1, -1, -1) ++ Array.fill[Byte](32)(7)
+    val w = decode("evil.wav", evilWav)
+    assert(w.sampleRateHz === 0 && w.durationMs === 0L) // fake path
+    // truncated WAV header (RIFF magic only)
+    val t = decode("trunc.wav", "RIFF1234WAVE".getBytes)
+    assert(t.sampleRateHz === 0)
+    // MP4 ftyp followed by a box claiming a huge size
+    val evilMp4 = Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes ++
+      "isom".getBytes ++ Array[Byte](0, 0, 2, 0) ++
+      Array[Byte](-1, -1, -1, -1) ++ "moov".getBytes ++ Array.fill[Byte](16)(3)
+    val v = decode("evil.mp4", evilMp4)
+    assert(v.durationMs === 0L) // fake path, bounded walk
+  }
+
   test("non-image bytes with an image extension fall back to the deterministic fake") {
     // a.jpg's payload is a byte ramp, not a JPEG: the magic-byte sniff
     // must route it to the stub, not an ImageIO error
