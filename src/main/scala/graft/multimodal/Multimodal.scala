@@ -16,6 +16,13 @@ case class DecodedAsset(path: String, modality: String, length: Long,
                         sampleRateHz: Int, durationMs: Long,
                         brightness: Double, features: Array[Float])
 
+/** Content-level asset fingerprint: perceptual dHash for really-decoded
+  * images (`fp_kind = "dhash"`), byte-exact md5 otherwise (`"md5"`).
+  * `fp_bits` is the 64-bit form for Hamming banding. */
+case class AssetFingerprint(path: String, modality: String, length: Long,
+                            fp_kind: String, fingerprint: String,
+                            fp_bits: Long)
+
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in
   * partition-level batches.
@@ -265,6 +272,125 @@ object Multimodal {
   def decodeBatch(assets: Dataset[RawAsset], featureDim: Int = 16): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decodeOne(_, featureDim)))
+  }
+
+  /** 64-bit difference hash (dHash) over a decoded raster: grayscale
+    * box-downsample to a 9×8 grid, bit (y·8 + x) set iff cell (x+1, y)
+    * is brighter than cell (x, y). The CONTENT-level image fingerprint:
+    * stable across re-encoding (PNG vs BMP vs JPEG quality — md5 differs,
+    * the pixels' gradient structure doesn't) and monotone brightness
+    * shifts, so near-identical images land within a small Hamming
+    * radius. Deterministic: integer pixel sums per cell, one double
+    * division per cell, no resampling-kernel dependence (the 9×8 cells
+    * partition the raster by integer index arithmetic — no interpolation
+    * library whose rounding could differ across platforms). */
+  private[multimodal] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val cell = Array.ofDim[Double](gh, gw)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.min(h, math.max((cy + 1) * h / gh, y0 + 1))
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.min(w, math.max((cx + 1) * w / gw, x0 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        cell(cy)(cx) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0) * 3)
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var by = 0
+    while (by < gh) {
+      var bx = 0
+      while (bx < 8) {
+        if (cell(by)(bx + 1) > cell(by)(bx)) bits |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    bits
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  /** Fingerprint one asset for content-level dedup. Image payloads that
+    * really decode get the perceptual [[dHash64]] (`fp_kind = "dhash"`);
+    * everything else gets the byte-exact md5 (`fp_kind = "md5"` — the
+    * same value any SQL engine's `md5()` computes, which is what lets
+    * q123 carry a full DuckDB oracle over synthesized non-image
+    * payloads). `fp_bits` carries the dHash (or the md5's first 64 bits)
+    * as a long so Hamming distance is one `bit_count(a XOR b)`. */
+  private[multimodal] def fingerprintOne(a: RawAsset): AssetFingerprint = {
+    val img: Option[java.awt.image.BufferedImage] =
+      if (a.modality == "image" && looksLikeImage(a.content)) {
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.content)))
+        catch { case _: java.io.IOException => None }
+      } else None
+    img match {
+      case Some(i) =>
+        val d = dHash64(i)
+        AssetFingerprint(a.path, a.modality, a.length, "dhash", f"$d%016x", d)
+      case None =>
+        val m = java.security.MessageDigest.getInstance("MD5").digest(a.content)
+        AssetFingerprint(a.path, a.modality, a.length, "md5", hex(m),
+          java.lang.Long.parseUnsignedLong(hex(m).substring(0, 16), 16))
+    }
+  }
+
+  /** Partition-batched fingerprinting — same streaming shape as
+    * [[decodeBatch]]. */
+  def fingerprintAssets(assets: Dataset[RawAsset]): Dataset[AssetFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(fingerprintOne))
+  }
+
+  /** Duplicate-asset pairs over [[fingerprintAssets]] output: dhash
+    * fingerprints pair within `maxHamming` bits; md5 fingerprints pair
+    * only on full byte-exact equality. The candidate join is the
+    * SimHash 4×16-bit banding (pigeonhole: Hamming ≤ 3 ⇒ at least one
+    * of 4 bands equal), so candidate generation is complete for
+    * maxHamming ≤ 3 and NEVER all-pairs — each asset meets only assets
+    * sharing a band bucket, the same inverted-index discipline as the
+    * text dedup family. Output: (path_a, path_b, fp_kind, hamming),
+    * path_a < path_b. */
+  def assetDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is complete only for Hamming <= 3, got $maxHamming")
+    val bands = array((0 until 4).map(i =>
+      shiftrightunsigned(col("fp_bits"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = fps.select(col("path"), col("fp_kind"), col("fingerprint"),
+        col("fp_bits"), posexplode(bands).as(Seq("band", "band_bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.fp_kind") === col("b.fp_kind") &&
+          col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.path") < col("b.path"))
+      .filter( // verify: bit radius for dhash, byte-exact for md5
+        (col("a.fp_kind") === "dhash" &&
+          bit_count(col("a.fp_bits").bitwiseXOR(col("b.fp_bits"))) <= maxHamming) ||
+        (col("a.fp_kind") === "md5" &&
+          col("a.fingerprint") === col("b.fingerprint")))
+      .select(col("a.path").as("path_a"), col("b.path").as("path_b"),
+        col("a.fp_kind").as("fp_kind"),
+        bit_count(col("a.fp_bits").bitwiseXOR(col("b.fp_bits")))
+          .cast("int").as("hamming"))
+      .distinct() // a pair may collide in several bands
   }
 
   /** "Resize" = typed-metadata transform (a real resize would re-encode

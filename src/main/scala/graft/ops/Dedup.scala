@@ -117,7 +117,46 @@ object Dedup {
   def ngramJaccardPairs(idCol: String, textCol: String, n: Int,
                         threshold: Double, maxDf: Long = 1000L,
                         tokensCol: Option[String] = None)
-                       (df: DataFrame): DataFrame = {
+                       (df: DataFrame): DataFrame =
+    shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
+      .withColumn("jaccard",
+        Num.roundz(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Shingle-set CONTAINMENT near-dup pairs (Broder 1997's containment
+    * resemblance) — the asymmetric-size member of the near-dup family:
+    * containment = |A∩B| / min(|A|, |B|) is the fraction of the SMALLER
+    * document's shingles present in the other, so a short document fully
+    * embedded in a long one scores ~1.0 where Jaccard (intersection over
+    * union) is dragged toward |A|/|B| ≈ 0 and the pair never fires. This
+    * is the quote/excerpt/boilerplate-page duplication [[ngramJaccardPairs]]
+    * structurally cannot see.
+    *
+    * Same inverted sub-maxDf shingle index and capped-vocabulary size
+    * discipline as Jaccard; the threshold filter runs on the UNROUNDED
+    * single division (exact integer operands → identical keep decisions
+    * cross-engine, q100's rule), rounded 4dp for output parity only.
+    * Output: (doc_a, doc_b, containment), doc_a < doc_b. */
+  def containmentPairs(idCol: String, textCol: String, n: Int,
+                       threshold: Double, maxDf: Long = 1000L,
+                       tokensCol: Option[String] = None)
+                      (df: DataFrame): DataFrame =
+    shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
+      .withColumn("__c", col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        Num.roundz(col("__c"), 4).as("containment"))
+
+  /** Shared inverted-index core of the set-overlap pair family: exploded
+    * distinct shingles → maxDf cap → self equi-join on shingle (only docs
+    * sharing ≥1 surviving shingle ever meet) → per-pair intersection
+    * counts joined with per-doc set sizes. Returns
+    * (doc_a, doc_b, inter, sz_a, sz_b) with doc_a < doc_b; scoring
+    * (Jaccard, containment, …) is the caller's one-expression epilogue. */
+  private def shinglePairStats(df: DataFrame, idCol: String, textCol: String,
+                               tokensCol: Option[String], n: Int,
+                               maxDf: Long): DataFrame = {
     // Document frequency via groupBy + join, NOT a window over the
     // shingle key: the window would shuffle-sort every occurrence of a
     // hot shingle into one task — exactly the skew the maxDf cap exists
@@ -132,7 +171,7 @@ object Dedup {
           .filter(col("__df") <= maxDf).drop("__df"),
         "shingle"))
     // Sizes over the SAME capped vocabulary as the intersections: when
-    // maxDf engages, jaccard is "Jaccard over sub-maxDf shingles" —
+    // maxDf engages, the score is "overlap over sub-maxDf shingles" —
     // consistent numerator and denominator (sizes over the uncapped set
     // would silently underestimate pairs dominated by hot shingles).
     val sizes = rare.groupBy("doc").agg(count(lit(1)).as("sz"))
@@ -143,10 +182,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        Num.roundz(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** TF-IDF-weighted sparse cosine near-dup pairs over n-word-shingle

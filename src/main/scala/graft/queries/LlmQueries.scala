@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Num, TextFunctions, VectorFunctions}
+import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
 import graft.ops.{Dedup, IncrementalDedup, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2474,7 +2474,116 @@ object LlmQueries {
              |SELECT doc_id, cast(sum(c) AS BIGINT) AS n_chars,
              |  round(ln(sum(c)) - sum(c * cast(round(ln(c) * 10000) AS BIGINT))
              |    / 10000.0 / sum(c), 4) + 0.0 AS char_entropy
-             |FROM cc GROUP BY doc_id""".stripMargin))
+             |FROM cc GROUP BY doc_id""".stripMargin)),
+
+    // KMV distinct-count sketch: per-source distinct-shingle estimates
+    // from a k-minimum-values sketch ([[graft.functions.KmvSketchAgg]]) —
+    // the hash-VERIFIABLE member of the sketch family. q49's
+    // approx_count_distinct is rows-only because HLL internals are
+    // engine-private; KMV's state is "bottom k of a public md5-derived
+    // 48-bit hash", so DuckDB reproduces sketch, estimate, and the
+    // audit columns exactly. n_distinct counts distinct HASHES (longs,
+    // not shingle strings, ride every Exchange) — the same quantity the
+    // sketch estimates, and exact-equal to distinct shingles absent
+    // 48-bit collisions. The estimate is (k−1)·2⁴⁸/h₍k₎ (Beyer et al.
+    // 2007), exact when a source has fewer than k distinct shingles.
+    // Scale: the sketch aggregates with map-side partials at ≤ k longs
+    // per group; only the exact-count audit column costs a distinct —
+    // drop it in production and the query is one bounded-state pass.
+    Q("q121_kmv_distinct",
+      (s, d) => {
+        import s.implicits._
+        val k = 256
+        val hs = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+          .select(col("source"),
+            conv(substring(md5(col("shingle")), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .as[(String, Long)]
+        val kmv = KmvSketchAgg[(String, Long)](k, _._2).toColumn
+        hs.groupByKey(_._1)
+          .agg(kmv.name("kmv"), countDistinct(col("h")).as[Long].name("n_distinct"))
+          .toDF("source", "kmv", "n_distinct")
+          .select(col("source"), col("n_distinct"),
+            when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+              .otherwise(lit((k - 1).toDouble * 281474976710656.0)
+                / element_at(col("kmv"), k).cast("double")).as("__est"))
+          .select(col("source"), col("n_distinct"),
+            Num.round4(col("__est")).as("kmv_est"),
+            Num.round4(abs(col("__est") - col("n_distinct"))
+              / col("n_distinct")).as("rel_err"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT source, shingle FROM (
+             |  SELECT source, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |hs AS (SELECT DISTINCT source,
+             |    ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
+             |ranked AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n_distinct FROM hs),
+             |est AS (SELECT source, max(n_distinct) AS n_distinct,
+             |    CASE WHEN max(n_distinct) < 256 THEN max(n_distinct) * 1.0
+             |         ELSE 255 * 281474976710656.0 / max(CASE WHEN rn = 256 THEN h END)
+             |    END AS est
+             |  FROM ranked GROUP BY source)
+             |SELECT source, cast(n_distinct AS BIGINT) AS n_distinct,
+             |  round(est, 4) + 0.0 AS kmv_est,
+             |  round(abs(est - n_distinct) / n_distinct, 4) + 0.0 AS rel_err
+             |FROM est""".stripMargin)),
+
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    // 3-shingle inverted index as q26 — the doc-inside-doc detector.
+    // A 100-shingle excerpt embedded in a 2000-shingle page has
+    // containment 1.0 but Jaccard ≈ 0.05: threshold-Jaccard dedup
+    // structurally misses excerpt/quote/boilerplate-page duplication;
+    // this is the operator that catches it (Broder 1997's containment).
+    Q("q122_containment_pairs",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.containmentPairs("doc_id", "text", 3, 0.5)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |round(inter * 1.0 / least(sa.sz, sb.sz), 4) + 0.0 AS containment
+             |FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.5""".stripMargin)),
+
+    // Content-level asset fingerprinting + exact-dup groups: the
+    // multimodal twin of q22. Really-decodable images get a perceptual
+    // dHash (pixel-gradient fingerprint, stable across re-encoding —
+    // PNG vs BMP of the same raster collide, MultimodalSpec pins it on
+    // committed fixtures); everything else gets byte-exact md5. The
+    // synthesized payloads here are text bytes (q59's asset contract),
+    // so the driver-gated path is the md5 branch — which is exactly
+    // what DuckDB's md5() reproduces, giving the fingerprint surface a
+    // full hash oracle while the dhash branch is spec-pinned. Scale:
+    // fingerprint is a partition-local projection; the group-by ships
+    // (fingerprint, path) only — assets never ride the Exchange.
+    Q("q123_asset_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id").cast("string").as("path"),
+            lit("binary").as("modality"),
+            octet_length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .as[graft.multimodal.RawAsset]
+        graft.multimodal.Multimodal.fingerprintAssets(assets).toDF()
+          .groupBy(col("fp_kind"), col("fingerprint"))
+          .agg(min(col("path")).as("keep_path"), count(lit(1)).as("n_dupes"))
+          .select("fp_kind", "fingerprint", "keep_path", "n_dupes")
+      },
+      Some("""SELECT 'md5' AS fp_kind, md5(text) AS fingerprint,
+             |min(cast(doc_id AS VARCHAR)) AS keep_path, count(*) AS n_dupes
+             |FROM documents WHERE n_chars > 0 GROUP BY md5(text)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

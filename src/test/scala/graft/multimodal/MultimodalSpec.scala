@@ -159,4 +159,68 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(frames === Seq(0L, 2500L, 5000L, 7500L))
   }
+
+  // ---- perceptual fingerprints (dHash) over the REAL decode path ----
+
+  private def fixtureFingerprints: Map[String, AssetFingerprint] = {
+    val assets = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    Multimodal.fingerprintAssets(assets).collect()
+      .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f).toMap
+  }
+
+  test("dHash: same raster under PNG and BMP encodings collides; md5 differs") {
+    val fp = fixtureFingerprints
+    val png = fp("grad.png"); val bmp = fp("grad.bmp")
+    assert(png.fp_kind === "dhash" && bmp.fp_kind === "dhash")
+    assert(png.fingerprint === bmp.fingerprint) // content-identical
+    // the BYTES differ — md5 dedup (q22/q123's md5 branch) can't see this pair
+    val md5 = (b: Array[Byte]) =>
+      java.security.MessageDigest.getInstance("MD5").digest(b).toSeq
+    val bytes = Files.readAllBytes _
+    assert(md5(bytes(java.nio.file.Paths.get("fixtures/assets/grad.png"))) !==
+           md5(bytes(java.nio.file.Paths.get("fixtures/assets/grad.bmp"))))
+  }
+
+  test("dHash: exact 0.8x brightness scaling preserves every gradient sign") {
+    // grad_dim.png's pixels are grad.png's times 4/5 EXACTLY (all values
+    // are multiples of 5), so each 9x8 cell mean scales exactly and no
+    // comparison flips: hashes are bit-identical, not merely close
+    val fp = fixtureFingerprints
+    assert(fp("grad_dim.png").fingerprint === fp("grad.png").fingerprint)
+  }
+
+  test("dHash: a structurally different image is far in Hamming distance") {
+    val fp = fixtureFingerprints
+    val d = java.lang.Long.bitCount(fp("grad.png").fp_bits ^ fp("checker.png").fp_bits)
+    assert(d > 3, s"hamming=$d")
+  }
+
+  test("assetDupPairs: banded Hamming join pairs the re-encodes, not the checkerboard") {
+    val fp = fixtureFingerprints
+    val fps = fp.values.toSeq.toDS().toDF()
+    val pairs = Multimodal.assetDupPairs(fps, maxHamming = 3)
+      .collect()
+      .map(r => (r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
+                 r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1)))
+      .toSet
+    val grads = Set("grad.png", "grad.bmp", "grad_dim.png")
+    val gradPairs = pairs.filter(p => grads(p._1) || grads(p._2))
+    assert(gradPairs.size === 3) // all three mutual pairs, ordered path_a < path_b
+    assert(gradPairs.forall(p => grads(p._1) && grads(p._2)))
+    assert(!pairs.exists(p => p._1.contains("checker") || p._2.contains("checker")))
+  }
+
+  test("fingerprint fallback: non-decodable payloads get the byte-exact md5 kind") {
+    val a = RawAsset("x", "binary", 3L, Array[Byte](1, 2, 3))
+    val f = Multimodal.fingerprintOne(a)
+    assert(f.fp_kind === "md5")
+    assert(f.fingerprint === "5289df737df57326fcdd22597afb1fac") // md5(0x010203)
+    assert(f.fp_bits === java.lang.Long.parseUnsignedLong("5289df737df57326", 16))
+    // an image-extension payload that fails the sniff also falls back
+    val fake = RawAsset("y.png", "image", 4L, Array[Byte](9, 9, 9, 9))
+    assert(Multimodal.fingerprintOne(fake).fp_kind === "md5")
+  }
 }

@@ -270,6 +270,29 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("containmentPairs: an excerpt inside a long doc scores 1.0 where Jaccard misses it") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")      // 58 3-shingles
+    val excerpt = (21 to 30).map(i => s"tok$i").mkString(" ")  // 8 shingles, all inside long
+    val d = Seq((1L, long), (2L, excerpt)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs("doc_id", "text", 3, 0.9)(d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 1.0)))
+    // the same pair's Jaccard is 8/(58+8-8) ≈ 0.138 — under any dedup θ
+    assert(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.5)(d).count() === 0)
+  }
+
+  test("containmentPairs: partial overlap scores inter/min(szA,szB); below-threshold drops") {
+    // A = tokens 1..20 (18 shingles), B = tokens 11..30 (18 shingles);
+    // shared shingles start at tokens 11..18 → inter = 8; 8/18 = 0.4444
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      (2L, (11 to 30).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val hit = Dedup.containmentPairs("doc_id", "text", 3, 0.4)(d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hit === Seq((1L, 2L, 0.4444)))
+    assert(Dedup.containmentPairs("doc_id", "text", 3, 0.5)(d).count() === 0)
+  }
+
   test("editDistancePairs: catches the small edit, not the word scramble Jaccard can't see") {
     Staged.withStaged {
       val scrambled = base.trim.split("\\s+").reverse.mkString(" ")
