@@ -11,6 +11,12 @@ import org.apache.spark.sql.types._
 case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
                      lang: String, source: String)
 
+/** One updated reading from [[CorpusStream.distinctMonitor]]: the
+  * sketch's current fill (`sketch_n` ≤ k) and the KMV estimate of the
+  * source's distinct-shingle cardinality so far. */
+case class SourceDistinctEstimate(source: String, sketch_n: Long,
+                                  kmv_est: Double)
+
 /** Streaming corpus intake: the q62 pipeline's gate stages re-expressed
   * over an unbounded document stream — how a crawl feed enters the
   * training corpus continuously instead of via nightly batches.
@@ -71,6 +77,47 @@ object CorpusStream {
       .withColumn("content_hash", md5(col("norm_text")))
       .select("doc_id", "ts", "source", "lang", "lang_pred", "n_tokens",
         "norm_text", "content_hash")
+  }
+
+  /** Streaming distinct-content cardinality monitor: per-source KMV
+    * sketches ([[graft.functions.KmvSketchAgg]]) carried across
+    * micro-batches in keyed state — "how much NEW content is each feed
+    * actually contributing?" as a continuously updated metric instead
+    * of a nightly batch count.
+    *
+    * The keyed state IS the sketch: ≤ k longs per source, bounded
+    * forever regardless of stream volume (no timeout needed), updated
+    * with the Aggregator's own pure `reduce` — so the streaming
+    * estimate after any prefix of micro-batches equals the batch q121
+    * estimate over the same rows, by construction rather than by test
+    * luck. Because a KMV sketch is duplicate-absorbing, the monitor is
+    * replay-IDEMPOTENT: re-delivered micro-batches (at-least-once
+    * sources, checkpoint recovery, crawler re-fetches) cannot move the
+    * estimate, so no exactly-once sink is required downstream.
+    * Emits one updated (source, sketch_n, kmv_est) row per source per
+    * trigger (Update mode). */
+  def distinctMonitor(docs: DataFrame, n: Int = 3, k: Int = 256)
+      : org.apache.spark.sql.Dataset[SourceDistinctEstimate] = {
+    import docs.sparkSession.implicits._
+    val agg = new graft.functions.KmvSketchAgg[Long](k, identity)
+    docs
+      .select(col("source"),
+        explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .select(col("source"),
+        conv(substring(md5(col("shingle")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], SourceDistinctEstimate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, r) => agg.reduce(b, r._2)
+          }
+          state.update(next)
+          SourceDistinctEstimate(source, next.length.toLong,
+            graft.functions.KmvSketchAgg.estimate(next, k))
+      }
   }
 
   /** Within-stream exact dedup: drop documents whose content hash was

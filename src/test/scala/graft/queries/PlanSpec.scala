@@ -352,6 +352,34 @@ class PlanSpec extends SparkSpec {
     assert(emptyPartitionWindows("q120_ivfpq_append_md5").isEmpty)
   }
 
+  test("q121 KMV sketch: map-side partial sketch aggregation, strings stay off the shuffle") {
+    val p = plan("q121_kmv_distinct")
+    // the typed Aggregator must partial-aggregate before the Exchange —
+    // the property that keeps per-group shuffle state at k longs
+    assert(p.contains("partial_kmvsketchagg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // only the hashed shingle (a long) and the group key reach any
+    // Exchange; the shingle strings are consumed map-side
+    assert(!"Exchange hashpartitioning\\([^)]*shingle".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+  }
+
+  test("q122 containment: inverted-index equi-join candidates, never a nested-loop cross join") {
+    val p = plan("q122_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side df/intersection counts
+  }
+
+  test("q123 asset fingerprints: pruned pushed scan, bytes never ride the Exchange") {
+    val p = plan("q123_asset_fingerprint")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]"), p)
+    assert(p.contains("partial_min"), p)
+    // the group-by Exchange carries (fp_kind, fingerprint, path) only —
+    // the binary content column is consumed inside the fingerprint map
+    assert(!"Exchange hashpartitioning\\([^)]*content".r.findFirstIn(p).isDefined, p)
+  }
+
   test("as-of join timeBucket skew path: row window partitions on (key, bucket), cross-bucket carry ranks buckets") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)

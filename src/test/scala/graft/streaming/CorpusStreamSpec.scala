@@ -174,4 +174,49 @@ class CorpusStreamSpec extends SparkSpec {
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
     }
   }
+
+  test("distinctMonitor: streaming sketch equals the batch sketch; replays can't move it") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // the batch-side twin computed driver-side with the SAME pure
+    // reduce: distinct 3-shingles -> md5-derived 48-bit hash -> bottom-k
+    def md5h48(s: String): Long =
+      java.lang.Long.parseUnsignedLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    def shingles(text: String): Seq[String] =
+      text.trim.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+    val agg = new graft.functions.KmvSketchAgg[Long](k, identity)
+    def batchEstimate(texts: Seq[String]): Double =
+      graft.functions.KmvSketchAgg.estimate(
+        texts.flatMap(shingles).map(md5h48).foldLeft(agg.zero)(agg.reduce), k)
+
+    val textsA = (1 to 5).map(i => (0 until 30).map(j => s"a${i}w$j").mkString(" "))
+    val textsB = Seq((0 until 10).map(j => s"bw$j").mkString(" ")) // < k shingles: exact
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.distinctMonitor(src.toDF(), n = 3, k = k).writeStream
+      .format("memory").queryName("kmv_monitor").outputMode("update").start()
+    try {
+      // batch 1: part of A + all of B; batch 2: rest of A plus an EXACT
+      // REPLAY of batch 1's first doc (at-least-once delivery)
+      src.addData(doc(1, t(1), textsA(0), "srcA"), doc(2, t(1), textsA(1), "srcA"),
+        doc(3, t(1), textsB(0), "srcB"))
+      q.processAllAvailable()
+      src.addData(doc(4, t(2), textsA(2), "srcA"), doc(5, t(2), textsA(3), "srcA"),
+        doc(6, t(2), textsA(4), "srcA"),
+        doc(1, t(2), textsA(0), "srcA"), // replayed duplicate
+        doc(3, t(2), textsB(0), "srcB")) // replayed duplicate
+      q.processAllAvailable()
+      val finals = spark.table("kmv_monitor")
+        .groupBy("source").agg(max(struct(col("sketch_n"), col("kmv_est"))).as("s"))
+        .select(col("source"), col("s.kmv_est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // streaming-final == batch twin over the logical (non-replayed) input
+      assert(finals("srcA") === batchEstimate(textsA))
+      assert(finals("srcB") === batchEstimate(textsB))
+      // srcB never filled the sketch: the estimate is the exact count
+      assert(finals("srcB") === shingles(textsB(0)).size.toDouble)
+    } finally q.stop()
+  }
 }
