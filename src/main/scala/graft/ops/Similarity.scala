@@ -713,6 +713,54 @@ object Similarity {
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(n)
 
+  /** Full deterministic Lloyd k-means: md5 seeds → `rounds` ×
+    * (assign → quantized-mean update) → final assignment. The oracle
+    * twin of [[ivfCentroids]]' training loop (whose xxhash seeds and
+    * raw-float means are Spark-only): every decision an engine could
+    * diverge on is pinned —
+    *   - assignment argmax runs on the 4dp-ROUNDED cosine with id
+    *     tiebreaks ([[assignCellsRounded]], q96's proven metric);
+    *   - the centroid update is the q99/q102 INTEGER discipline applied
+    *     to the mean: each member coordinate quantizes to a ×10⁴ BIGINT,
+    *     the per-cell sum is exact integer arithmetic (order-independent
+    *     where a float sum is not), and the mean is one double division
+    *     — then cast to FLOAT (IEEE round-to-nearest, identical in any
+    *     engine) because vectors are float-typed corpus-wide;
+    *   - an emptied cell vanishes from the update exactly as a SQL
+    *     GROUP BY drops it.
+    * Scale: per round, one broadcast-pack assignment projection (zero
+    * corpus Exchange, [[assignCellsRounded]]) + one (cell, pos)-grain
+    * aggregate — cluster-count-sized state, map-side partials; the
+    * corpus vectors never shuffle. Output: (neighbor_id, centroid_id)
+    * under the final centroids. */
+  def kmeansDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+                          n: Int, rounds: Int = 1): DataFrame = {
+    val emb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val finalCents = (1 to rounds).foldLeft(
+        md5SeededCentroids(corpus, idCol, vecCol, n)) {
+      (cents, _) => roundedLloydUpdate(emb, cents)
+    }
+    assignCellsRounded(emb, "neighbor_id", "cv", finalCents)
+      .select(col("neighbor_id"), col("centroid_id"))
+  }
+
+  /** One quantized-mean Lloyd update under the rounded metric (the
+    * deterministic twin of [[lloydStep]]): assign members, then per
+    * (cell, pos) sum ×10⁴-quantized coordinates exactly and divide
+    * once. Rebuilds `centv` in position order as a float array. */
+  private def roundedLloydUpdate(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsRounded(emb, "neighbor_id", "cv", cents)
+      .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos")
+      .agg(sum(round(col("v").cast("double") * 10000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("centroid_id")
+      .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s") / (lit(10000.0) * col("n"))).as("m")))),
+          x => x.getField("m"))
+        .cast("array<float>").as("centv"))
+
   /** Per-centroid (negated-rounded-cosine, centroid_id) structs — the
     * CROSS-ENGINE-DETERMINISTIC scoring [[assignCellsRounded]],
     * [[semDedup]] and [[ivfTopKDeterministic]] share: rounding to 4dp

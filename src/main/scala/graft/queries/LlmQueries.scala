@@ -2583,7 +2583,47 @@ object LlmQueries {
       },
       Some("""SELECT 'md5' AS fp_kind, md5(text) AS fingerprint,
              |min(cast(doc_id AS VARCHAR)) AS keep_path, count(*) AS n_dupes
-             |FROM documents WHERE n_chars > 0 GROUP BY md5(text)""".stripMargin))
+             |FROM documents WHERE n_chars > 0 GROUP BY md5(text)""".stripMargin)),
+
+    // Full Lloyd k-means, iteration INCLUDED, under one DuckDB oracle:
+    // md5 seeds → assign → quantized-integer-mean centroid update →
+    // reassign. q88 pinned the centroid-mean step and q96 the rounded
+    // assignment; this pins their composition — the training loop
+    // itself — so even iterative clustering is hash-verifiable (more
+    // rounds = repeat the x/m/cent CTE block). The update mean is exact
+    // integer arithmetic (×10⁴ BIGINT sums, one division, float cast),
+    // so round-2 centroids are bit-identical cross-engine and the
+    // reassignment argmax cannot diverge.
+    Q("q124_kmeans_rounds",
+      (s, d) => Similarity.kmeansDeterministic(
+          Tables.embeddings(s, d), "vec_id", "embedding", n = 8, rounds = 1)
+        .select(col("neighbor_id").as("vec_id"), col("centroid_id")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |s0 AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent0 c),
+             |a0 AS (SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM s0) WHERE rn = 1),
+             |x1 AS (SELECT a0.cid, unnest(e.v) AS v,
+             |    unnest(range(len(e.v))) AS pos
+             |  FROM a0 JOIN e ON e.vec_id = a0.vec_id),
+             |m1 AS (SELECT cid, pos, sum(cast(round(v * 10000) AS BIGINT)) AS s,
+             |    count(*) AS n FROM x1 GROUP BY 1, 2),
+             |cent1 AS (SELECT cid, list(cast(cast(s / (10000.0 * n) AS REAL)
+             |    AS DOUBLE) ORDER BY pos) AS cv FROM m1 GROUP BY 1),
+             |s1 AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent1 c)
+             |SELECT vec_id, cid AS centroid_id FROM (
+             |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY cs DESC, cid) AS rn FROM s1) WHERE rn = 1""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

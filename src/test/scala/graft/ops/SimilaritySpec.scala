@@ -305,4 +305,30 @@ class SimilaritySpec extends SparkSpec {
     assert(exactDropped > 0, "fixture lost its θ=0.35 pairs")
     assert(semDropped > 0, "semDedup collapsed nothing — cells too fine")
   }
+
+  test("kmeansDeterministic: assignment total+unique, groups separate after the update round") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    // seed choice is the md5-smallest 2 ids — computed here so the
+    // fixture can put one seed in each direction group regardless of
+    // which ids md5 happens to favor
+    val ids = (1L to 6L).toSeq
+    val order = ids.sortBy(i => (md5hex(i.toString), i))
+    val (seedA, seedB) = (order(0), order(1))
+    val groupA = Seq(seedA) ++ order.drop(2).take(2) // direction ~(1, 0)
+    val groupB = Seq(seedB) ++ order.drop(4)         // direction ~(0, 1)
+    val vecs =
+      groupA.zip(Seq(Seq(1.0f, 0.0f), Seq(0.9f, 0.1f), Seq(0.8f, 0.2f))) ++
+      groupB.zip(Seq(Seq(0.0f, 1.0f), Seq(0.1f, 0.9f), Seq(0.2f, 0.8f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansDeterministic(df, "vec_id", "embedding",
+        n = 2, rounds = 1)
+      .as[(Long, Long)].collect()
+    assert(out.length === ids.length)          // one assignment per vector
+    val m = out.toMap
+    assert(m.keySet === ids.toSet)
+    groupA.foreach(i => assert(m(i) === seedA, s"vec $i: ${m(i)} != $seedA"))
+    groupB.foreach(i => assert(m(i) === seedB, s"vec $i: ${m(i)} != $seedB"))
+  }
 }

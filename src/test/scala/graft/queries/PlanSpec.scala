@@ -380,6 +380,16 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\([^)]*content".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q124 kmeans rounds: corpus vectors never shuffle — only (cell, pos) and cell aggregates Exchange") {
+    val p = plan("q124_kmeans_rounds")
+    // assignment is the q92 broadcast-pack projection; the update
+    // aggregates at (centroid_id, pos) then (centroid_id) grain — no
+    // Exchange may carry the corpus vector column itself
+    assert(!"Exchange hashpartitioning\\([^)]*\\bcv#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_sum"), p) // map-side quantized mean partials
+    assert(emptyPartitionWindows("q124_kmeans_rounds").isEmpty)
+  }
+
   test("as-of join timeBucket skew path: row window partitions on (key, bucket), cross-bucket carry ranks buckets") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
