@@ -1018,6 +1018,74 @@ object Dedup {
         size(col("__keep")).cast("long").as("n_kept"))
   }
 
+  /** Cross-document boilerplate STRIP — the df-threshold twin of
+    * [[dropRepeatedPassages]], and a genuinely different policy:
+    * keep-first passage dedup preserves ONE copy of every repeated
+    * chunk (the repetition is assumed to be content someone copied);
+    * this operator drops EVERY occurrence of any chunk whose document
+    * frequency exceeds `maxDf` — the CCNet/RefinedWeb "remove lines
+    * duplicated across shards" rule, where a navigation menu, cookie
+    * banner, or license header is junk in ALL the documents that carry
+    * it, including the first. Documents are split into consecutive
+    * `chunkTokens`-token chunks (the line proxy for a corpus whose
+    * texts carry no newlines), chunk df is counted across the corpus,
+    * chunks with df > maxDf vanish everywhere, and each document is
+    * rebuilt from its surviving chunks in order. A document that was
+    * pure boilerplate survives as an empty rewrite (n_kept = 0) rather
+    * than disappearing — the caller decides whether to gate it out.
+    *
+    * Output: (id, n_tokens, n_kept, clean_md5) — the rewrite is
+    * emitted as its md5 so the driver hash-compare never ships
+    * reconstructed text; callers wanting the text use the same rebuild
+    * expression on `__keep`.
+    *
+    * Shuffle discipline (the file's id-only rule): the df count groups
+    * md5 fingerprints — (fp, id) pairs ride the Exchange, never chunk
+    * text (md5, not a 64-bit hash: at corpus scale a birthday collision
+    * on 64 bits would silently delete a unique passage as "frequent").
+    * The high-df fingerprint set is the SMALL side (df > maxDf chunks
+    * are rare by construction) and broadcasts into an anti-join; the
+    * surviving positions collapse to one sorted array per doc (id-only
+    * shuffle) and the rebuild is an array expression over the staged
+    * tokenization joined back by id — the only text-carrying join,
+    * same as [[dropRepeatedPassages]]. */
+  def stripFrequentChunks(idCol: String, textCol: String,
+                          chunkTokens: Int = 8, maxDf: Int = 1,
+                          tokensCol: Option[String] = None)
+                         (docs: DataFrame): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val cw = chunkTokens
+    def chunkAt(w: Column, p: Column): Column =
+      array_join(slice(w, (p * cw + 1).cast("int"), lit(cw)), " ")
+    val toks = Staged.stage(docs
+      .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .withColumn("__nc", ceil(size(col("__w")) / lit(cw.toDouble)).cast("long")))
+    val occ = Staged.stage(toks.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), col("__nc") - 1),
+          i => md5(chunkAt(col("__w"), i)))))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp")))
+    // a doc repeating a chunk internally counts once toward its df —
+    // "frequent" means frequent ACROSS documents, like line-dedup
+    val frequent = occ.groupBy("__fp")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__fp")
+    val keptPos = occ.join(broadcast(frequent), Seq("__fp"), "left_anti")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    toks.join(keptPos, Seq(idCol), "left_outer")
+      .withColumn("__k", coalesce(col("__keep"), array().cast("array<bigint>")))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        aggregate(col("__k"), lit(0L),
+          (acc, p) => acc + least(lit(cw.toLong), size(col("__w")) - p * cw))
+          .as("n_kept"),
+        md5(array_join(transform(col("__k"), p => chunkAt(col("__w"), p)), " "))
+          .as("clean_md5"))
+  }
+
   /** [[duplicateClusters]]' web-scale twin: alternating large-star /
     * small-star edge contraction (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SOCC'14) — the formulation SCALE.md

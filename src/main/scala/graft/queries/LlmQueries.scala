@@ -2623,7 +2623,39 @@ object LlmQueries {
              |  FROM e CROSS JOIN cent1 c)
              |SELECT vec_id, cid AS centroid_id FROM (
              |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-             |    ORDER BY cs DESC, cid) AS rn FROM s1) WHERE rn = 1""".stripMargin))
+             |    ORDER BY cs DESC, cid) AS rn FROM s1) WHERE rn = 1""".stripMargin)),
+
+    // Cross-document boilerplate STRIP (CCNet/RefinedWeb line-dedup
+    // rule): drop EVERY occurrence of any 8-token chunk appearing in
+    // more than maxDf=1 documents — a different policy from q72's
+    // keep-first passage dedup, which preserves one copy (menus and
+    // license headers are junk in ALL their carriers, including the
+    // first). Rewrites the corpus: per doc, token counts before/after
+    // plus the md5 of the rebuilt text, so the oracle hash-checks the
+    // reconstruction itself without shipping rewritten text.
+    Q("q125_boilerplate_strip",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.stripFrequentChunks("doc_id", "text", 8, 1)),
+      Some("""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |cs AS (SELECT doc_id, w,
+             |    list_transform(range(cast(ceil(len(w)/8.0) AS BIGINT)),
+             |      i -> struct_pack(i := i,
+             |        c := array_to_string(w[i*8+1:i*8+8], ' '))) AS chunks
+             |  FROM docs),
+             |ch AS (SELECT doc_id, u.i AS idx, u.c AS chunk
+             |  FROM (SELECT doc_id, unnest(chunks) AS u FROM cs)),
+             |freq AS (SELECT chunk FROM (SELECT chunk,
+             |    count(DISTINCT doc_id) AS df FROM ch GROUP BY 1) WHERE df > 1),
+             |keep AS (SELECT doc_id, idx, chunk FROM ch
+             |  WHERE chunk NOT IN (SELECT chunk FROM freq))
+             |SELECT d.doc_id, cast(len(d.w) AS BIGINT) AS n_tokens,
+             |  cast(coalesce(sum(len(string_split_regex(k.chunk, '\s+'))), 0)
+             |    AS BIGINT) AS n_kept,
+             |  md5(coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), ''))
+             |    AS clean_md5
+             |FROM docs d LEFT JOIN keep k USING (doc_id)
+             |GROUP BY d.doc_id, len(d.w)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

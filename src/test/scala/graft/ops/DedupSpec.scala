@@ -587,4 +587,59 @@ class DedupSpec extends SparkSpec {
         threshold = 0.0, maxDf = 2L)(fixture).count() === 0)
     }
   }
+
+  test("stripFrequentChunks: drops ALL copies of a frequent chunk (keep-first keeps one), intra-doc repeats don't count toward df, pure boilerplate survives empty") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val banner = toks("nav", 8)                       // one full 8-token chunk
+    val docs = Seq(
+      (1L, banner + " " + toks("x", 8)),              // banner + unique
+      (2L, banner + " " + toks("y", 8)),              // banner + unique
+      (3L, banner),                                   // pure boilerplate
+      (4L, toks("c", 8) + " " + toks("c", 8)),        // intra-doc repeat: df = 1 → kept
+      (5L, toks("d", 11))                             // 8-chunk + 3-token tail, unique
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.stripFrequentChunks("doc_id", "text", 8, 1))
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    }
+    // df(banner) = 3 > 1 → dropped from docs 1, 2 AND 3 (no surviving copy
+    // anywhere — the policy difference from dropRepeatedPassages)
+    assert(out(1L) === ((16L, 8L, md5hex(toks("x", 8)))))
+    assert(out(2L) === ((16L, 8L, md5hex(toks("y", 8)))))
+    assert(out(3L) === ((8L, 0L, md5hex(""))))        // row survives, rewrite empty
+    // intra-doc repetition is one doc: not frequent, both copies stay
+    assert(out(4L) === ((16L, 16L, md5hex(toks("c", 8) + " " + toks("c", 8)))))
+    // tail chunk shorter than chunkTokens counts its real token length
+    assert(out(5L) === ((11L, 11L, md5hex(toks("d", 8) + " " + (9 to 11).map(i => s"d$i").mkString(" ")))))
+    // contrast: keep-first passage dedup PRESERVES the banner's first copy
+    val keepFirst = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.dropRepeatedPassages("doc_id", "text", 8))
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    }
+    assert(keepFirst(1L).startsWith(banner))
+  }
+
+  test("stripFrequentChunks: maxDf threshold gates the drop; chunk identity is position-independent") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val footer = toks("f", 8)
+    val docs = Seq(
+      (1L, footer + " " + toks("a", 8)),
+      (2L, toks("b", 8) + " " + footer)               // footer at a DIFFERENT chunk slot
+    ).toDF("doc_id", "text")
+    // df(footer) = 2 (aligned in both docs) — at maxDf = 2 nothing drops
+    val lax = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.stripFrequentChunks("doc_id", "text", 8, 2))
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    }
+    assert(lax === Map(1L -> 16L, 2L -> 16L))
+    // at maxDf = 1 the footer drops from BOTH positions
+    val strict = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.stripFrequentChunks("doc_id", "text", 8, 1))
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    }
+    assert(strict === Map(1L -> 8L, 2L -> 8L))
+  }
 }
