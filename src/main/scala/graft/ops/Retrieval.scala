@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.functions.Num
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus — the BM25 ranking function
+  * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+  * BM25 and Beyond") as a Spark plan. A training-data build uses this
+  * constantly: "pull the documents about X" for curation audits, topic
+  * filters, and retrieval-augmented eval-set construction, where the
+  * embedding ANN family ([[Similarity]]) needs a vector and this needs
+  * only words.
+  *
+  * Plan shape (the inverted-index discipline): the corpus is tokenized
+  * once; only tokens matching the query terms survive the map side, so
+  * the (doc, term) Exchange carries query-term postings — the inverted
+  * index restricted to the query — never the corpus vocabulary. The
+  * per-term df/idf table is #terms rows and broadcasts back onto the
+  * postings; the corpus-wide (N, avgdl) pair is one row and rides a
+  * broadcast crossJoin. Nothing in the plan scales with vocabulary
+  * size, and the final cut is a TakeOrderedAndProject, not a global
+  * sort.
+  *
+  * Cross-engine determinism (the q99/q102 quantization discipline):
+  * idf = ln((N − df + 0.5)/(df + 0.5) + 1) is quantized to a ×10⁴
+  * BIGINT (ln differs by ulps across engines); the per-term partial
+  * score idf_q · tf·(k1+1)/(tf + k1·(1−b) + k1·b·dl/avgdl) is rounded
+  * to a BIGINT before the per-doc sum, so the sum is order-free integer
+  * arithmetic and one final division emits the double. avgdl is an
+  * integer-sum / integer-count division — bit-identical cross-engine.
+  */
+object Retrieval {
+
+  /** Top-`k` documents for a bag-of-words query under BM25.
+    * Output: (id, matched = #query terms present, score = 4dp BM25). */
+  def bm25TopK(idCol: String, textCol: String, terms: Seq[String],
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75)
+              (docs: DataFrame): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive: $k")
+    // staged: both the corpus-stats aggregate and the postings explode
+    // consume the tokenization — unstaged, the corpus tokenizes twice
+    val toked = Staged.stage(docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .withColumn("__dl", size(col("__w")).cast("long")))
+    // one row: corpus size + total tokens (exact integer sums → avgdl
+    // is the same double in any engine)
+    val corpus = toked.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+    // query-term postings: the filter rides the explode map-side, so
+    // the Exchange is the query's inverted-index slice
+    val tf = toked
+      .select(col(idCol), col("__dl"), explode(col("__w")).as("__term"))
+      .filter(col("__term").isin(terms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val idf = tf.groupBy("__term")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(corpus))
+      .select(col("__term"),
+        round(log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+          * 10000).cast("long").as("__idfq"),
+        (col("__t").cast("double") / col("__n")).as("__avgdl"))
+    tf.join(broadcast(idf), Seq("__term"))
+      .select(col(idCol),
+        col("__term"),
+        // per-term partial quantized to an integer BEFORE the per-doc
+        // sum — addition order cannot move the result
+        round(col("__idfq") *
+          ((col("__tf") * (k1 + 1.0)) /
+            (col("__tf") + lit(k1 * (1.0 - b)) +
+              lit(k1 * b) * col("__dl") / col("__avgdl"))))
+          .cast("long").as("__sq"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched"), sum(col("__sq")).as("__s"))
+      .select(col(idCol), col("matched"),
+        Num.round4(col("__s") / 10000.0).as("score"), col("__s"))
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(k)
+      .drop("__s")
+  }
+}

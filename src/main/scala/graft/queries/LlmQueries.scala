@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, IncrementalDedup, Sampling, Similarity}
+import graft.ops.{Dedup, IncrementalDedup, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2655,7 +2655,44 @@ object LlmQueries {
              |  md5(coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), ''))
              |    AS clean_md5
              |FROM docs d LEFT JOIN keep k USING (doc_id)
-             |GROUP BY d.doc_id, len(d.w)""".stripMargin))
+             |GROUP BY d.doc_id, len(d.w)""".stripMargin)),
+
+    // BM25 keyword retrieval (Robertson & Zaragoza 2009): top-20 docs
+    // for a 3-term bag-of-words query — the words-only retrieval twin
+    // of the ANN family, used for curation audits and topic pulls.
+    // idf is ln-quantized to ×10⁴ BIGINTs and each per-term partial
+    // score is rounded to an integer before the per-doc sum (order-free
+    // addition); ordering is on the exact integer sum + doc_id. The
+    // oracle writes the k1/b coefficient arithmetic as EXPRESSIONS
+    // (1.2+1.0, 1.2*(1-0.75), 1.2*0.75), not decimal literals — DuckDB
+    // folds them through the same IEEE ops as the JVM, where the
+    // pre-folded literal 0.9 is 1 ulp away from 1.2*0.75.
+    Q("q126_bm25_topk",
+      (s, d) => Tables.documents(s, d)
+        .transform(Retrieval.bm25TopK("doc_id", "text",
+          Seq("spark", "join", "window"), 20)),
+      Some("""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |dl AS (SELECT doc_id, w, cast(len(w) AS BIGINT) AS dl FROM docs),
+             |corpus AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+             |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+             |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+             |idf AS (SELECT term,
+             |    cast(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 10000)
+             |      AS BIGINT) AS idfq,
+             |    t * 1.0 / n AS avgdl
+             |  FROM (SELECT term, count(DISTINCT doc_id) AS df
+             |        FROM tf GROUP BY 1), corpus),
+             |scored AS (SELECT tf.doc_id,
+             |    cast(round(idf.idfq * ((tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1 - 0.75) + (1.2 * 0.75) * tf.dl / idf.avgdl)))
+             |      AS BIGINT) AS sq
+             |  FROM tf JOIN idf USING (term))
+             |SELECT doc_id, cast(count(*) AS BIGINT) AS matched,
+             |  round(sum(sq) / 10000.0, 4) + 0.0 AS score
+             |FROM scored GROUP BY doc_id
+             |ORDER BY sum(sq) DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filler(n: Int) = (1 to n).map(i => s"pad$i").mkString(" ")
+
+  test("bm25TopK: tf monotonicity, length normalization, and zero-match exclusion") {
+    val docs = Seq(
+      (1L, "cat " + filler(20)),                       // tf=1, long
+      (2L, "cat cat " + filler(20)),                   // tf=2, same length → above doc 1
+      (3L, "cat " + filler(5)),                        // tf=1, short → above doc 1
+      (4L, filler(10))                                 // no match → excluded
+    ).toDF("doc_id", "text")
+    val out = docs.transform(Retrieval.bm25TopK("doc_id", "text", Seq("cat"), 10))
+      .as[(Long, Long, Double)].collect()
+    val order = out.map(_._1).toSeq
+    assert(!order.contains(4L), "zero-match doc must not appear")
+    assert(order.indexOf(2L) < order.indexOf(1L), "higher tf must outrank at equal length")
+    assert(order.indexOf(3L) < order.indexOf(1L), "shorter doc must outrank at equal tf")
+    assert(out.forall(_._2 === 1L))
+  }
+
+  test("bm25TopK: a rare term outweighs a corpus-saturating term (idf)") {
+    // 'common' appears in every doc; 'rare' in one — at tf=1 each, the
+    // rare-term doc must rank above a common-term-only doc
+    val docs = (1L to 9L).map(i => (i, "common " + filler(10))) :+
+      (10L, "rare " + filler(10))
+    val out = docs.toDF("doc_id", "text")
+      .transform(Retrieval.bm25TopK("doc_id", "text", Seq("common", "rare"), 10))
+      .as[(Long, Long, Double)].collect()
+    assert(out.head._1 === 10L, s"rare-term doc must rank first, got ${out.toSeq}")
+  }
+
+  test("bm25TopK: matched counts distinct query terms; k cuts after the integer-score order") {
+    val docs = Seq(
+      (1L, "alpha beta " + filler(8)),                 // matches both terms
+      (2L, "alpha " + filler(9)),                      // one term
+      (3L, "beta " + filler(9)),
+      (4L, "alpha alpha " + filler(8))
+    ).toDF("doc_id", "text")
+    val all = docs.transform(Retrieval.bm25TopK("doc_id", "text", Seq("alpha", "beta"), 10))
+      .as[(Long, Long, Double)].collect()
+    assert(all.find(_._1 == 1L).get._2 === 2L)
+    assert(all.find(_._1 == 2L).get._2 === 1L)
+    assert(all.head._1 === 1L, "two distinct matched terms outrank a repeat of one")
+    val top1 = docs.transform(Retrieval.bm25TopK("doc_id", "text", Seq("alpha", "beta"), 1))
+      .as[(Long, Long, Double)].collect()
+    assert(top1.map(_._1).toSeq === Seq(all.head._1), "k=1 keeps exactly the global head")
+  }
+
+  test("bm25TopK: partition-invariant (quantized integer partials make the sum order-free)") {
+    val docs = (1L to 40L).map(i =>
+      (i, ("term " * (i % 4 + 1).toInt) + filler((i % 7).toInt + 3))).toDF("doc_id", "text")
+    val a = docs.coalesce(1)
+      .transform(Retrieval.bm25TopK("doc_id", "text", Seq("term"), 15))
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = docs.repartition(7)
+      .transform(Retrieval.bm25TopK("doc_id", "text", Seq("term"), 15))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+}
