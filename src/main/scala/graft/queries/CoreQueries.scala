@@ -758,6 +758,57 @@ object CoreQueries {
              |  WHERE line LIKE '%--->%' OR line LIKE '%Sucesso%'
              |     OR line LIKE '%Incorreto%')
              |SELECT * FROM looms UNION ALL SELECT * FROM m2
-             |UNION ALL SELECT * FROM st""".stripMargin))
+             |UNION ALL SELECT * FROM st""".stripMargin)),
+
+    // Q127 — ordered conversion funnel with a 24h per-step window over
+    // the event stream (the sequence-analytics sibling of q42's
+    // sessionization; reference analog: the loom stop-history event
+    // stream). One user-keyed Exchange, chained per-step Windows on
+    // that partitioning, #steps output rows from one stack generator.
+    // The 24h window is what makes the funnel discriminate — unwindowed,
+    // a month of events saturates every step for every user.
+    Q("q127_event_funnel",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.funnel("user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinUs = Some(86400000000L))),
+      Some("""WITH u AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+             |  FROM events GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+             |  JOIN u ON e.user_id = u.user_id
+             |  WHERE u.t1 IS NOT NULL AND e.event_type = 'click'
+             |    AND epoch_us(e.ts) > u.t1
+             |    AND epoch_us(e.ts) - u.t1 <= 86400000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+             |    AND epoch_us(e.ts) - s2.t2 <= 86400000000 GROUP BY 1),
+             |c AS (SELECT (SELECT count(*) FROM u WHERE t1 IS NOT NULL) AS c1,
+             |  (SELECT count(*) FROM s2) AS c2, (SELECT count(*) FROM s3) AS c3)
+             |SELECT 1::BIGINT AS step, 'view' AS event_type, c1 AS n_users,
+             |  round(c1*1.0/c1, 4) + 0.0 AS pct_of_first FROM c
+             |UNION ALL SELECT 2, 'click', c2, round(c2*1.0/c1, 4) + 0.0 FROM c
+             |UNION ALL SELECT 3, 'purchase', c3, round(c3*1.0/c1, 4) + 0.0 FROM c"""
+        .stripMargin)),
+
+    // Q128 — cohort retention matrix: users cohorted by first-ever
+    // event day, distinct-active counts per (cohort, day offset),
+    // retention vs the cohort's own size. Day keys are epoch-day longs
+    // (representation-independent); the per-cohort normalizer is a
+    // window over the tiny days×days matrix, never the event table.
+    Q("q128_cohort_retention",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.cohortRetention("user_id", "ts")),
+      Some("""WITH d AS (SELECT user_id,
+             |    date_diff('day', DATE '1970-01-01', ts::DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS c FROM d GROUP BY 1),
+             |m AS (SELECT f.c AS cohort_d, d.d - f.c AS offset_d,
+             |    count(DISTINCT d.user_id) AS n_active
+             |  FROM d JOIN f USING (user_id) GROUP BY 1, 2)
+             |SELECT cast(cohort_d AS BIGINT) AS cohort_d,
+             |  cast(offset_d AS BIGINT) AS offset_d, n_active,
+             |  round(n_active*1.0 / max(CASE WHEN offset_d = 0 THEN n_active END)
+             |    OVER (PARTITION BY cohort_d), 4) + 0.0 AS retention
+             |FROM m""".stripMargin))
   )
 }
