@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, IncrementalDedup, Retrieval, Sampling, Similarity}
+import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2692,7 +2692,37 @@ object LlmQueries {
              |SELECT doc_id, cast(count(*) AS BIGINT) AS matched,
              |  round(sum(sq) / 10000.0, 4) + 0.0 AS score
              |FROM scored GROUP BY doc_id
-             |ORDER BY sum(sq) DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY sum(sq) DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // PMI collocations (Church & Hanks 1990): top adjacent-pair
+    // associations — the phrase detector a vocab-curation pass runs
+    // before deciding which multi-word units deserve tokenizer merges.
+    // PMI ratio in pinned operand order from exact integer counts, ln
+    // quantized to ×10⁴ BIGINTs, ordering on (pmi_q, w1, w2) — the
+    // q118/q126 determinism discipline.
+    Q("q129_pmi_collocations",
+      (s, d) => Tables.documents(s, d)
+        .transform(Collocations.pmiTopK("text", 50, 5L)),
+      Some("""WITH docs AS (SELECT string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |totals AS (SELECT cast(sum(len(w)) AS DOUBLE) AS n1,
+             |    cast(sum(len(w) - 1) AS DOUBLE) AS n2 FROM docs),
+             |uni AS (SELECT t, count(*) AS c FROM (
+             |    SELECT unnest(w) AS t FROM docs) GROUP BY 1),
+             |bs AS (SELECT list_transform(range(len(w) - 1),
+             |    i -> struct_pack(a := w[i+1], b := w[i+2])) AS ps FROM docs),
+             |pairs AS (SELECT w1, w2, count(*) AS n_pair FROM (
+             |    SELECT u.a AS w1, u.b AS w2 FROM (
+             |      SELECT unnest(ps) AS u FROM bs)) GROUP BY 1, 2
+             |  HAVING count(*) >= 5),
+             |scored AS (SELECT w1, w2, n_pair,
+             |    cast(round(ln((n_pair * n1 * n1) /
+             |      ((cx.c * 1.0) * cy.c * n2)) * 10000) AS BIGINT) AS pmiq
+             |  FROM pairs
+             |  JOIN uni cx ON cx.t = pairs.w1
+             |  JOIN uni cy ON cy.t = pairs.w2, totals)
+             |SELECT w1, w2, n_pair, round(pmiq / 10000.0, 4) + 0.0 AS pmi
+             |FROM scored ORDER BY pmiq DESC, w1, w2 LIMIT 50""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
