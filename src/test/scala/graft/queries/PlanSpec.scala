@@ -410,4 +410,50 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q125 boilerplate strip: frequent-fp set broadcasts into an anti-join; chunk text never rides an Exchange") {
+    val p = plan("q125_boilerplate_strip")
+    // df filter → broadcast anti probe, not a shuffled anti join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // Exchanges carry md5 fingerprints / ids — never the token array
+    assert(!"Exchange hashpartitioning\\([^)]*__w#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q126 bm25: TakeOrderedAndProject cut, idf broadcast onto postings, corpus stats one-row broadcast") {
+    val p = plan("q126_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q127 funnel: one user-keyed Exchange feeds the chained step windows; no self-join of the event table") {
+    val p = plan("q127_event_funnel")
+    // the three per-step first-reach windows share the user partitioning:
+    // exactly one user_id hash Exchange in the plan
+    assert("Exchange hashpartitioning\\(user_id#".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q127_event_funnel").isEmpty)
+  }
+
+  test("q128 cohort retention: per-cohort normalizer windows the matrix, not the event table") {
+    val p = plan("q128_cohort_retention")
+    // event-table shuffles: user window + (cohort, offset) distinct-agg;
+    // the retention window then partitions by cohort_d over matrix rows
+    assert(p.contains("windowspecdefinition(cohort_d"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q128_cohort_retention").isEmpty)
+  }
+
+  test("q129 pmi: minCount filters before the unigram joins, TakeOrderedAndProject cut, totals broadcast") {
+    val p = plan("q129_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the n_pair >= minCount gate must sit below the joins (on the
+    // aggregated bigram table), not above them
+    val gateIdx = p.indexOf("(n_pair")
+    assert(gateIdx >= 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
