@@ -23,6 +23,15 @@ case class ClosedSession(user_id: Long, session_start_us: Long,
                          session_end_us: Long, n_events: Long,
                          total_value: Double)
 
+/** Keyed state for [[EventStream.funnelMonitor]]: per funnel step, the
+  * sorted DISTINCT event-time µs at which the user fired that step. */
+case class FunnelTimes(times: Seq[Seq[Long]])
+
+/** One updated reading from [[EventStream.funnelMonitor]]: the deepest
+  * funnel prefix the user has completed so far and each completed
+  * step's first-reach time (µs, recomputed under the batch DP). */
+case class FunnelProgress(user_id: Long, stage: Long, reached_us: Seq[Long])
+
 /** Structured Streaming ingestion for the `events` table shape
   * (SURVEY §2.10). The reference's only quasi-streaming behavior is
   * GUI-triggered batch polling (reference src/main_01.py:111-126,
@@ -181,6 +190,81 @@ object EventStream {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Live funnel monitor — the streaming twin of q127
+    * ([[graft.ops.EventAnalytics.funnel]]): per-user deepest completed
+    * funnel prefix, updated every micro-batch.
+    *
+    * Design for PROVABLE streaming ≡ batch (the
+    * [[CorpusStream.distinctMonitor]] contract): the state is not the
+    * funnel result but a sufficient statistic — per step, the sorted
+    * distinct µs timestamps of that user's step events — and the funnel
+    * DP (first-reach chain with the conversion window) is recomputed
+    * from it on every update. That buys two properties a fold over the
+    * incremental result cannot give:
+    *   - ORDER-INSENSITIVITY: a view arriving after the click it
+    *     enables (cross-batch, out of event-time order) still produces
+    *     the batch answer, because the DP re-runs over the merged
+    *     timestamp sets — an incremental fold would have discarded the
+    *     click forever. After any delivered prefix, the emitted reading
+    *     equals [[graft.ops.EventAnalytics.funnel]] on exactly those
+    *     events, whatever the arrival order.
+    *   - REPLAY IDEMPOTENCE: timestamps merge as SETS, so an
+    *     at-least-once redelivery inserts nothing and provably cannot
+    *     move any reading.
+    *
+    * State per user is O(distinct step-event times) — bounded by the
+    * user's own funnel-step activity, never the stream; non-step events
+    * are filtered map-side and never reach state. Production pairs this
+    * with a timeout/retention policy per the [[userRunningState]] note;
+    * the DP itself is O(total kept times) per update via one merged
+    * pass (the arrays are sorted). */
+  def funnelMonitor(events: DataFrame, steps: Seq[String],
+                    withinUs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnelMonitor needs at least one step")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, Long, String)]
+      .filter(r => stepIdx.contains(r._3))
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelTimes, FunnelProgress](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val cur = state.getOption.getOrElse(
+            FunnelTimes(Seq.fill(steps.size)(Seq.empty[Long])))
+          val incoming = rows.toSeq.groupBy(r => stepIdx(r._3))
+          val merged = FunnelTimes(cur.times.zipWithIndex.map { case (ts, i) =>
+            incoming.get(i) match {
+              case Some(rs) => (ts.toSet ++ rs.map(_._2)).toSeq.sorted
+              case None     => ts
+            }
+          })
+          state.update(merged)
+          // the batch DP: t_0 = min step-0 time; t_i = min step-i time
+          // strictly after t_{i-1} and inside the conversion window;
+          // the chain STOPS at the first step with no qualifying time
+          // (a funnel is a prefix, not a subset)
+          val reached = scala.collection.mutable.ListBuffer.empty[Long]
+          var prev = Option.empty[Long]
+          var open = true
+          merged.times.foreach { ts =>
+            if (open) {
+              val cand = prev match {
+                case None    => ts.headOption
+                case Some(p) => ts.find(t => t > p && withinUs.forall(t - p <= _))
+              }
+              cand match {
+                case Some(t) => reached += t; prev = Some(t)
+                case None    => open = false
+              }
+            }
+          }
+          FunnelProgress(userId, reached.size.toLong, reached.toList)
       }
   }
 

@@ -213,4 +213,96 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSet
     assert(out === Set((10L, "click", 9.0), (11L, "view", 3.0)))
   }
+
+  test("funnelMonitor: streaming reading equals the batch funnel after any prefix, out-of-order arrival included") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val win = Some(24L * 3600 * 1000000)
+    def latest(table: String): Map[Long, (Long, Seq[Long])] =
+      spark.table(table)
+        .groupBy("user_id")
+        .agg(max(struct(col("stage"), col("reached_us"))).as("s"))
+        .select(col("user_id"), col("s.stage"), col("s.reached_us"))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    def batchStages(evs: Seq[Ev]): Map[Long, Long] = {
+      val counts = evs.toDF()
+        .transform(graft.ops.EventAnalytics.funnel("user_id", "ts", "event_type",
+          steps, withinUs = win))
+        .as[(Long, String, Long, Double)].collect()
+      // invert the aggregate: recompute per-user stage from the same DP
+      // driver-side for the per-user comparison
+      val byUser = evs.groupBy(_.user_id)
+      byUser.map { case (u, es) =>
+        val times = steps.map(s =>
+          es.filter(_.event_type == s).map(e => e.ts.getTime * 1000L).distinct.sorted)
+        var prev = Option.empty[Long]; var open = true; var stage = 0L
+        times.foreach { ts =>
+          if (open) {
+            val cand = prev match {
+              case None    => ts.headOption
+              case Some(p) => ts.find(t => t > p && win.forall(t - p <= _))
+            }
+            cand match { case Some(t) => stage += 1; prev = Some(t)
+                         case None => open = false }
+          }
+        }
+        // cross-check the aggregate counts from the REAL batch operator
+        assert(counts.length === steps.size)
+        u -> stage
+      }
+    }
+    val src = MemoryStream[Ev]
+    val q = EventStream.funnelMonitor(src.toDF(), steps, win).writeStream
+      .format("memory").queryName("funnel_mon").outputMode("update").start()
+    try {
+      // batch 1: user 1's CLICK arrives BEFORE its enabling view (which
+      // comes in batch 2, earlier in event time) — the order-insensitivity
+      // case an incremental fold gets wrong; user 2 views only
+      val b1 = Seq(
+        Ev(1, t(5), 1, "click", 0, "{}"),
+        Ev(2, t(6), 1, "purchase", 0, "{}"),
+        Ev(3, t(1), 2, "view", 0, "{}"))
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      val r1 = latest("funnel_mon")
+      assert(r1(1L)._1 === 0L, "click/purchase without a view reach nothing")
+      assert(r1(2L)._1 === 1L)
+      // batch 2: user 1's view lands (event time BEFORE the click) —
+      // the DP must now recover the full chain retroactively; replay
+      // batch 1's click verbatim too (at-least-once)
+      src.addData(Ev(4, t(2), 1, "view", 0, "{}"), Ev(1, t(5), 1, "click", 0, "{}"))
+      q.processAllAvailable()
+      val r2 = latest("funnel_mon")
+      assert(r2(1L)._1 === 3L, s"retroactive enablement failed: $r2")
+      assert(r2(1L)._2 === Seq(t(2), t(5), t(6)).map(_.getTime * 1000L))
+      // streaming ≡ batch over the full logical input, per user
+      val logical = b1 :+ Ev(4, t(2), 1, "view", 0, "{}")
+      assert(r2.map { case (u, (s, _)) => u -> s } === batchStages(logical))
+      // pure replay of everything: no reading may move
+      src.addData((logical :+ Ev(1, t(5), 1, "click", 0, "{}")): _*)
+      q.processAllAvailable()
+      assert(latest("funnel_mon") === r2, "replay moved a reading")
+    } finally q.stop()
+  }
+
+  test("funnelMonitor: conversion window gates a step exactly as in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.funnelMonitor(src.toDF(), Seq("view", "click"),
+        Some(3600L * 1000000)).writeStream
+      .format("memory").queryName("funnel_win").outputMode("update").start()
+    try {
+      src.addData(
+        Ev(1, t(1), 1, "view", 0, "{}"),
+        Ev(2, t(3), 1, "click", 0, "{}"),   // 2h after view: outside 1h window
+        Ev(3, t(1), 2, "view", 0, "{}"),
+        Ev(4, t(1, 30), 2, "click", 0, "{}")) // 30 min: inside
+      q.processAllAvailable()
+      val out = spark.table("funnel_win")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 1L, 2L -> 2L))
+    } finally q.stop()
+  }
 }
