@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch summaries whose STATE is plain relational data —
+  * the hash-verifiable members of the sketch family, next to the
+  * engine-private ones (q49's HLL / approx_percentile, q121's KMV
+  * pattern). A fixed-width histogram is the simplest mergeable
+  * quantile sketch there is: partial bin counts add associatively
+  * (map-side combine does the merging), state is #bins longs however
+  * large the input, and the quantile read-off is deterministic integer
+  * arithmetic plus one final division — so unlike a t-digest/GK sketch
+  * the whole thing reproduces bit-identically in any engine.
+  */
+object Sketches {
+
+  /** Histogram-sketch quantile estimates of `valueCol` per `keyCol`
+    * group: bins of `binWidth`, estimates for each q in `qs` by linear
+    * interpolation inside the target bin (position ⌈q·N⌉, the
+    * percentile-disc rank). Output: (key, q, n, est 4dp).
+    *
+    * Error bound: an estimate is off by at most `binWidth` — the knob
+    * trades state size (#bins = max/width) against accuracy, the same
+    * contract as approx_percentile's `accuracy`, but with mergeable
+    * relational state and an exact cross-engine read-off.
+    *
+    * Shape: ONE corpus-grain shuffle — the (key, bin) groupBy with
+    * map-side partials; every window below it runs over the
+    * #keys × #bins matrix, never the input. */
+  def histogramQuantiles(keyCol: String, valueCol: Column,
+                         binWidth: Long = 16L,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                        (df: DataFrame): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles: $qs")
+    val hist = df
+      .select(col(keyCol), (valueCol.cast("double") / binWidth)
+        .cast("long").as("__bin"))
+      .groupBy(keyCol, "__bin").agg(count(lit(1)).as("__cnt"))
+    val byKey = Window.partitionBy(keyCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(byKey.orderBy("__bin")))
+      .withColumn("__n", sum(col("__cnt")).over(byKey))
+    cum
+      .select(col(keyCol), col("__bin"), col("__cnt"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("__pos", ceil(col("q") * col("__n")).cast("long"))
+      // exactly one row per (key, q): the first bin whose cumulative
+      // count reaches the target position
+      .filter(col("__cum") >= col("__pos") &&
+        col("__cum") - col("__cnt") < col("__pos"))
+      .select(col(keyCol), col("q"), col("__n").cast("long").as("n"),
+        Num.round4(col("__bin") * binWidth +
+          ((col("__pos") - (col("__cum") - col("__cnt"))) * (binWidth * 1.0)) /
+            col("__cnt")).as("est"))
+  }
+}

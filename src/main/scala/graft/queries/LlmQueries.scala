@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity}
+import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2722,7 +2722,36 @@ object LlmQueries {
              |  JOIN uni cx ON cx.t = pairs.w1
              |  JOIN uni cy ON cy.t = pairs.w2, totals)
              |SELECT w1, w2, n_pair, round(pmiq / 10000.0, 4) + 0.0 AS pmi
-             |FROM scored ORDER BY pmiq DESC, w1, w2 LIMIT 50""".stripMargin))
+             |FROM scored ORDER BY pmiq DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // Histogram-sketch quantiles: per-lang token-count P50/P90/P99 from
+    // a width-16 fixed-bin histogram — the hash-VERIFIABLE quantile
+    // sketch next to q49's engine-private approx_percentile (the q121
+    // KMV-vs-HLL pattern applied to quantiles). Partial bin counts
+    // merge associatively map-side; the read-off (⌈q·N⌉ rank, linear
+    // interpolation in the target bin) is integer arithmetic plus one
+    // division, so both engines agree exactly.
+    Q("q130_histogram_quantiles",
+      (s, d) => Sketches.histogramQuantiles("lang",
+          TextFunctions.tokenCount(col("text")), 16L)(
+          Tables.documents(s, d).filter(length(trim(col("text"))) > 0)),
+      Some("""WITH docs AS (SELECT lang,
+             |    len(string_split_regex(trim(text), '\s+')) AS tc
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |hist AS (SELECT lang, tc // 16 AS bin, count(*) AS cnt
+             |  FROM docs GROUP BY 1, 2),
+             |c AS (SELECT lang, bin, cnt,
+             |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             |    sum(cnt) OVER (PARTITION BY lang) AS n FROM hist),
+             |qs AS (SELECT c.*, q FROM c,
+             |  (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+             |hit AS (SELECT lang, q, bin, cnt, cum, n,
+             |    cast(ceil(q * n) AS BIGINT) AS pos FROM qs
+             |  WHERE cum >= cast(ceil(q * n) AS BIGINT)
+             |    AND cum - cnt < cast(ceil(q * n) AS BIGINT))
+             |SELECT lang, q, cast(n AS BIGINT) AS n,
+             |  round(bin * 16 + ((pos - (cum - cnt)) * 16.0) / cnt, 4) + 0.0 AS est
+             |FROM hit""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
