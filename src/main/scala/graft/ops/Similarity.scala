@@ -971,4 +971,36 @@ object Similarity {
       assigned.join(probes, "centroid_id").filter(col(metaCol) === col("__qm")),
       k, carryOut = Seq(metaCol))
   }
+
+  /** Hard-negative mining — [[ivfTopKDeterministicFiltered]] with the
+    * predicate INVERTED: each query's top-k nearest neighbors among
+    * vectors with a DIFFERENT `metaCol` label. This is the contrastive-
+    * training data constructor (per-anchor hardest negatives: closest
+    * in embedding space, wrong by label — e.g. SimCSE/DPR-style triplet
+    * mining, or "nearest doc from another source" curation audits).
+    * Same plan economics as the filtered search: the label rides the
+    * zero-Exchange cell assignment, candidates come only from probed
+    * cells, the ≠ filter runs before any distance math on excluded
+    * rows, and no corpus join-back exists. Self cannot match (same id ⇒
+    * same label), but the explicit id guard is kept for robustness
+    * against inconsistent labels.
+    *
+    * The different-label filter is SELECTIVE in the opposite way from
+    * the same-label one: most of a probed cell usually survives, so
+    * nProbe can stay small; recall loss happens only when a query's
+    * hardest negatives live outside its probed cells — the standard
+    * IVF trade, measured by the q50 harness family. */
+  def ivfHardNegativesDeterministic(corpus: DataFrame, queries: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    metaCol: String, k: Int,
+                                    centroids: DataFrame,
+                                    nProbe: Int = 2): DataFrame = {
+    val assigned = assignCellsRounded(corpus, idCol, vecCol, centroids,
+      carry = Seq(metaCol))
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe,
+      carry = Seq(metaCol -> "__qm"))
+    rankTopK(
+      assigned.join(probes, "centroid_id").filter(col(metaCol) =!= col("__qm")),
+      k, carryOut = Seq(metaCol))
+  }
 }

@@ -2751,7 +2751,51 @@ object LlmQueries {
              |    AND cum - cnt < cast(ceil(q * n) AS BIGINT))
              |SELECT lang, q, cast(n AS BIGINT) AS n,
              |  round(bin * 16 + ((pos - (cum - cnt)) * 16.0) / cnt, 4) + 0.0 AS est
-             |FROM hit""".stripMargin))
+             |FROM hit""".stripMargin)),
+
+    // Hard-negative mining: q103's filtered ANN with the predicate
+    // INVERTED — each query's top-5 nearest DIFFERENT-label vectors,
+    // the contrastive-training triple constructor (SimCSE/DPR-style
+    // hardest negatives: closest in embedding space, wrong by label).
+    // Same deterministic machinery (md5 centroids, rounded cosine, id
+    // tiebreaks) and the same zero-Exchange cell-assignment economics;
+    // the ≠ filter rides the candidate join before any distance math.
+    Q("q131_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfHardNegativesDeterministic(emb,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding", "label",
+          5, Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16),
+          nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |scored AS (SELECT e.vec_id, e.label, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, label, cid AS cell FROM (
+             |    SELECT vec_id, label, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |probes AS (SELECT query_id, qlabel, cid AS cell FROM (
+             |    SELECT vec_id AS query_id, label AS qlabel, cid, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS pn
+             |    FROM scored WHERE vec_id < 100) WHERE pn <= 8),
+             |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.label
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  WHERE a.vec_id <> p.query_id AND a.label <> p.qlabel),
+             |s2 AS (SELECT c.query_id, c.label, c.neighbor_id,
+             |    round(list_dot_product(eq.v, en.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) *
+             |       sqrt(list_dot_product(en.v, en.v))), 4) + 0.0 AS sim
+             |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+             |              JOIN e en ON en.vec_id = c.neighbor_id)
+             |SELECT query_id, label, neighbor_id, sim, rk FROM
+             |(SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY sim DESC, neighbor_id) AS rk FROM s2)
+             |WHERE rk <= 5""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

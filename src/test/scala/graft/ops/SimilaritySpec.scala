@@ -331,4 +331,38 @@ class SimilaritySpec extends SparkSpec {
     groupA.foreach(i => assert(m(i) === seedA, s"vec $i: ${m(i)} != $seedA"))
     groupB.foreach(i => assert(m(i) === seedB, s"vec $i: ${m(i)} != $seedB"))
   }
+
+  test("ivfHardNegativesDeterministic ≡ unfiltered search over the label-complement slice; no neighbor shares the query's label") {
+    import org.apache.spark.sql.functions._
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(-1.0f, 0.0f), 1),
+      (4L, Seq(0.8f, 0.2f), 0), (5L, Seq(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.md5SeededCentroids(labeled, "vec_id", "embedding", 2)
+    val hard = Similarity.ivfHardNegativesDeterministic(labeled, labeled,
+      "vec_id", "embedding", "label", 2, cents, nProbe = 2)
+    val byQuery = labeled.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val neigh = hard.select("query_id", "label", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(neigh.nonEmpty)
+    // the carried label is the NEIGHBOR's, and it never equals the query's
+    assert(neigh.forall { case (q, l, n) => byQuery(n) == l && byQuery(q) != l })
+    // ≡ unfiltered search with the corpus sliced to the OTHER label —
+    // the commute law that makes the ≠ filter exact, not a rerank
+    val bySlice = Seq(0, 1).map { l =>
+      val complement = labeled.filter(col("label") =!= l)
+      Similarity.ivfTopKDeterministic(complement,
+        labeled.filter(col("label") === l), "vec_id", "embedding", 2,
+        cents, nProbe = 2).withColumn("label", lit(1 - l))
+        .select("query_id", "label", "neighbor_id", "sim", "rk")
+    }.reduce(_ union _)
+    assert(hard.exceptAll(bySlice).count() === 0 &&
+      bySlice.exceptAll(hard).count() === 0)
+    // the hardest negative is the geometric near-miss: query 0 (label 0,
+    // pointing at +x) must rank vector 5 (label 1, mostly +y) above the
+    // antipodal vector 3
+    val q0 = neigh.collect { case (0L, _, n) => n }
+    assert(q0.contains(5L) )
+  }
 }
