@@ -1003,4 +1003,50 @@ object Similarity {
       assigned.join(probes, "centroid_id").filter(col(metaCol) =!= col("__qm")),
       k, carryOut = Seq(metaCol))
   }
+
+  /** Cluster LABELING — top-`k` c-TF-IDF terms per embedding cell
+    * (BERTopic's class-based TF-IDF, Grootendorst 2022): what a
+    * semantic-curation pass reads to understand WHAT each k-means /
+    * IVF cell of the corpus actually contains before deciding to
+    * sample, cap, or drop it. Documents join their embeddings by id,
+    * ride the zero-Exchange rounded cell assignment, and each cell is
+    * treated as one pseudo-document: score(t, c) = tf(t, c) ·
+    * idf_q(t), idf_q = round(ln((C + 1)/(cf + 1)) · 10⁴) with C = #cells
+    * and cf = #cells containing t — so the score is an INTEGER product
+    * (exact cross-engine, no summation-order concerns at all), and the
+    * per-cell cut is one by-cell window over the vocabulary-bounded
+    * (cell, term) table.
+    *
+    * Shape: the corpus-grain stages are the id equi-join and the
+    * (cell, term) count's map-side-combined Exchange; everything after
+    * runs at vocabulary grain. Centroids broadcast; C is a one-row
+    * broadcast; no global window. */
+  def clusterTopTermsDeterministic(docs: DataFrame, embeddings: DataFrame,
+                                   docIdCol: String, textCol: String,
+                                   embIdCol: String, vecCol: String,
+                                   centroids: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val assigned = assignCellsRounded(embeddings, embIdCol, vecCol, centroids)
+      .select(col("neighbor_id").as(docIdCol), col("centroid_id"))
+    val terms = docs
+      .select(col(docIdCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__w"))
+      .join(assigned, docIdCol)
+      .select(col("centroid_id"), explode(col("__w")).as("term"))
+      .groupBy("centroid_id", "term").agg(count(lit(1)).as("tf"))
+    val nCells = assigned.agg(countDistinct(col("centroid_id")).as("__nc"))
+    val idf = terms.groupBy("term")
+      .agg(countDistinct(col("centroid_id")).as("__cf"))
+      .crossJoin(broadcast(nCells))
+      .select(col("term"),
+        round(log((col("__nc") + 1.0) / (col("__cf") + 1.0)) * 10000)
+          .cast("long").as("__idfq"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(col("__score").desc, col("term"))
+    terms.join(idf, "term")
+      .withColumn("__score", col("tf") * col("__idfq"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("centroid_id"), col("rk"), col("term"), col("tf"),
+        graft.functions.Num.round4(col("__score") / 10000.0).as("ctfidf"))
+  }
 }

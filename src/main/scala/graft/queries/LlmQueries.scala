@@ -2795,7 +2795,49 @@ object LlmQueries {
              |SELECT query_id, label, neighbor_id, sim, rk FROM
              |(SELECT *, row_number() OVER (PARTITION BY query_id
              |  ORDER BY sim DESC, neighbor_id) AS rk FROM s2)
-             |WHERE rk <= 5""".stripMargin))
+             |WHERE rk <= 5""".stripMargin)),
+
+    // Cluster labeling: top-5 c-TF-IDF terms per embedding cell
+    // (BERTopic's class-based TF-IDF) — what a semantic-curation pass
+    // reads to know WHAT each cell holds before sampling/capping/
+    // dropping it. Each cell is one pseudo-document; the score is an
+    // INTEGER product tf·idf_q (ln-quantized ×10⁴), so nothing about
+    // cross-engine float summation even arises; cut is one by-cell
+    // window over the vocabulary-bounded (cell, term) table.
+    Q("q132_cluster_terms",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.clusterTopTermsDeterministic(
+          Tables.documents(s, d), emb, "doc_id", "text", "vec_id", "embedding",
+          Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16), 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS centroid_id FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |terms AS (SELECT a.centroid_id, t.term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |    FROM documents WHERE length(trim(text)) > 0) t
+             |  JOIN assign a ON a.vec_id = t.doc_id GROUP BY 1, 2),
+             |nc AS (SELECT count(DISTINCT centroid_id) AS c FROM assign),
+             |idf AS (SELECT term, cast(round(ln((nc.c + 1.0) / (cf + 1.0)) * 10000)
+             |      AS BIGINT) AS idfq
+             |  FROM (SELECT term, count(DISTINCT centroid_id) AS cf
+             |        FROM terms GROUP BY 1), nc),
+             |sc AS (SELECT t.centroid_id, t.term, t.tf, t.tf * i.idfq AS score
+             |  FROM terms t JOIN idf i USING (term))
+             |SELECT centroid_id, rk, term, tf,
+             |  round(score / 10000.0, 4) + 0.0 AS ctfidf FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY centroid_id
+             |    ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 5"""
+        .stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

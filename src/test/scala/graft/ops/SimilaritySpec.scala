@@ -365,4 +365,30 @@ class SimilaritySpec extends SparkSpec {
     val q0 = neigh.collect { case (0L, _, n) => n }
     assert(q0.contains(5L) )
   }
+
+  test("clusterTopTermsDeterministic: cell-specific vocabulary outranks corpus-wide terms; every-cell terms score zero") {
+    import org.apache.spark.sql.functions._
+    // two geometric groups; 'alpha*' words live in group A's documents,
+    // 'beta*' in B's, 'common' in every document of both
+    val vecs = ((0L to 3L).map(i => (i, Seq(1.0f, 0.01f * i))) ++
+      (4L to 7L).map(i => (i, Seq(0.01f * (i - 4), 1.0f)))).toDF("vec_id", "embedding")
+    val docs = ((0L to 3L).map(i => (i, s"common alpha$i alpha$i alphaX")) ++
+      (4L to 7L).map(i => (i, s"common beta$i beta$i betaX"))).toDF("doc_id", "text")
+    val cents = Similarity.md5SeededCentroids(vecs, "vec_id", "embedding", 2)
+    val out = Similarity.clusterTopTermsDeterministic(docs, vecs,
+        "doc_id", "text", "vec_id", "embedding", cents, 3)
+      .as[(Long, Long, String, Long, Double)].collect()
+    val byCell = out.groupBy(_._1)
+    assert(byCell.size === 2)
+    byCell.foreach { case (_, rows) =>
+      val top = rows.minBy(_._2)
+      // the cell's head term is its own vocabulary, never the shared one
+      assert(top._3.startsWith("alpha") || top._3.startsWith("beta"), top.toString)
+      assert(rows.forall(r => r._3 != "common" || r._5 === 0.0),
+        s"'common' must score ln(1)=0: ${rows.toSeq}")
+      // one cell's terms never bleed into the other's top-k
+      val fams = rows.map(_._3.take(4)).toSet - "comm"
+      assert(fams.size === 1, rows.toSeq.toString)
+    }
+  }
 }
