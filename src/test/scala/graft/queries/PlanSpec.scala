@@ -446,6 +446,30 @@ class PlanSpec extends SparkSpec {
     assert(emptyPartitionWindows("q128_cohort_retention").isEmpty)
   }
 
+  test("q130 histogram quantiles: one corpus-grain Exchange with map-side partials; windows run on the matrix") {
+    val p = plan("q130_histogram_quantiles")
+    assert(p.contains("partial_count"), p) // (key, bin) partial aggregation
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q130_histogram_quantiles").isEmpty)
+  }
+
+  test("q131 hard negatives: zero-Exchange cell assignment, no corpus join-back, no single-partition window") {
+    val p = plan("q131_hard_negatives")
+    // corpus vectors ride only the broadcast-pack projection — no
+    // Exchange may carry the embedding column
+    assert(!"Exchange hashpartitioning\\([^)]*\\bcv#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q131_hard_negatives").isEmpty)
+  }
+
+  test("q132 cluster terms: centroids and cell-count broadcast; by-cell window, never single-partition") {
+    val p = plan("q132_cluster_terms")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("windowspecdefinition(centroid_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(emptyPartitionWindows("q132_cluster_terms").isEmpty)
+  }
+
   test("q129 pmi: minCount filters before the unigram joins, TakeOrderedAndProject cut, totals broadcast") {
     val p = plan("q129_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
