@@ -1053,18 +1053,55 @@ object Dedup {
                           chunkTokens: Int = 8, maxDf: Int = 1,
                           tokensCol: Option[String] = None)
                          (docs: DataFrame): DataFrame = {
+    val cw = chunkTokens
+    stripFrequentCore(idCol, textCol, chunkTokens, maxDf, tokensCol)(docs)
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        aggregate(col("__k"), lit(0L),
+          (acc, p) => acc + least(lit(cw.toLong), size(col("__w")) - p * cw))
+          .as("n_kept"),
+        md5(array_join(transform(col("__k"),
+          p => stripChunkAt(col("__w"), p, cw)), " ")).as("clean_md5"))
+  }
+
+  /** [[stripFrequentChunks]] emitting the REWRITTEN TEXT instead of its
+    * md5 — the form that composes into a pipeline (the rewrite replaces
+    * the document's text and everything downstream runs on the cleaned
+    * corpus; q133). Output: (id, clean_text, n_tokens, n_kept). */
+  def stripFrequentChunksText(idCol: String, textCol: String,
+                              chunkTokens: Int = 8, maxDf: Int = 1,
+                              tokensCol: Option[String] = None)
+                             (docs: DataFrame): DataFrame = {
+    val cw = chunkTokens
+    stripFrequentCore(idCol, textCol, chunkTokens, maxDf, tokensCol)(docs)
+      .select(col(idCol),
+        array_join(transform(col("__k"),
+          p => stripChunkAt(col("__w"), p, cw)), " ").as("clean_text"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        aggregate(col("__k"), lit(0L),
+          (acc, p) => acc + least(lit(cw.toLong), size(col("__w")) - p * cw))
+          .as("n_kept"))
+  }
+
+  private def stripChunkAt(w: Column, p: Column, cw: Int): Column =
+    array_join(slice(w, (p * cw + 1).cast("int"), lit(cw)), " ")
+
+  /** Shared core of the two strip emitters: (id, __w tokens, __k kept
+    * chunk positions sorted). */
+  private def stripFrequentCore(idCol: String, textCol: String,
+                                chunkTokens: Int, maxDf: Int,
+                                tokensCol: Option[String])
+                               (docs: DataFrame): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val cw = chunkTokens
-    def chunkAt(w: Column, p: Column): Column =
-      array_join(slice(w, (p * cw + 1).cast("int"), lit(cw)), " ")
     val toks = Staged.stage(docs
       .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
       .filter(size(col("__w")) > 0)
       .withColumn("__nc", ceil(size(col("__w")) / lit(cw.toDouble)).cast("long")))
     val occ = Staged.stage(toks.select(col(idCol),
         posexplode(transform(sequence(lit(0L), col("__nc") - 1),
-          i => md5(chunkAt(col("__w"), i)))))
+          i => md5(stripChunkAt(col("__w"), i, cw)))))
       .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp")))
     // a doc repeating a chunk internally counts once toward its df —
     // "frequent" means frequent ACROSS documents, like line-dedup
@@ -1077,13 +1114,6 @@ object Dedup {
       .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
     toks.join(keptPos, Seq(idCol), "left_outer")
       .withColumn("__k", coalesce(col("__keep"), array().cast("array<bigint>")))
-      .select(col(idCol),
-        size(col("__w")).cast("long").as("n_tokens"),
-        aggregate(col("__k"), lit(0L),
-          (acc, p) => acc + least(lit(cw.toLong), size(col("__w")) - p * cw))
-          .as("n_kept"),
-        md5(array_join(transform(col("__k"), p => chunkAt(col("__w"), p)), " "))
-          .as("clean_md5"))
   }
 
   /** [[duplicateClusters]]' web-scale twin: alternating large-star /

@@ -2837,7 +2837,88 @@ object LlmQueries {
              |  round(score / 10000.0, 4) + 0.0 AS ctfidf FROM (
              |  SELECT *, row_number() OVER (PARTITION BY centroid_id
              |    ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 5"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Boilerplate-cleaned corpus build: q125's strip REWRITES the
+    // corpus and q62's full pipeline runs on the rewrite — the q109/q95
+    // composition story for the new operator (operators compose as
+    // DataFrame transforms; no pipeline code changes). Stripping runs
+    // BEFORE the gates on purpose: a doc that was mostly boilerplate
+    // may now fall under minTokens and gate out, and two docs differing
+    // only in boilerplate become exact dupes the hash dedup folds —
+    // neither happens if the strip runs after. Oracle = the strip CTEs
+    // rebuilding text, feeding q62's oracle unchanged.
+    Q("q133_corpus_pipeline_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cleaned = docs
+          .transform(Dedup.stripFrequentChunksText("doc_id", "text", 8, 1))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+        graft.ops.CorpusPipeline.run(
+          cleaned,
+          keep => keep.transform(Dedup.ngramJaccardPairs(
+            "doc_id", "norm_text", 3, 0.03, tokensCol = Some("__w"))))
+      },
+      Some("""WITH RECURSIVE
+             |docs0 AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |cs AS (SELECT doc_id, lang, w,
+             |    list_transform(range(cast(ceil(len(w)/8.0) AS BIGINT)),
+             |      i -> struct_pack(i := i,
+             |        c := array_to_string(w[i*8+1:i*8+8], ' '))) AS chunks
+             |  FROM docs0),
+             |ch AS (SELECT doc_id, u.i AS idx, u.c AS chunk
+             |  FROM (SELECT doc_id, unnest(chunks) AS u FROM cs)),
+             |freq AS (SELECT chunk FROM (SELECT chunk,
+             |    count(DISTINCT doc_id) AS df FROM ch GROUP BY 1) WHERE df > 1),
+             |keepc AS (SELECT doc_id, idx, chunk FROM ch
+             |  WHERE chunk NOT IN (SELECT chunk FROM freq)),
+             |cleaned AS (SELECT d.doc_id, d.lang,
+             |    coalesce(string_agg(k.chunk, ' ' ORDER BY k.idx), '') AS text
+             |  FROM docs0 d LEFT JOIN keepc k USING (doc_id)
+             |  GROUP BY d.doc_id, d.lang),
+             |norm AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\x00-\x1F\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text FROM cleaned),
+             |scored AS (SELECT doc_id, lang, norm_text,
+             |  string_split_regex(trim(norm_text), '\s+') AS w FROM norm),
+             |langed AS (SELECT doc_id, lang, norm_text, w,
+             |  cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored))),
+             |gated AS (SELECT * FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+             |keepd AS (SELECT g.* FROM gated g JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)) k USING (doc_id)),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle FROM keepd)),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |dropset AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src)
+             |SELECT doc_id, lang, lang_pred, n_tokens,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

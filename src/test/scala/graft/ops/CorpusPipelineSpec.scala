@@ -127,4 +127,44 @@ class CorpusPipelineSpec extends SparkSpec {
         staged.exceptAll(direct).count() === 0)
     } finally spark.sql("DROP TABLE IF EXISTS graft_cp_staged")
   }
+
+  test("boilerplate strip composes BEFORE the gates (q133): stripped docs gate out or fold as exact dupes") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val banner = toks("nav", 8)                        // shared across 3 docs → stripped
+    val bodyA = "the a of and to in is that " + toks("x", 8)
+    val docs = Seq(
+      // docs 1/2: same body, different banner POSITION — exact dupes
+      // only AFTER the strip (body chunks have df 2: kept at maxDf 2)
+      (1L, "en", banner + " " + bodyA),
+      (2L, "en", bodyA + " " + banner),
+      // doc 3: banner + 3 tokens — below minTokens once stripped
+      (3L, "en", banner + " the a of"),
+      // doc 4: clean control with its OWN body (every chunk df 1 —
+      // sharing docs 1/2's stopword chunk would raise that chunk to
+      // df 3 and strip the stopwords out of all three)
+      (4L, "es", "el la de que y los una si " + toks("y", 8))
+    ).toDF("doc_id", "lang", "text")
+    def build(input: org.apache.spark.sql.DataFrame) = Staged.withStaged {
+      CorpusPipeline.run(input,
+        keep => keep.transform(Dedup.ngramJaccardPairs(
+          "doc_id", "norm_text", 3, 0.9, tokensCol = Some("__w"))))
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val unstripped = build(docs)
+    assert(unstripped === Set(1L, 2L, 3L, 4L),
+      s"without the strip everything survives: $unstripped")
+    // maxDf = 2: the banner (df 3) strips everywhere, the body docs 1/2
+    // share (df 2) survives — at maxDf = 1 the shared body would strip
+    // too (two docs sharing ANY chunk lose it; that's the line-dedup
+    // semantics, exercised in DedupSpec)
+    val cleaned = docs
+      .transform(Dedup.stripFrequentChunksText("doc_id", "text", 8, 2))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val stripped = Staged.withStaged { build(cleaned) }
+    // doc 2 folds into doc 1 (exact dupes once the differently-PLACED
+    // banner vanishes); doc 3 gates out (< 5 tokens); doc 4 untouched
+    assert(stripped === Set(1L, 4L), s"got $stripped")
+  }
 }
