@@ -57,4 +57,29 @@ object Sketches {
           ((col("__pos") - (col("__cum") - col("__cnt"))) * (binWidth * 1.0)) /
             col("__cnt")).as("est"))
   }
+
+  /** The [[histogramQuantiles]] read-off as a pure driver-side function
+    * over a materialized bin→count map — the SAME arithmetic
+    * (⌈q·N⌉ rank, in-bin linear interpolation, 4dp round with the
+    * signed-zero collapse), so a streaming monitor holding the map as
+    * keyed state ([[graft.streaming.CorpusStream.lengthQuantileMonitor]])
+    * reads off exactly what the batch query computes. */
+  def estimateFromBins(bins: Map[Long, Long], binWidth: Long, q: Double): Double = {
+    require(bins.nonEmpty, "empty histogram")
+    val n = bins.valuesIterator.sum
+    val pos = math.ceil(q * n).toLong
+    var cum = 0L
+    for ((bin, cnt) <- bins.toSeq.sorted) {
+      if (cum + cnt >= pos && cum < pos) {
+        val raw = bin * binWidth + ((pos - cum) * (binWidth * 1.0)) / cnt
+        // Spark's round(x, 4) is BigDecimal HALF_UP — match it exactly,
+        // then the Num.round4 signed-zero collapse
+        return BigDecimal(raw)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+      }
+      cum += cnt
+    }
+    throw new IllegalStateException(s"rank $pos beyond histogram mass $n")
+  }
 }

@@ -14,6 +14,12 @@ case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
 /** One updated reading from [[CorpusStream.distinctMonitor]]: the
   * sketch's current fill (`sketch_n` ≤ k) and the KMV estimate of the
   * source's distinct-shingle cardinality so far. */
+/** One updated reading from [[CorpusStream.lengthQuantileMonitor]]: the
+  * source's current doc count and histogram-sketch token-count
+  * quantile estimates (same read-off as the batch q130). */
+case class SourceLengthQuantiles(source: String, n_docs: Long,
+                                 p50: Double, p90: Double, p99: Double)
+
 case class SourceDistinctEstimate(source: String, sketch_n: Long,
                                   kmv_est: Double)
 
@@ -117,6 +123,46 @@ object CorpusStream {
           state.update(next)
           SourceDistinctEstimate(source, next.length.toLong,
             graft.functions.KmvSketchAgg.estimate(next, k))
+      }
+  }
+
+  /** Live per-source token-count quantiles — the streaming twin of the
+    * q130 histogram sketch, completing the intake health monitors
+    * (distinct-shingle sketch, length distribution): "did the crawl's
+    * document-length profile just shift?" as a continuously updated
+    * reading instead of a nightly batch.
+    *
+    * The keyed state IS the histogram: a bin→count map per source,
+    * bounded by #bins (max length / binWidth) forever, merged with
+    * plain addition — the same associativity that gives the batch
+    * operator its map-side partials. The read-off re-runs
+    * [[graft.ops.Sketches.estimateFromBins]], the EXACT arithmetic of
+    * the batch query, so after any exactly-once prefix the reading
+    * equals q130 over the same rows by construction.
+    *
+    * Unlike the KMV monitor a COUNT sketch is not replay-absorbing (a
+    * redelivered batch adds its counts again) — wire it downstream of
+    * [[dedupedDocs]] so within-horizon redeliveries are dropped before
+    * they reach state; that is the documented intake order anyway. */
+  def lengthQuantileMonitor(docs: DataFrame, binWidth: Long = 16L)
+      : org.apache.spark.sql.Dataset[SourceLengthQuantiles] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        (size(TextFunctions.tokens(col("text"))).cast("double") / binWidth)
+          .cast("long").as("bin"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], SourceLengthQuantiles](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (m, r) => m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          state.update(next)
+          val n = next.valuesIterator.sum
+          def est(q: Double) = graft.ops.Sketches.estimateFromBins(next, binWidth, q)
+          SourceLengthQuantiles(source, n, est(0.5), est(0.9), est(0.99))
       }
   }
 

@@ -219,4 +219,41 @@ class CorpusStreamSpec extends SparkSpec {
       assert(finals("srcB") === shingles(textsB(0)).size.toDouble)
     } finally q.stop()
   }
+
+  test("lengthQuantileMonitor: streaming reading equals the batch histogram sketch over the delivered rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mkText = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    // srcA: lengths 10,20,...,120 split across two batches; srcB: 5,7
+    val a = (1 to 12).map(i => (i.toLong, mkText(i * 10), "srcA"))
+    val b = Seq((100L, mkText(5), "srcB"), (101L, mkText(7), "srcB"))
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.lengthQuantileMonitor(src.toDF(), binWidth = 16L)
+      .writeStream.format("memory").queryName("len_monitor")
+      .outputMode("update").start()
+    try {
+      src.addData((a.take(5) ++ b.take(1)).map { case (id, tx, s) => doc(id, t(1), tx, s) }: _*)
+      q.processAllAvailable()
+      src.addData((a.drop(5) ++ b.drop(1)).map { case (id, tx, s) => doc(id, t(2), tx, s) }: _*)
+      q.processAllAvailable()
+      val finals = spark.table("len_monitor")
+        .groupBy("source")
+        .agg(max(struct(col("n_docs"), col("p50"), col("p90"), col("p99"))).as("s"))
+        .select(col("source"), col("s.n_docs"), col("s.p50"), col("s.p90"), col("s.p99"))
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      // the batch operator over the same logical rows
+      val batch = graft.ops.Sketches.histogramQuantiles("source",
+          graft.functions.TextFunctions.tokenCount(col("text")), 16L)(
+          (a ++ b).toDF("doc_id", "text", "source"))
+        .as[(String, Double, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      Seq("srcA", "srcB").foreach { s =>
+        val (_, n, p50, p90, p99) = finals(s)
+        assert(n === (if (s == "srcA") 12L else 2L))
+        assert(p50 === batch((s, 0.5)), s"$s p50")
+        assert(p90 === batch((s, 0.9)), s"$s p90")
+        assert(p99 === batch((s, 0.99)), s"$s p99")
+      }
+    } finally q.stop()
+  }
 }
