@@ -323,6 +323,33 @@ object Sampling {
       .drop("__esk")
   }
 
+  /** Per-GROUP weighted sampling — [[weightedSample]]'s Efraimidis–
+    * Spirakis reservoir run independently inside every stratum: the
+    * top-`kPerGroup` rows of each group by the exponential key
+    * ln(u)/w. This is how a per-source curation budget takes QUALITY
+    * into account ([[quotaPerStratum]] caps by count alone; this
+    * spends each source's quota on its best-weighted documents, biased
+    * exactly ∝ weight like the global q112 sampler).
+    *
+    * Scale: the global sampler's TakeOrderedAndProject becomes ONE
+    * by-group window Exchange with WindowGroupLimit map-side pruning —
+    * the q18/q107 shape; no single-partition anything. Weight ≤ 0 rows
+    * are excluded per the paper, like [[weightedSample]]. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                             weightCol: Column, kPerGroup: Int): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup $kPerGroup must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + lit(1.0)) / lit(65536.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("__esk").desc, col(idCol))
+    df.filter(weightCol > 0)
+      .withColumn("__esk", log(u) / weightCol.cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kPerGroup)
+      .withColumn("es_key", graft.functions.Num.round4(col("__esk")))
+      .drop("__esk")
+  }
+
   /** Deterministic global shuffle + round-robin shard layout — how a
     * training run turns a corpus into dataloader shards: rows get a
     * pseudo-random but reproducible total order (md5 of seed+id, id as

@@ -2918,7 +2918,30 @@ object LlmQueries {
              |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
              |       WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin))
+             |FROM keepd WHERE doc_id NOT IN (SELECT doc_id FROM dropset)""".stripMargin)),
+
+    // Per-source weighted sampling: q112's Efraimidis–Spirakis
+    // reservoir run independently inside every source — spending each
+    // source's curation budget on its best-weighted documents (quota
+    // caps by count alone; this biases ∝ weight within the cap). The
+    // global TakeOrderedAndProject becomes ONE by-source window with
+    // WindowGroupLimit map-side pruning.
+    Q("q134_weighted_per_source",
+      (s, d) => Sampling.weightedSamplePerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", col("n_tokens"), kPerGroup = 10),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |k AS (SELECT doc_id, source, n_tokens,
+             |    ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1.0)
+             |      / 65536.0) / n_tokens AS ek
+             |  FROM t WHERE n_tokens > 0)
+             |SELECT doc_id, source, n_tokens, rk, round(ek, 4) + 0.0 AS es_key
+             |FROM (SELECT *, row_number() OVER (PARTITION BY source
+             |  ORDER BY ek DESC, doc_id) AS rk FROM k) WHERE rk <= 10""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

@@ -332,4 +332,38 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("weightedSamplePerGroup: per-slice runs of the global sampler, k per group, partition-invariant") {
+    val docs = (1L to 300L)
+      .map(i => (i, s"g${i % 3}", (i % 17) + 1))
+      .toDF("id", "grp", "w")
+    val out = Sampling.weightedSamplePerGroup(docs, "id", "grp", col("w"), 20)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("g0" -> 20, "g1" -> 20, "g2" -> 20))
+    // per group ≡ the GLOBAL sampler run on that group's slice alone
+    Seq("g0", "g1", "g2").foreach { g =>
+      val slice = Sampling.weightedSample(
+          docs.filter(col("grp") === g).select("id", "w"), "id", col("w"), 20)
+        .select("id").as[Long].collect().toSet
+      val mine = out.filter(_._2 == g).map(_._1).toSet
+      assert(mine === slice, s"group $g diverges from the global sampler")
+    }
+    val again = Sampling.weightedSamplePerGroup(
+        docs.repartition(11), "id", "grp", col("w"), 20)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.sortBy(r => (r._2, r._4)).toSeq === again.sortBy(r => (r._2, r._4)).toSeq)
+  }
+
+  test("weightedSamplePerGroup: by-group window (never single-partition), WindowGroupLimit prunes map-side") {
+    val docs = (1L to 300L).map(i => (i, s"g${i % 3}", i % 7 + 1)).toDF("id", "grp", "w")
+    val q = Sampling.weightedSamplePerGroup(docs, "id", "grp", col("w"), 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val emptySpecs = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(emptySpecs.isEmpty)
+  }
 }
