@@ -2941,7 +2941,37 @@ object LlmQueries {
              |  FROM t WHERE n_tokens > 0)
              |SELECT doc_id, source, n_tokens, rk, round(ek, 4) + 0.0 AS es_key
              |FROM (SELECT *, row_number() OVER (PARTITION BY source
-             |  ORDER BY ek DESC, doc_id) AS rk FROM k) WHERE rk <= 10""".stripMargin))
+             |  ORDER BY ek DESC, doc_id) AS rk FROM k) WHERE rk <= 10""".stripMargin)),
+
+    // Per-source duplicate-rate audit: the corpus health metric a crawl
+    // operator watches per feed — docs, distinct contents (by md5, the
+    // q22/q62 identity), dup rate, and how many tokens exact dedup
+    // would reclaim. One (source, hash)-grain aggregate with map-side
+    // partials, then a #sources-row rollup; hashes ride the Exchange,
+    // text never does.
+    Q("q135_dup_rate_by_source",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("__h"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__t"))
+        .groupBy("source", "__h")
+        .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__tok"),
+          min(col("__t")).as("__keep"))
+        .groupBy("source")
+        .agg(sum(col("__n")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          Num.round4((sum(col("__n")) - count(lit(1))) / sum(col("__n")))
+            .as("dup_rate"),
+          (sum(col("__tok")) - sum(col("__keep"))).as("reclaimable_tokens")),
+      Some("""WITH h AS (SELECT source, md5(text) AS h, count(*) AS n,
+             |    sum(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT)) AS tok,
+             |    min(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT)) AS keep
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, cast(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+             |  round((sum(n) - count(*)) * 1.0 / sum(n), 4) + 0.0 AS dup_rate,
+             |  cast(sum(tok) - sum(keep) AS BIGINT) AS reclaimable_tokens
+             |FROM h GROUP BY source""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
