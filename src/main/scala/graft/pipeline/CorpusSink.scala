@@ -45,4 +45,35 @@ object CorpusSink {
       .partitionBy(partitionBy: _*)
       .parquet(path)
   }
+
+  /** Compaction — the maintenance job the streaming intake's delta log
+    * ([[graft.streaming.CorpusStream.corpusIngestSink]]) needs
+    * eventually: months of micro-batches leave thousands of small
+    * `batch=N` files, and at 100 TB the scan cost of a corpus is
+    * dominated by file-open/list overhead long before bytes. Reads the
+    * delta log (or any parquet dir) and rewrites it through [[write]]'s
+    * layout discipline — range-partitioned, sorted-within-file, file
+    * sizes bounded — into `targetPath`, then the caller swaps
+    * directories (kept out of this function: the swap is the same
+    * rename-aside dance as [[graft.streaming.EventStream.upsertSink]],
+    * and a compactor must never delete the only copy itself).
+    *
+    * Row-preserving BY CONSTRUCTION: no dedup, no filters — dedup
+    * happened at ingest (hash anti-joins); compaction is purely a
+    * layout rewrite, so it is safe to run at any time, idempotent, and
+    * its correctness check is `count-in == count-out` (which the
+    * CorpusSinkSpec pins together with the file-count collapse and the
+    * preserved per-file sort). Dropping the delta-log's `batch` lineage
+    * column is the one schema change, opt-out via `dropColumns = Nil`. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              deltaPath: String, targetPath: String,
+              partitionBy: Seq[String] = Nil,
+              sortWithin: Seq[String] = Seq("doc_id"),
+              maxRecordsPerFile: Long = 1000000L,
+              dropColumns: Seq[String] = Seq("batch")): Unit = {
+    val raw = spark.read.option("basePath", deltaPath)
+      .parquet(s"$deltaPath/batch=*")
+    val pruned = dropColumns.foldLeft(raw)(_ drop _)
+    write(pruned, targetPath, partitionBy, sortWithin, maxRecordsPerFile)
+  }
 }

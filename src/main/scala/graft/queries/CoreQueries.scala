@@ -56,6 +56,20 @@ object CoreQueries {
       .getOrElse(new java.io.File("fixtures/dims"))
       .getAbsolutePath
 
+  /** q136's committed JSON-lines landing-zone fixtures — same
+    * resolution contract as [[loomFixtureRoot]], own override knob. */
+  private lazy val jsonlFixtureRoot: String =
+    sys.props.get("graft.fixtures.jsonl.dir")
+      .orElse(sys.env.get("GRAFT_JSONL_FIXTURES_DIR"))
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("fixtures/jsonl"))
+      .getAbsolutePath
+
+  private def requireJsonlFixtures(): Unit =
+    require(new java.io.File(jsonlFixtureRoot).isDirectory,
+      s"jsonl fixture tree not found at $jsonlFixtureRoot; " +
+        "launch from the repo root or set -Dgraft.fixtures.jsonl.dir / GRAFT_JSONL_FIXTURES_DIR")
+
   private def requireDimsFixtures(): Unit =
     require(new java.io.File(dimsFixtureRoot).isDirectory,
       s"dims fixture tree not found at $dimsFixtureRoot; " +
@@ -759,6 +773,47 @@ object CoreQueries {
              |     OR line LIKE '%Incorreto%')
              |SELECT * FROM looms UNION ALL SELECT * FROM m2
              |UNION ALL SELECT * FROM st""".stripMargin)),
+
+    // Q136 — JSON-lines landing-zone ingest, driver-gated in batch: the
+    // streaming intake's file format (CorpusStream.readDocs) read with
+    // the SAME schema and run through the SAME cleanDocs gate chain —
+    // one code path for live and backfill, so the gates and the
+    // content_hash identity provably cannot drift between them (the
+    // q70 CSV-gate story applied to the stream's format). Committed
+    // fixtures exercise: whitespace/case variants hashing identically,
+    // the minTokens gate, the und-language gate, and a null text field.
+    Q("q136_jsonl_ingest",
+      (s, _) => {
+        requireJsonlFixtures()
+        graft.streaming.CorpusStream.cleanDocs(
+          s.read.schema(graft.streaming.CorpusStream.schema)
+            .json(s"$jsonlFixtureRoot/*.jsonl"))
+          .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+            col("source"), col("lang"), col("lang_pred"), col("n_tokens"),
+            col("content_hash"))
+      },
+      Some(s"""WITH raw AS (SELECT * FROM read_json(
+             |    ['$jsonlFixtureRoot/docs.jsonl', '$jsonlFixtureRoot/docs2.jsonl'],
+             |    columns = {doc_id: 'BIGINT', ts: 'TIMESTAMP', text: 'VARCHAR',
+             |               lang: 'VARCHAR', source: 'VARCHAR'})),
+             |norm AS (SELECT doc_id, ts, lang, source,
+             |  regexp_replace(regexp_replace(lower(trim(text)), '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+             |    '  +', ' ', 'g') AS norm_text FROM raw),
+             |scored AS (SELECT *, string_split_regex(trim(norm_text), '\\s+') AS w FROM norm),
+             |langed AS (SELECT *, cast(len(w) AS BIGINT) AS n_tokens,
+             |  CASE WHEN mx = 0 THEN 'und'
+             |       WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |       WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM (
+             |    SELECT *,
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))) AS h_es,
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x))) AS h_fr
+             |    FROM scored)))
+             |SELECT doc_id, epoch_us(ts) AS ts_us, source, lang, lang_pred,
+             |  n_tokens, md5(norm_text) AS content_hash
+             |FROM langed WHERE n_tokens >= 5 AND lang_pred <> 'und'""".stripMargin)),
 
     // Q127 — ordered conversion funnel with a 24h per-step window over
     // the event stream (the sequence-analytics sibling of q42's

@@ -63,4 +63,44 @@ class CorpusSinkSpec extends SparkSpec {
     }
     corpus.unpersist()
   }
+
+  test("compact: row-preserving layout rewrite — file count collapses, batch lineage drops, per-file sort ranges disjoint") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val delta = s"$dir/delta"
+      // a month of tiny micro-batches: 40 batch dirs × ~5 rows
+      (0 until 40).foreach { b =>
+        (b * 5 until b * 5 + 5).map(i => (i.toLong, s"text$i", s"src${i % 3}"))
+          .toDF("doc_id", "text", "source")
+          .coalesce(1).write.parquet(s"$delta/batch=$b")
+      }
+      val before = spark.read.option("basePath", delta).parquet(s"$delta/batch=*")
+      val nBefore = before.count()
+      def parquetFiles(root: String) = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+      }
+      assert(parquetFiles(delta).size >= 40)
+      val compacted = s"$dir/compacted"
+      CorpusSink.compact(spark, delta, compacted, maxRecordsPerFile = 1000L)
+      val after = spark.read.parquet(compacted)
+      // row-preserving by construction, lineage column dropped
+      assert(after.count() === nBefore)
+      assert(!after.columns.contains("batch"))
+      assert(after.select("doc_id").exceptAll(before.select("doc_id")).count() === 0)
+      // the small-files explosion is gone
+      val files = parquetFiles(compacted)
+      assert(files.size < 40 / 2, s"${files.size} files after compaction")
+      // per-file doc_id ranges disjoint (the write()'s range discipline)
+      val ranges = files.map { f =>
+        val d = spark.read.parquet(f.getPath).agg(min("doc_id"), max("doc_id")).head
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.toString)
+        case _ =>
+      }
+    }
+  }
 }
