@@ -58,6 +58,58 @@ object Sketches {
             col("__cnt")).as("est"))
   }
 
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates — the FREQUENCY member of the hash-verifiable sketch
+    * trio (KMV → distinct count, fixed-bin histogram → quantiles, CMS
+    * → per-item frequency). The sketch is a d×w counter matrix; merge
+    * is matrix ADDITION — commutative and associative, so unlike
+    * Misra–Gries the state is order-independent and the whole sketch
+    * reproduces bit-identically in any engine. Hash rows use
+    * md5(i ‖ token) → 48-bit value mod w (the q121 public-hash
+    * discipline), so DuckDB rebuilds the same matrix.
+    *
+    * Estimate(t) = min over the d rows of counter[i][h_i(t)] — an
+    * upper bound on the true count, off only by collisions (≤ εN with
+    * w = ⌈e/ε⌉ at confidence 1−(1/2)^d). Output per probe term:
+    * (term, n_true, cms_est, overestimate) — the exact count is the
+    * audit column; drop it in production and the query never groups by
+    * token, only by the d×w bounded cells.
+    *
+    * Shape: one corpus-grain explode aggregating map-side into ≤ d·w
+    * cells; probes are a #terms-row broadcast joined against the tiny
+    * matrix. */
+  def cmsFrequency(textCol: Column, probeTerms: Seq[String],
+                   d: Int = 4, w: Int = 64)(df: DataFrame): DataFrame = {
+    require(d > 0 && w > 0, s"bad sketch dims d=$d w=$w")
+    require(probeTerms.nonEmpty, "need at least one probe term")
+    import df.sparkSession.implicits._
+    val toks = Staged.stage(df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("__t")))
+    def cell(i: Int, t: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$i|"), t)), 1, 12), 16, 10)
+        .cast("long"), lit(w.toLong))
+    val rows = toks.select(col("__t"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("i"), cell(i, col("__t")).as("c"))): _*)).as("__rc"))
+      .groupBy(col("__rc.i").as("i"), col("__rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val exact = toks.filter(col("__t").isin(probeTerms: _*))
+      .groupBy(col("__t").as("term")).agg(count(lit(1)).as("n_true"))
+    val probes = probeTerms.toDF("term")
+      .select(col("term"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("i"), cell(i, col("term")).as("c"))): _*)).as("__rc"))
+      .select(col("term"), col("__rc.i").as("i"), col("__rc.c").as("c"))
+    probes.join(rows, Seq("i", "c"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+      .join(exact, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        col("cms_est"),
+        (col("cms_est") - coalesce(col("n_true"), lit(0L))).as("overestimate"))
+  }
+
   /** The [[histogramQuantiles]] read-off as a pure driver-side function
     * over a materialized bin→count map — the SAME arithmetic
     * (⌈q·N⌉ rank, in-bin linear interpolation, 4dp round with the

@@ -2971,7 +2971,41 @@ object LlmQueries {
              |SELECT source, cast(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
              |  round((sum(n) - count(*)) * 1.0 / sum(n), 4) + 0.0 AS dup_rate,
              |  cast(sum(tok) - sum(keep) AS BIGINT) AS reclaimable_tokens
-             |FROM h GROUP BY source""".stripMargin))
+             |FROM h GROUP BY source""".stripMargin)),
+
+    // Count–Min sketch frequency estimates: the FREQUENCY member of
+    // the hash-verifiable sketch trio (q121 KMV → distinct, q130
+    // histogram → quantiles, this → per-item frequency). The d×w
+    // counter matrix merges by ADDITION — order-independent, unlike
+    // Misra–Gries — and rows hash via md5(i‖token) mod w (the q121
+    // public-hash discipline), so DuckDB rebuilds the identical matrix
+    // and the min-over-rows read-off cannot diverge. n_true is the
+    // exact audit column; production drops it and never groups by
+    // token — only by the bounded d·w cells.
+    Q("q137_cms_frequency",
+      (s, d) => Sketches.cmsFrequency(col("text"),
+        Seq("spark", "join", "window", "absentword"), 4, 64)(
+        Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT unnest(list_filter(
+             |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+             |  FROM documents),
+             |cells AS (SELECT t, i,
+             |    ('0x' || substr(md5(cast(i AS VARCHAR) || '|' || t), 1, 12))::BIGINT
+             |      % 64 AS c
+             |  FROM toks, range(4) AS r(i)),
+             |m AS (SELECT i, c, count(*) AS n FROM cells GROUP BY 1, 2),
+             |probes AS (SELECT term, i,
+             |    ('0x' || substr(md5(cast(i AS VARCHAR) || '|' || term), 1, 12))::BIGINT
+             |      % 64 AS c
+             |  FROM (VALUES ('spark'), ('join'), ('window'), ('absentword')) AS p(term),
+             |    range(4) AS r(i)),
+             |est AS (SELECT term, min(coalesce(m.n, 0)) AS cms_est
+             |  FROM probes LEFT JOIN m USING (i, c) GROUP BY term),
+             |exact AS (SELECT t AS term, count(*) AS n_true FROM toks
+             |  WHERE t IN ('spark', 'join', 'window', 'absentword') GROUP BY 1)
+             |SELECT term, coalesce(n_true, 0) AS n_true, cms_est,
+             |  cms_est - coalesce(n_true, 0) AS overestimate
+             |FROM est LEFT JOIN exact USING (term)""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and

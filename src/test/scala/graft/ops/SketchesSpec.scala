@@ -47,6 +47,47 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("cmsFrequency: never underestimates; exact when collision-free; deeper sketch tightens a forced collision") {
+    val docs = (Seq.fill(30)("alpha") ++ Seq.fill(7)("beta") ++
+      (1 to 50).map(i => s"noise$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(d: Int, w: Int) = Staged.withStaged {
+      Sketches.cmsFrequency(col("text"), Seq("alpha", "beta", "ghost"), d, w)(docs)
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    }
+    // a roomy sketch: estimates exact, ghost stays zero or tiny
+    val roomy = run(4, 256)
+    assert(roomy("alpha") === (("alpha", 30L, 30L, 0L)))
+    assert(roomy("beta") === (("beta", 7L, 7L, 0L)))
+    assert(roomy("ghost")._2 === 0L)
+    // a 1-row 2-cell sketch FORCES collisions among 52 distinct tokens:
+    // estimates stay upper bounds, and at least one probe overestimates
+    val tiny = run(1, 2)
+    Seq("alpha", "beta", "ghost").foreach { t =>
+      assert(tiny(t)._3 >= tiny(t)._2, s"$t underestimated: ${tiny(t)}")
+    }
+    assert(tiny.values.map(_._4).sum > 0, s"no collision in a 2-cell sketch: $tiny")
+    // depth can only tighten: min over more rows is never larger
+    val deeper = run(4, 2)
+    Seq("alpha", "beta", "ghost").foreach { t =>
+      assert(deeper(t)._3 <= tiny(t)._3, s"$t loosened with depth: ${deeper(t)} vs ${tiny(t)}")
+      assert(deeper(t)._3 >= deeper(t)._2)
+    }
+  }
+
+  test("cmsFrequency: partition-invariant (matrix addition is order-free)") {
+    val docs = (1L to 200L).map(i => (i, s"tok${i % 23} tok${i % 7}")).toDF("doc_id", "text")
+    val a = Staged.withStaged {
+      Sketches.cmsFrequency(col("text"), Seq("tok1", "tok5"), 3, 16)(docs.coalesce(1))
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    val b = Staged.withStaged {
+      Sketches.cmsFrequency(col("text"), Seq("tok1", "tok5"), 3, 16)(docs.repartition(9))
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    assert(a === b)
+  }
+
   test("histogramQuantiles: a narrower bin tightens the estimate toward the exact rank value") {
     val rows = (1L to 1000L).map(v => ("k", v))
     def estAt(width: Long): Double = Staged.withStaged {
