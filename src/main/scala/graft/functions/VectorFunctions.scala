@@ -73,6 +73,43 @@ object VectorFunctions {
         lit(0.0), (acc, x) => acc + x)
     }: _*)
 
+  /** Johnson–Lindenstrauss sign-matrix projection to `k` dimensions
+    * (Achlioptas 2003: ±1 entries preserve pairwise distances like
+    * Gaussian ones, within (1±ε) for k = O(ln n / ε²)) — the cheap
+    * dimensionality reduction an embedding pipeline runs before
+    * storing/indexing when 64 dims of float cost more than the recall
+    * they buy. Deterministic with NO stored model: sign(j, i) is the
+    * high bit of md5("j|i") (portable to any engine, the q121/q137
+    * public-hash discipline), and each component is an exact INTEGER
+    * sum of ×10⁴-quantized inputs (order-free) with one final
+    * /10⁴/√k float chain — so the projection is bit-identical
+    * cross-engine. Scale: a pure per-row projection — no shuffle, no
+    * broadcast, nothing scales with corpus size. */
+  def jlProject(vec: Column, k: Int): Column = {
+    val scale = math.sqrt(k.toDouble)
+    transform(jlProjectQ(vec, k), q => q.cast("double") / 10000.0 / scale)
+  }
+
+  /** [[jlProject]]'s exact INTEGER form: component j is the ×10⁴-
+    * quantized signed sum itself, in units of 10⁻⁴·√k — no float
+    * division, no rounding, so the value is the same BIGINT in any
+    * engine (a 4dp re-round of the float form sits exactly on .5
+    * boundaries whenever the sum isn't divisible by √k·10⁴ — this form
+    * is what a hash-verifying oracle should compare). Linear maps
+    * preserve distance ratios under any fixed scale, so ANN/dedup
+    * consumers can use the integer form directly. */
+  def jlProjectQ(vec: Column, k: Int): Column = {
+    require(k > 0, s"k must be positive: $k")
+    array((0 until k).map { j =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => round(x.cast("double") * 10000).cast("long") *
+            when(substring(md5(concat(lit(s"$j|"), i.cast("string"))), 1, 1) >= "8",
+              1L).otherwise(-1L)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
   private def bucketOf(projs: Column, nBits: Int): Column =
     aggregate(
       zip_with(projs, sequence(lit(0), lit(nBits - 1)),

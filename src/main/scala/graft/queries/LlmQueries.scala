@@ -3005,7 +3005,31 @@ object LlmQueries {
              |  WHERE t IN ('spark', 'join', 'window', 'absentword') GROUP BY 1)
              |SELECT term, coalesce(n_true, 0) AS n_true, cms_est,
              |  cms_est - coalesce(n_true, 0) AS overestimate
-             |FROM est LEFT JOIN exact USING (term)""".stripMargin))
+             |FROM est LEFT JOIN exact USING (term)""".stripMargin)),
+
+    // Johnson–Lindenstrauss sign projection: 64-dim embeddings → 16
+    // dims via a ±1 matrix whose signs are the high bit of md5("j|i")
+    // — cheap model-free dimensionality reduction before storage or
+    // indexing. Components are emitted in the EXACT integer form
+    // (×10⁴-quantized signed sums, units 10⁻⁴·√k): a 4dp re-round of
+    // the float form sits exactly on .5 boundaries whenever the sum
+    // isn't divisible by √k·10⁴, so the oracle compares the BIGINT the
+    // engines can agree on — linear maps preserve distance ratios
+    // under any fixed scale. Exploded to (vec_id, dim) grain.
+    Q("q138_jl_projection",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(VectorFunctions.jlProjectQ(col("embedding"), 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("projq")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT vec_id, j,
+             |  cast(sum(cast(round(v[i+1] * 10000) AS BIGINT) *
+             |      CASE WHEN substr(md5(cast(j AS VARCHAR) || '|' || cast(i AS VARCHAR)), 1, 1)
+             |        >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS projq
+             |FROM e, range(16) AS rj(j), range(64) AS ri(i)
+             |WHERE i < len(v)
+             |GROUP BY vec_id, j""".stripMargin))
   )
 
   /** Transitive closure + min over the reachable set — shared by q61 and
