@@ -132,10 +132,15 @@ class SimilaritySpec extends SparkSpec {
     // CORRECTNESS entries for q30/q35 can't express
     val rec = graft.SparkEntry.queries("q50_ann_recall")(spark, "/root/testdata/sf0.01")
       .select("method", "recall").as[(String, Double)].collect().toMap
-    assert(rec.keySet === Set("lsh", "ivf", "ivf_lloyd", "pq", "ivfpq"), rec.toString)
-    assert(rec.values.forall(_ >= 0.6), rec.toString)
+    assert(rec.keySet === Set("lsh", "ivf", "ivf_lloyd", "pq", "ivfpq", "jl16"), rec.toString)
+    assert((rec - "jl16").values.forall(_ >= 0.6), rec.toString)
     // PQ + exact rerank should beat the bucket methods on this corpus
     assert(rec("pq") >= 0.8, rec.toString)
+    // the documented jl16 finding: data-blind sign projection at k=16
+    // collapses fine ranking here (1/√k noise ≫ neighbor margins) while
+    // PQ at the same byte budget stays ≥ 0.8 — pin the ORDER of the gap
+    // so the comparison stays on record
+    assert(rec("jl16") < 0.3 && rec("pq") - rec("jl16") > 0.5, rec.toString)
   }
 
   test("pqEncode: m codes per vector, every code within the codebook, no shuffle") {
