@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches}
+import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches, Spectral}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3046,8 +3046,93 @@ object LlmQueries {
              |        >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS projq
              |FROM e, range(16) AS rj(j), range(64) AS ri(i)
              |WHERE i < len(v)
-             |GROUP BY vec_id, j""".stripMargin))
+             |GROUP BY vec_id, j""".stripMargin)),
+
+    // Dominant principal component by deterministic power iteration —
+    // the spectral member of the embedding-model families (trained:
+    // k-means q124 / PQ q99; model-free: JL q138). Unlike the JL
+    // projection this LOOKS at the data: the direction embedding mass
+    // concentrates in, which "all-but-the-top" (q140) then removes.
+    // Every step is exact integer arithmetic: ×10⁴ quantization, an
+    // integer-rounded mean with positive-operand floor division, the
+    // centered scatter via the one-pass moments identity
+    // A = M − μSᵀ − Sμᵀ + nμμᵀ, and 128-bit-exact mat-vec rounds
+    // (BigInt ≡ HUGEINT) renormalized to ×10⁴ by integer division —
+    // so three iteration rounds reproduce bit-identically in DuckDB
+    // (the q124 "pin the training loop itself" discipline, applied to
+    // spectral training). Sign canonicalized by the largest-|component|
+    // rule. Scale: ONE corpus pass into a d²+d+1-long mergeable state
+    // (map-side partials, vectors never shuffle); the iteration is
+    // O(rounds·d²) driver work on a 33 KB matrix — corpus-independent,
+    // the BPE bounded-driver-loop contract.
+    Q("q139_pc1_power_iteration",
+      (s, d) => Spectral.pc1Deterministic(
+        Tables.embeddings(s, d), "embedding", d = 64, rounds = 3),
+      Some(s"""$pc1OracleCtes
+             |SELECT j AS pos, v AS pc1_q FROM vv""".stripMargin)),
+
+    // "All-but-the-top" embedding post-processing (Mu & Viswanath, ICLR
+    // 2018): center and project out q139's dominant component — the
+    // standard cleanup that makes cosine geometry more discriminative
+    // before ANN/semantic-dedup runs. The residual is emitted SCALED:
+    // rᵢ·D for D = v·v, so the whole apply step is integer
+    // multiply-subtract with NO division and NO rounding anywhere —
+    // there is no arithmetic left for engines to disagree on, and
+    // distance RATIOS are invariant under the fixed scale (divide by
+    // D·10⁴ to recover embedding units). proj_q = c·v is the ×10⁻⁸-
+    // units projection coefficient the audit reads directly. Scale:
+    // apply is a pure per-row projection against broadcast literal μ/v
+    // (a d+d-long model) — zero shuffle at any corpus size.
+    Q("q140_remove_top_component",
+      (s, d) => Spectral.removeTopComponent(
+        Tables.embeddings(s, d), "vec_id", "embedding", d = 64, rounds = 3),
+      Some(s"""$pc1OracleCtes,
+             |dd AS (SELECT CAST(sum(v*v) AS BIGINT) AS d FROM vv),
+             |t AS (SELECT c.vec_id, CAST(sum(c.c * vv.v) AS BIGINT) AS t
+             |  FROM c JOIN vv ON c.i = vv.j GROUP BY 1)
+             |SELECT t.vec_id, t.t AS proj_q,
+             |  array_to_string(list(c.c * dd.d - t.t * vv.v ORDER BY c.i), ',') AS resid_q
+             |FROM c JOIN vv ON c.i = vv.j JOIN t ON c.vec_id = t.vec_id CROSS JOIN dd
+             |GROUP BY t.vec_id, t.t""".stripMargin))
   )
+
+  /** The exact-integer power-iteration pipeline (q139/q140's shared
+    * oracle prefix): quantize → integer mean → centered values → scatter
+    * matrix → md5-seeded start vector → three HUGEINT mat-vec rounds,
+    * each renormalized to ×10⁴ scale by positive-operand integer
+    * division → sign canonicalization. Mirrors
+    * [[graft.ops.Spectral.pc1Quantized]] step for step. */
+  private lazy val pc1OracleCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE len(embedding) = 64),
+      |x AS (SELECT vec_id, i, CAST(round(v[i+1]*10000) AS BIGINT) AS xq
+      |  FROM e, range(64) AS r(i)),
+      |st AS (SELECT i, sum(xq) AS s, count(*) AS n FROM x GROUP BY i),
+      |mu AS (SELECT i, CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+      |  ELSE -((2*(-s) + n) // (2*n)) END AS mu FROM st),
+      |c AS (SELECT x.vec_id, x.i, x.xq - mu.mu AS c FROM x JOIN mu USING (i)),
+      |a AS (SELECT cj.i AS j, ck.i AS k, sum(cj.c * ck.c) AS a
+      |  FROM c cj JOIN c ck ON cj.vec_id = ck.vec_id GROUP BY 1, 2),
+      |v0 AS (SELECT j, CAST(CASE WHEN substr(md5('pc|' || CAST(j AS VARCHAR)), 1, 1) >= '8'
+      |  THEN 10000 ELSE -10000 END AS BIGINT) AS v FROM range(64) AS r(j)),
+      |w1 AS (SELECT a.j, sum(CAST(a.a AS HUGEINT) * v0.v) AS w
+      |  FROM a JOIN v0 ON a.k = v0.j GROUP BY 1),
+      |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+      |v1 AS (SELECT j, CAST(CASE WHEN w >= 0 THEN (w*10000) // m
+      |  ELSE -(((-w)*10000) // m) END AS BIGINT) AS v FROM w1, m1),
+      |w2 AS (SELECT a.j, sum(CAST(a.a AS HUGEINT) * v1.v) AS w
+      |  FROM a JOIN v1 ON a.k = v1.j GROUP BY 1),
+      |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+      |v2 AS (SELECT j, CAST(CASE WHEN w >= 0 THEN (w*10000) // m
+      |  ELSE -(((-w)*10000) // m) END AS BIGINT) AS v FROM w2, m2),
+      |w3 AS (SELECT a.j, sum(CAST(a.a AS HUGEINT) * v2.v) AS w
+      |  FROM a JOIN v2 ON a.k = v2.j GROUP BY 1),
+      |m3 AS (SELECT max(abs(w)) AS m FROM w3),
+      |v3 AS (SELECT j, CAST(CASE WHEN w >= 0 THEN (w*10000) // m
+      |  ELSE -(((-w)*10000) // m) END AS BIGINT) AS v FROM w3, m3),
+      |sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg FROM v3
+      |  ORDER BY abs(v) DESC, j LIMIT 1),
+      |vv AS (SELECT j, CAST(v * sg AS BIGINT) AS v FROM v3, sg)""".stripMargin
 
   /** Transitive closure + min over the reachable set — shared by q61 and
     * q71 (two clustering formulations, one contract). Quadratic closure

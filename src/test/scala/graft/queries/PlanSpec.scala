@@ -480,4 +480,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q139 pc1: the emitted result is the bounded driver model — a LocalTableScan, corpus-independent") {
+    // the corpus-sized work happened in the one-pass moments aggregation
+    // (pinned in SpectralSpec); what the query RETURNS is the d-row model
+    val p = plan("q139_pc1_power_iteration")
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q140 all-but-the-top: pure per-row projection — ZERO Exchange, pruned scan") {
+    val p = plan("q140_remove_top_component")
+    assert(!p.contains("Exchange"), p) // no shuffle, no broadcast join — μ/v are literals
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
 }
