@@ -110,6 +110,28 @@ object Sketches {
         (col("cms_est") - coalesce(col("n_true"), lit(0L))).as("overestimate"))
   }
 
+  /** The CMS cell index as a pure function — the EXACT arithmetic of
+    * [[cmsFrequency]]'s `cell` column (md5 of "i|token", first 12 hex
+    * chars as a 48-bit non-negative long, mod w), so a streaming
+    * monitor holding the d×w counter matrix as keyed state
+    * ([[graft.streaming.CorpusStream.frequencyMonitor]]) fills and
+    * reads the IDENTICAL sketch the batch query builds. */
+  def cmsCell(i: Int, token: String, w: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$token".getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % w).toInt
+  }
+
+  /** Min-over-rows read-off of a row-major d×w counter state for one
+    * term — [[cmsFrequency]]'s `min(coalesce(n, 0))` as a pure
+    * function over materialized state. */
+  def cmsEstimateFromState(state: Array[Long], d: Int, w: Int,
+                           term: String): Long = {
+    require(state.length == d * w, s"state ${state.length} != $d*$w")
+    (0 until d).map(i => state(i * w + cmsCell(i, term, w))).min
+  }
+
   /** The [[histogramQuantiles]] read-off as a pure driver-side function
     * over a materialized bin→count map — the SAME arithmetic
     * (⌈q·N⌉ rank, in-bin linear interpolation, 4dp round with the

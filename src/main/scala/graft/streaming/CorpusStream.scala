@@ -23,6 +23,12 @@ case class SourceLengthQuantiles(source: String, n_docs: Long,
 case class SourceDistinctEstimate(source: String, sketch_n: Long,
                                   kmv_est: Double)
 
+/** One updated reading from [[CorpusStream.frequencyMonitor]]: the
+  * source's token count so far and the Count–Min estimate for each
+  * probe term (same cells, same min read-off as the batch q137). */
+case class SourceTermFrequencies(source: String, n_tokens: Long,
+                                 est: Map[String, Long])
+
 /** Streaming corpus intake: the q62 pipeline's gate stages re-expressed
   * over an unbounded document stream — how a crawl feed enters the
   * training corpus continuously instead of via nightly batches.
@@ -163,6 +169,56 @@ object CorpusStream {
           val n = next.valuesIterator.sum
           def est(q: Double) = graft.ops.Sketches.estimateFromBins(next, binWidth, q)
           SourceLengthQuantiles(source, n, est(0.5), est(0.9), est(0.99))
+      }
+  }
+
+  /** Live per-source term-frequency sketch — the streaming twin of the
+    * q137 Count–Min sketch, completing the intake health quartet
+    * (distinct-shingle KMV, length quantiles, funnel, term frequency):
+    * "how often is this token arriving per feed?" as a continuously
+    * updated reading with bounded state.
+    *
+    * The keyed state IS the sketch: one row-major d×w counter matrix
+    * per source (d·w longs forever, whatever the vocabulary does),
+    * merged with plain addition — the same order-independence that
+    * makes the batch sketch partition-invariant. Cells come from
+    * [[graft.ops.Sketches.cmsCell]], the EXACT arithmetic of the batch
+    * query's cell column, and the read-off is the same min-over-rows —
+    * so after any exactly-once prefix the reading equals q137 over the
+    * delivered rows by shared code, upper-bounds the true count always,
+    * and is exact while the sketch is roomy.
+    *
+    * Like the histogram monitor (and unlike the duplicate-absorbing
+    * KMV), a COUNT sketch is not replay-absorbing — wire it downstream
+    * of [[dedupedDocs]] so within-horizon redeliveries never reach
+    * state; that is the documented intake order anyway. */
+  def frequencyMonitor(docs: DataFrame, probeTerms: Seq[String],
+                       d: Int = 4, w: Int = 64)
+      : org.apache.spark.sql.Dataset[SourceTermFrequencies] = {
+    require(d > 0 && w > 0, s"bad sketch dims d=$d w=$w")
+    require(probeTerms.nonEmpty, "need at least one probe term")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], SourceTermFrequencies](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val next = state.getOption.getOrElse(new Array[Long](d * w))
+          rows.foreach { case (_, tok) =>
+            var i = 0
+            while (i < d) {
+              next(i * w + graft.ops.Sketches.cmsCell(i, tok, w)) += 1L
+              i += 1
+            }
+          }
+          state.update(next)
+          val total = next.view.slice(0, w).sum // row 0 holds every token once
+          SourceTermFrequencies(source, total,
+            probeTerms.map(t => t ->
+              graft.ops.Sketches.cmsEstimateFromState(next, d, w, t)).toMap)
       }
   }
 

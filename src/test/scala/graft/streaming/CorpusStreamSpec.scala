@@ -256,4 +256,41 @@ class CorpusStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("frequencyMonitor: streaming reading equals the batch CMS over the delivered rows, per source") {
+    implicit val sqlCtx = spark.sqlContext
+    val probes = Seq("alpha", "beta", "absentword")
+    // srcA: 'alpha' ×7, 'beta' ×3 across two batches plus filler;
+    // srcB: 'alpha' ×2 only — per-source state must not bleed
+    val a1 = "alpha beta alpha filler1 filler2 alpha beta"
+    val a2 = "alpha alpha filler3 alpha beta alpha filler4"
+    val b1 = "alpha other alpha words here"
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.frequencyMonitor(src.toDF(), probes, d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_monitor")
+      .outputMode("update").start()
+    try {
+      src.addData(doc(1, t(1), a1, "srcA"), doc(2, t(1), b1, "srcB"))
+      q.processAllAvailable()
+      src.addData(doc(3, t(2), a2, "srcA"))
+      q.processAllAvailable()
+      val finals = spark.table("cms_monitor")
+        .select(col("source"), col("n_tokens"), col("est"))
+        .as[(String, Long, Map[String, Long])].collect()
+        .groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+      // the batch q137 operator over the same logical rows, per source
+      def batch(texts: Seq[String]): Map[String, Long] =
+        graft.ops.Sketches.cmsFrequency(col("text"), probes, 4, 64)(
+            texts.zipWithIndex.map { case (tx, i) => (i.toLong, tx) }
+              .toDF("doc_id", "text"))
+          .select("term", "cms_est").as[(String, Long)].collect().toMap
+      assert(finals("srcA")._2 === 14L)
+      assert(finals("srcB")._2 === 5L)
+      assert(finals("srcA")._3 === batch(Seq(a1, a2)))
+      assert(finals("srcB")._3 === batch(Seq(b1)))
+      // sketch semantics carry over: never an underestimate, exact when roomy
+      assert(finals("srcA")._3("alpha") >= 7L)
+      assert(finals("srcB")._3("absentword") >= 0L)
+    } finally q.stop()
+  }
 }
