@@ -3093,7 +3093,60 @@ object LlmQueries {
              |SELECT t.vec_id, t.t AS proj_q,
              |  array_to_string(list(c.c * dd.d - t.t * vv.v ORDER BY c.i), ',') AS resid_q
              |FROM c JOIN vv ON c.i = vv.j JOIN t ON c.vec_id = t.vec_id CROSS JOIN dd
-             |GROUP BY t.vec_id, t.t""".stripMargin))
+             |GROUP BY t.vec_id, t.t""".stripMargin)),
+
+    // Graph-centrality document scoring: three pinned PageRank rounds
+    // over the q26 near-dup pair graph — "how CONNECTED is this
+    // document?" as a curation signal (the most central variant of a
+    // duplicate neighborhood is the canonical one; at web scale the
+    // same iteration over a link graph is the classic crawl-quality
+    // prior, Page et al. 1999 / Common Crawl's host ranking). Ranks
+    // are ×10⁶ BIGINTs and each round is base + (85·Σ(r div deg)) div
+    // 100 with positive-operand floor division only — both engines
+    // truncate identically, so the training loop itself hash-checks
+    // (the q124/q139 discipline). Isolated documents settle at base.
+    // Scale: per round one node-grain join + one edge-grain shuffle,
+    // cost ∝ |E|; the symmetrized edges and degrees are staged once.
+    Q("q141_pagerank_centrality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Centrality.pageRankQuantized(
+          docs, docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+          "doc_id", "doc_a", "doc_b", rounds = 3)
+          .select(col("node").as("doc_id"), col("rank_q"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |p AS (SELECT doc_a, doc_b
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+             |  UNION ALL SELECT doc_b, doc_a FROM p),
+             |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+             |nodes AS (SELECT doc_id AS node FROM documents),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |r1 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r0 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node)),
+             |r2 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r1 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node)),
+             |r3 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r2 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node))
+             |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
