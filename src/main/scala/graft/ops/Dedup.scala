@@ -148,6 +148,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         Num.roundz(col("__c"), 4).as("containment"))
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * shingles whose FIRST occurrence (min doc id = ingest order) is in
+    * that document — the "is this recombined already-seen content?"
+    * curation signal. A crawl's Nth copy of a template scores ~0 even
+    * when no single pair crosses a Jaccard threshold, which is exactly
+    * the mass-duplication case pairwise near-dup misses; it is the
+    * scoring twin of keep-first passage dedup (q72 rewrites, this
+    * measures).
+    *
+    * Plan: distinct shingle rows → one shingle-grain groupBy for the
+    * global first-occurrence (map-side partial min) → join back on the
+    * staged shingle table → per-doc counts. Two corpus-grain shuffles,
+    * NO pair join — strictly cheaper than the q26 family, no maxDf cap
+    * needed because nothing fans out quadratically. Documents shorter
+    * than n tokens have no shingles and no row (both engines drop them
+    * identically). Output: (doc_id, n_shingles, n_novel, novelty 4dp). */
+  def noveltyScores(idCol: String, textCol: String, n: Int,
+                    tokensCol: Option[String] = None)(df: DataFrame): DataFrame = {
+    val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
+    val first = sh.groupBy("shingle").agg(min("doc").as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        Num.roundz(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Shared inverted-index core of the set-overlap pair family: exploded
     * distinct shingles → maxDf cap → self equi-join on shingle (only docs
     * sharing ≥1 surviving shingle ever meet) → per-pair intersection

@@ -3146,7 +3146,31 @@ object LlmQueries {
              |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
              |    FROM edges e JOIN r2 r ON e.u = r.node JOIN deg d ON e.u = d.u
              |    GROUP BY 1) i USING (node))
-             |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin))
+             |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin)),
+
+    // Per-document n-gram novelty: fraction of a doc's distinct
+    // 3-shingles first seen (min doc id = ingest order) in that doc —
+    // the "recombined already-seen content" signal mass template
+    // duplication produces without any single pair crossing a Jaccard
+    // threshold; the scoring twin of keep-first passage dedup (q72
+    // rewrites, this measures). One shingle-grain groupBy (map-side
+    // partial min) + one join back on the staged shingle table — NO
+    // pair join, strictly cheaper than the q26 family. Ratio is a
+    // single division of exact integers through the Num.roundz
+    // discipline.
+    Q("q142_ngram_novelty",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.noveltyScores("doc_id", "text", 3)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |f AS (SELECT shingle, min(doc) AS first_doc FROM sh GROUP BY 1)
+             |SELECT sh.doc AS doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  round(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) * 1.0
+             |    / count(*), 4) + 0.0 AS novelty
+             |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -642,4 +642,37 @@ class DedupSpec extends SparkSpec {
     }
     assert(strict === Map(1L -> 8L, 2L -> 8L))
   }
+
+  test("noveltyScores: first carrier scores 1, a copy scores 0, a recombination scores low with no pair above threshold") {
+    // doc 1: 8 novel shingles; doc 2: exact copy (all shingles first
+    // seen in doc 1); doc 3: one fresh half + one half lifted from doc
+    // 1 — the mass-duplication shape; doc 4: too short for a 3-shingle
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val fresh = (1 to 6).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a),
+      (3L, fresh + " " + (1 to 5).map(i => s"a$i").mkString(" ")),
+      (4L, "only two")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.noveltyScores("doc_id", "text", 3))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+    }
+    assert(out(1L)._3 === 1.0) // every shingle first seen here
+    assert(out(2L)._3 === 0.0) // pure copy: zero novelty
+    // doc 3: shingles inside the fresh half and straddling the seam are
+    // new; the a1..a5 interior shingles (a1 a2 a3, a2 a3 a4, a3 a4 a5)
+    // were first seen in doc 1
+    assert(out(3L)._2 === out(3L)._1 - 3)
+    assert(out(3L)._3 < 1.0 && out(3L)._3 > 0.5)
+    assert(!out.contains(4L)) // < n tokens: no shingles, no row
+    // and the pairwise view genuinely misses doc 3 at a 0.5 threshold:
+    // its Jaccard against doc 1 is 3/(8+9-3) < 0.5
+    val pairs = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.5))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(pairs === Set((1L, 2L)))
+  }
 }
