@@ -81,4 +81,32 @@ object Retrieval {
       .limit(k)
       .drop("__s")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of ranked candidate lists — THE standard hybrid-retrieval
+    * combiner: keyword (BM25) + vector (ANN) lists, or relevance +
+    * authority (PageRank), fuse by rank alone so wildly different score
+    * scales need no calibration. Each list contributes
+    * `num div (rrfK + rank)` — the RRF 1/(k+r) term as a positive-
+    * operand integer floor division (×10⁸ scale), so the fused score is
+    * an exact BIGINT sum any engine reproduces; cuts and ties resolve
+    * on (score desc, id).
+    *
+    * Contract: every input list carries `idCol` and a 1-based `rank`
+    * column (long). Lists are k-row CANDIDATE SETS, not corpora — the
+    * union/aggregate below runs on #lists·k rows however large the
+    * corpus that produced them, and the final cut is a
+    * TakeOrderedAndProject. Output: (id, n_lists, rrf_q). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+              rrfK: Int = 60, num: Long = 100000000L): DataFrame = {
+    require(lists.size >= 2, s"fusion needs >= 2 lists, got ${lists.size}")
+    require(k > 0 && rrfK >= 0 && num > 0, s"bad parameters k=$k rrfK=$rrfK num=$num")
+    lists.map(_.select(col(idCol),
+        expr(s"${num}L div (${rrfK}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -3170,7 +3170,96 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
              |  round(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) * 1.0
              |    / count(*), 4) + 0.0 AS novelty
-             |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin))
+             |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin)),
+
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    // BM25 relevance for a keyword query fused with PageRank authority
+    // — the classic relevance×authority composition, used in curation
+    // to pick CANONICAL on-topic documents. Fusion is rank-only (no
+    // score calibration across wildly different scales): each list
+    // contributes 10⁸ div (60 + rank), positive-operand integer floor
+    // division, so the fused score is an exact BIGINT sum. The rank
+    // windows run over k-row candidate LISTS (bounded, never the
+    // corpus) and the final cut is a TakeOrderedAndProject; ties
+    // resolve on (score, id) in both engines.
+    Q("q143_rrf_hybrid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bm = docs.transform(Retrieval.bm25TopK("doc_id", "text",
+            Seq("spark", "join", "window"), 20))
+          // single-partition window is fine HERE: the list is ≤ k rows
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select("doc_id", "rank")
+        val cent = graft.ops.Centrality.pageRankQuantized(
+            docs, docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+            "doc_id", "doc_a", "doc_b", rounds = 3)
+          .orderBy(col("rank_q").desc, col("node")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rank_q").desc, col("node"))).cast("long"))
+          .select(col("node").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(bm, cent), "doc_id", 10)
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |dl AS (SELECT doc_id, w, cast(len(w) AS BIGINT) AS dl FROM docs),
+             |corpus AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+             |    SELECT doc_id, dl, unnest(w) AS term FROM dl)
+             |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+             |idf AS (SELECT term,
+             |    cast(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 10000)
+             |      AS BIGINT) AS idfq,
+             |    t * 1.0 / n AS avgdl
+             |  FROM (SELECT term, count(DISTINCT doc_id) AS df
+             |        FROM tf GROUP BY 1), corpus),
+             |scored AS (SELECT tf.doc_id,
+             |    cast(round(idf.idfq * ((tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1 - 0.75) + (1.2 * 0.75) * tf.dl / idf.avgdl)))
+             |      AS BIGINT) AS sq
+             |  FROM tf JOIN idf USING (term)),
+             |bm AS (SELECT doc_id, round(sum(sq) / 10000.0, 4) + 0.0 AS score
+             |  FROM scored GROUP BY doc_id ORDER BY sum(sq) DESC, doc_id LIMIT 20),
+             |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM bm),
+             |sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |p AS (SELECT doc_a, doc_b
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+             |  UNION ALL SELECT doc_b, doc_a FROM p),
+             |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+             |nodes AS (SELECT doc_id AS node FROM documents),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |r1 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r0 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node)),
+             |r2 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r1 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node)),
+             |r3 AS (SELECT n.node, 150000 + (85 * coalesce(i.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN (SELECT e.v AS node,
+             |      CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             |    FROM edges e JOIN r2 r ON e.u = r.node JOIN deg d ON e.u = d.u
+             |    GROUP BY 1) i USING (node)),
+             |ct AS (SELECT node AS doc_id, r FROM r3 ORDER BY r DESC, node LIMIT 20),
+             |cr AS (SELECT doc_id, row_number() OVER (ORDER BY r DESC, doc_id) AS rank
+             |  FROM ct),
+             |u AS (SELECT doc_id, 100000000 // (60 + rank) AS c FROM bmr
+             |  UNION ALL SELECT doc_id, 100000000 // (60 + rank) AS c FROM cr)
+             |SELECT doc_id, count(*) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_q
+             |FROM u GROUP BY doc_id ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

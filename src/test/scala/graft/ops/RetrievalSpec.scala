@@ -63,4 +63,29 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(a === b)
   }
+
+  test("rrfFuse: closed-form fused scores, consensus wins, k cut on (score, id)") {
+    def list(rs: (Long, Long)*) = rs.toSeq.toDF("doc_id", "rank")
+    // list A ranks 10,11,12; list B ranks 11,13,12 — doc 11 is the
+    // consensus pick despite topping neither list
+    val a = list(10L -> 1L, 11L -> 2L, 12L -> 3L)
+    val b = list(11L -> 1L, 13L -> 2L, 12L -> 3L)
+    val out = Retrieval.rrfFuse(Seq(a, b), "doc_id", k = 10)
+      .as[(Long, Long, Long)].collect()
+    def c(r: Long) = 100000000L / (60L + r)
+    val expected = Map(
+      10L -> (1L, c(1)), 11L -> (2L, c(2) + c(1)),
+      12L -> (2L, c(3) + c(3)), 13L -> (1L, c(2)))
+    assert(out.map(r => r._1 -> (r._2, r._3)).toMap === expected)
+    // consensus ordering: 11 (both lists) > 12 (both, lower) > 10 = top
+    // of one list only
+    assert(out.map(_._1).toSeq === Seq(11L, 12L, 10L, 13L))
+    // k cut with id tiebreak: docs 10 and 13... make an exact tie
+    val t1 = list(1L -> 1L, 3L -> 2L)
+    val t2 = list(2L -> 1L, 4L -> 2L)
+    val cut = Retrieval.rrfFuse(Seq(t1, t2), "doc_id", k = 3)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq
+    // scores tie pairwise (1,2) and (3,4): id breaks both; k=3 keeps 1,2,3
+    assert(cut === Seq(1L, 2L, 3L))
+  }
 }
