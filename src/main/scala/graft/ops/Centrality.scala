@@ -44,9 +44,14 @@ object Centrality {
     require(damp >= 0 && damp <= 100, s"damp must be a percentage: $damp")
     require(scale > 0, s"scale must be positive: $scale")
     val base = (scale * (100 - damp)) / 100
+    // stage the PAIR list before symmetrizing: the union's two branches
+    // would otherwise each evaluate the upstream edge producer (a near-dup
+    // pair join is corpus-grain work) — measured 2× the whole pair cost
+    // at sf0.1 before this split
+    val pair = Staged.stage(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
     val dir = Staged.stage(
-      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-        .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))))
+      pair.union(pair.select(col("v").as("u"), col("u").as("v"))))
     val deg = Staged.stage(dir.groupBy("u").agg(count(lit(1)).as("deg")))
     val ns = nodes.select(col(nodeCol).as("node"))
     var ranks = ns.select(col("node"), lit(scale).as("r"))
