@@ -1049,4 +1049,28 @@ object Similarity {
       .select(col("centroid_id"), col("rk"), col("term"), col("tf"),
         graft.functions.Num.round4(col("__score") / 10000.0).as("ctfidf"))
   }
+
+  /** IVF index health audit (q144): per-cell occupancy of the
+    * deterministic cell assignment plus the two readings an index
+    * operator actually watches — `share_bp` (basis points of the corpus
+    * in this cell) and `load_q` (×10⁴ load factor vs perfect balance;
+    * 10⁴ = ideal, the max over cells IS the worst-case probe-cost
+    * multiplier, since IVF probe latency is proportional to probed-cell
+    * size). Both are positive-operand integer floor divisions of exact
+    * counts — nothing to drift cross-engine.
+    *
+    * Scale: the corpus-sized work is the zero-Exchange broadcast-pack
+    * assignment projecting straight into a #cells-grain count (map-side
+    * partials; vectors never shuffle); everything after runs on the
+    * #cells-row occupancy table with a one-row broadcast total. */
+  def indexBalanceAudit(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val occ = assignCellsRounded(corpus, idCol, vecCol, centroids)
+      .groupBy(col("centroid_id").as("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum("n_vecs").as("__t"), count(lit(1)).as("__k"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(n_vecs * 10000) div __t").as("share_bp"),
+        expr("(n_vecs * __k * 10000) div __t").as("load_q"))
+  }
 }

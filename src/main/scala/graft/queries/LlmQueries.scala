@@ -3259,7 +3259,39 @@ object LlmQueries {
              |u AS (SELECT doc_id, 100000000 // (60 + rank) AS c FROM bmr
              |  UNION ALL SELECT doc_id, 100000000 // (60 + rank) AS c FROM cr)
              |SELECT doc_id, count(*) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_q
-             |FROM u GROUP BY doc_id ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin))
+             |FROM u GROUP BY doc_id ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // IVF index health audit: per-cell occupancy of the deterministic
+    // cell assignment plus share (basis points) and ×10⁴ load factor —
+    // max(load_q) IS the worst-case probe-cost multiplier, since IVF
+    // probe latency ∝ probed-cell size; the reading an index operator
+    // watches before deciding to re-train centroids or split a hot
+    // cell. Corpus-sized work is the zero-Exchange broadcast-pack
+    // assignment straight into a #cells-grain count; the audit math is
+    // positive-operand integer division on the #cells-row table.
+    Q("q144_index_balance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.indexBalanceAudit(e, "vec_id", "embedding",
+          Similarity.md5SeededCentroids(e, "vec_id", "embedding", 8))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |scored AS (SELECT e.vec_id, c.cid,
+             |    round(list_dot_product(e.v, c.cv) /
+             |      (sqrt(list_dot_product(e.v, e.v)) *
+             |       sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0 AS cs
+             |  FROM e CROSS JOIN cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+             |occ AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+             |    count(*) AS k FROM occ)
+             |SELECT cell, n_vecs, (n_vecs * 10000) // t AS share_bp,
+             |  (n_vecs * k * 10000) // t AS load_q
+             |FROM occ, tot""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

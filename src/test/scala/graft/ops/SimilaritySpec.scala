@@ -337,6 +337,37 @@ class SimilaritySpec extends SparkSpec {
     groupB.foreach(i => assert(m(i) === seedB, s"vec $i: ${m(i)} != $seedB"))
   }
 
+  test("indexBalanceAudit: counts conserve, loads read imbalance, balanced cells sit at 10^4") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    // two direction groups with a 6:2 skew; seeds adaptively one per
+    // group (the kmeans-spec trick) so both cells are live
+    val ids = (1L to 8L).toSeq
+    val order = ids.sortBy(i => (md5hex(i.toString), i))
+    val (seedA, seedB) = (order(0), order(1))
+    val hot = Seq(seedA) ++ order.drop(2).take(5) // 6 vectors → hot cell
+    val cold = Seq(seedB) ++ order.drop(7)        // 2 vectors
+    val vecs = hot.map((_, Seq(1.0f, 0.0f))) ++ cold.map((_, Seq(0.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.indexBalanceAudit(df, "vec_id", "embedding",
+        Similarity.md5SeededCentroids(df, "vec_id", "embedding", 2))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.values.map(_._2).sum === 8L)            // occupancy conserves
+    assert(out(seedA)._2 === 6L && out(seedB)._2 === 2L)
+    assert(out(seedA)._3 === 7500L && out(seedB)._3 === 2500L) // share_bp
+    // load: 6·2·10⁴/8 = 15000 (1.5× probe cost), 2·2·10⁴/8 = 5000
+    assert(out(seedA)._4 === 15000L && out(seedB)._4 === 5000L)
+    // a perfectly balanced split reads exactly 10⁴ everywhere
+    val bal = (Seq(seedA) ++ order.drop(2).take(3)).map((_, Seq(1.0f, 0.0f))) ++
+      (Seq(seedB) ++ order.drop(5).take(3)).map((_, Seq(0.0f, 1.0f)))
+    val bdf = bal.toDF("vec_id", "embedding")
+    val bout = Similarity.indexBalanceAudit(bdf, "vec_id", "embedding",
+        Similarity.md5SeededCentroids(bdf, "vec_id", "embedding", 2))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bout.forall(_._4 === 10000L))
+  }
+
   test("ivfHardNegativesDeterministic ≡ unfiltered search over the label-complement slice; no neighbor shares the query's label") {
     import org.apache.spark.sql.functions._
     val labeled = Seq(
