@@ -93,4 +93,49 @@ object EventAnalytics {
           max(when(col("offset_d") === 0, col("n_active"))).over(
             Window.partitionBy("cohort_d"))))
   }
+
+  /** Windowed rate-anomaly detection: per (type, time bucket), flag
+    * counts whose deviation from the trailing-window mean exceeds k
+    * standard deviations — the volume-spike/drop monitor an event
+    * intake runs continuously. The z-test is EXACT INTEGER arithmetic:
+    * with W trailing buckets of sum S and sum-of-squares Q,
+    *   z² > k²  ⟺  (n·W − S)² > k²·(W·Q − S²)
+    * — no division, no sqrt, no floats, so the flag cannot drift
+    * cross-engine (the q140 no-arithmetic-left discipline applied to a
+    * statistical test). A zero-variance window (constant rate) flags on
+    * ANY deviation, which the inequality encodes naturally.
+    *
+    * The trailing frame is over OBSERVED buckets (`ROWS BETWEEN`):
+    * gaps collapse, which is the behavior you want on sparse types;
+    * densify against a bucket spine first if strict wall-clock windows
+    * matter. Scale: one (type, bucket)-grain aggregate with map-side
+    * partials, then per-type windows over the #types·#buckets matrix —
+    * never the event table. Output: (event_type, bucket, n, w,
+    * z2_num, z2_den, anomaly 0/1), rows with w < minTrailing withheld
+    * (cold-start buckets have no baseline to test against). */
+  def rateAnomalies(tsCol: String, typeCol: String,
+                    bucketUs: Long = 3600000000L, trailing: Int = 24,
+                    k2: Long = 9L, minTrailing: Int = 6)
+                   (events: DataFrame): DataFrame = {
+    require(bucketUs > 0 && trailing > 0 && k2 >= 0 && minTrailing >= 1,
+      s"bad parameters bucketUs=$bucketUs trailing=$trailing k2=$k2 minTrailing=$minTrailing")
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("w", count(lit(1)).over(w))
+      .withColumn("__s", sum("n").over(w))
+      .withColumn("__q", sum(col("n") * col("n")).over(w))
+      .filter(col("w") >= minTrailing)
+      .withColumn("__dev", col("n") * col("w") - col("__s"))
+      .select(col("event_type"), col("bucket"), col("n"), col("w"),
+        (col("__dev") * col("__dev")).as("z2_num"),
+        (col("w") * col("__q") - col("__s") * col("__s")).as("z2_den"),
+        when(col("__dev") * col("__dev") >
+            lit(k2) * (col("w") * col("__q") - col("__s") * col("__s")), 1L)
+          .otherwise(0L).as("anomaly"))
+  }
 }

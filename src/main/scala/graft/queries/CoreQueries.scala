@@ -864,6 +864,33 @@ object CoreQueries {
              |  cast(offset_d AS BIGINT) AS offset_d, n_active,
              |  round(n_active*1.0 / max(CASE WHEN offset_d = 0 THEN n_active END)
              |    OVER (PARTITION BY cohort_d), 4) + 0.0 AS retention
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Windowed rate-anomaly detection: per (event_type, hour bucket),
+    // flag counts deviating > 3σ from the trailing-24-bucket mean —
+    // the volume spike/drop monitor an event intake runs continuously.
+    // The z-test is exact integer arithmetic (z² > k² ⟺ (nW−S)² >
+    // k²(WQ−S²): no division, no sqrt, no floats — the q140
+    // no-arithmetic-left discipline applied to a statistical test);
+    // zero-variance windows flag on any deviation by the same
+    // inequality. One (type, bucket)-grain aggregate with map-side
+    // partials; windows run over the #types·#buckets matrix, never
+    // the event table; cold-start buckets (w < 6) withheld.
+    Q("q145_rate_anomalies",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.rateAnomalies("ts", "event_type")),
+      Some("""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, bucket, n,
+             |    count(*) OVER w AS w, sum(n) OVER w AS s, sum(n*n) OVER w AS q
+             |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, bucket, n, w,
+             |  CAST((n*w - s)*(n*w - s) AS BIGINT) AS z2_num,
+             |  CAST(w*q - s*s AS BIGINT) AS z2_den,
+             |  CAST(CASE WHEN (n*w - s)*(n*w - s) > 9*(w*q - s*s)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+             |FROM t WHERE w >= 6""".stripMargin))
   )
 }

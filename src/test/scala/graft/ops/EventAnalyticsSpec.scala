@@ -74,4 +74,35 @@ class EventAnalyticsSpec extends SparkSpec {
       (d0 + 1, 0L, 1L, 1.0),
       (d0 + 1, 1L, 1L, 1.0)))
   }
+
+  test("rateAnomalies: spike flags at >3σ, steady rate doesn't, zero-variance flags any deviation, cold start withheld") {
+    // type 'a': 10 hours at n=4 with ±1 jitter, then a spike of 40;
+    // type 'z': constant 5 for 8 hours, then 6 (zero variance → any
+    // deviation flags)
+    val aCounts = Seq(4, 5, 3, 4, 5, 3, 4, 5, 3, 4, 40)
+    val rows =
+      aCounts.zipWithIndex.flatMap { case (n, h) =>
+        (1 to n).map(i => (i.toLong, f"2024-01-01 $h%02d:10:00", "a")) } ++
+      (0 until 9).map(h => (1L, f"2024-01-01 $h%02d:20:00", "z")).flatMap {
+        case (u, t, ty) => Seq.fill(if (t.contains("08:")) 6 else 5)((u, t, ty)) }
+    val out = ev(rows).transform(EventAnalytics.rateAnomalies("ts", "event_type"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // type a: 11 buckets, first 6 withheld (w < 6) → rows for h6..h10
+    val a = out("a")
+    assert(a.length === 5)
+    assert(a.init.forall(_._7 === 0L), "steady jitter must not flag")
+    val spike = a.last
+    assert(spike._3 === 40L && spike._7 === 1L, s"spike row $spike")
+    // closed form at the spike: W=10 trailing counts sum S=40, Q=166
+    // → dev = 40·10 − 40 = 360; z2_num = 129600; z2_den = 10·166−1600 = 60
+    assert((spike._4, spike._5, spike._6) === ((10L, 129600L, 60L)))
+    // type z: 9 buckets → rows h6..h8; h6/h7 steady at the constant
+    // rate, h8 deviates by 1 on zero variance → flags
+    val z = out("z")
+    assert(z.length === 3)
+    assert(z.take(2).forall(r => r._6 === 0L && r._7 === 0L), "constant rate: zero variance, no flag")
+    assert(z.last._3 === 6L && z.last._6 === 0L && z.last._7 === 1L,
+      s"zero-variance deviation must flag: ${z.last}")
+  }
 }
