@@ -138,4 +138,29 @@ object EventAnalytics {
             lit(k2) * (col("w") * col("__q") - col("__s") * col("__s")), 1L)
           .otherwise(0L).as("anomaly"))
   }
+
+  /** The [[rateAnomalies]] read-off for ONE bucket as a pure function
+    * over a materialized bucket→count map — the SAME arithmetic (last
+    * `trailing` observed buckets before it, exact integer z² test), so
+    * a streaming monitor holding the map as keyed state
+    * ([[graft.streaming.EventStream.rateMonitor]]) reads off exactly
+    * what the batch query computes for that bucket. Returns None below
+    * `minTrailing` (the batch query withholds those rows). */
+  def anomalyReadingFromBuckets(buckets: Map[Long, Long], bucket: Long,
+                                trailing: Int = 24, k2: Long = 9L,
+                                minTrailing: Int = 6)
+      : Option[(Long, Long, Long, Long, Long)] = {
+    val n = buckets(bucket)
+    val trail = buckets.keys.filter(_ < bucket).toSeq.sorted
+      .takeRight(trailing).map(buckets)
+    val w = trail.size.toLong
+    if (w < minTrailing) None
+    else {
+      val s = trail.sum
+      val q = trail.map(x => x * x).sum
+      val dev = n * w - s
+      val den = w * q - s * s
+      Some((n, w, dev * dev, den, if (dev * dev > k2 * den) 1L else 0L))
+    }
+  }
 }

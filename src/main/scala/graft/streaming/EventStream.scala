@@ -32,6 +32,14 @@ case class FunnelTimes(times: Seq[Seq[Long]])
   * step's first-reach time (µs, recomputed under the batch DP). */
 case class FunnelProgress(user_id: Long, stage: Long, reached_us: Seq[Long])
 
+/** One updated reading from [[EventStream.rateMonitor]]: the latest
+  * bucket's count, trailing-baseline size, exact-integer z² terms, and
+  * the anomaly flag (all −1-free: w < minTrailing emits zeros with the
+  * actual w so consumers can see the baseline isn't ready yet). */
+case class TypeRateReading(event_type: String, bucket: Long, n: Long,
+                           w: Long, z2_num: Long, z2_den: Long,
+                           anomaly: Long)
+
 /** Structured Streaming ingestion for the `events` table shape
   * (SURVEY §2.10). The reference's only quasi-streaming behavior is
   * GUI-triggered batch polling (reference src/main_01.py:111-126,
@@ -310,4 +318,52 @@ object EventStream {
         fs.delete(old, true)
         ()
       }
+
+  /** Live rate-anomaly monitor — the streaming twin of q145
+    * ([[graft.ops.EventAnalytics.rateAnomalies]]): per event type, the
+    * LATEST bucket's exact-integer z² reading against its trailing
+    * observed-bucket baseline, updated every micro-batch.
+    *
+    * The keyed state IS the bucket histogram: one bucket→count map per
+    * type, bounded by the stream's time span / bucketUs (hours, not
+    * events), merged with plain addition. The read-off re-runs
+    * [[graft.ops.EventAnalytics.anomalyReadingFromBuckets]] — the EXACT
+    * arithmetic of the batch query's window — over the full map, so the
+    * emitted reading equals the batch q145 row for that bucket over the
+    * delivered events by shared code, and out-of-order arrivals into
+    * OLD buckets retroactively correct later readings (the funnel
+    * monitor's sufficient-statistic design, applied to rates). Below
+    * minTrailing the z² terms emit as zeros with the actual w — the
+    * batch query withholds those rows; a monitor shows the warm-up.
+    *
+    * A count sketch is not replay-absorbing: wire it downstream of
+    * [[dedupedEvents]] so at-least-once redeliveries are dropped before
+    * they reach state. */
+  def rateMonitor(events: DataFrame, bucketUs: Long = 3600000000L,
+                  trailing: Int = 24, k2: Long = 9L, minTrailing: Int = 6)
+      : org.apache.spark.sql.Dataset[TypeRateReading] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${bucketUs}L").as("bucket"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], TypeRateReading](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (ty, rows, state) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (m, r) => m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          state.update(next)
+          val latest = next.keys.max
+          graft.ops.EventAnalytics.anomalyReadingFromBuckets(
+              next, latest, trailing, k2, minTrailing) match {
+            case Some((n, w, num, den, an)) =>
+              TypeRateReading(ty, latest, n, w, num, den, an)
+            case None =>
+              TypeRateReading(ty, latest, next(latest),
+                next.keys.count(_ < latest).min(trailing).toLong, 0L, 0L, 0L)
+          }
+      }
+  }
 }

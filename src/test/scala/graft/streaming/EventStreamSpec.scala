@@ -305,4 +305,50 @@ class EventStreamSpec extends SparkSpec {
       assert(out === Map(1L -> 1L, 2L -> 2L))
     } finally q.stop()
   }
+
+  test("rateMonitor: latest-bucket reading equals the batch q145 row; late old-bucket events correct the baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    // type 'a': hours 0..7 at 2 events each, hour 8 spikes to 9 events
+    def burst(h: Int, n: Int, idBase: Long): Seq[Ev] =
+      (1 to n).map(i => Ev(idBase + i, t(h, 5), i.toLong, "a", 0, "{}"))
+    val src = MemoryStream[Ev]
+    val q = EventStream.rateMonitor(src.toDF(), trailing = 24, minTrailing = 6)
+      .writeStream.format("memory").queryName("rate_monitor")
+      .outputMode("update").start()
+    def latestReading: (Long, Long, Long, Long, Long, Long) =
+      spark.table("rate_monitor").filter(col("event_type") === "a")
+        .orderBy(col("bucket").desc)
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().head match { case (_, b, n, w, num, den, an) => (b, n, w, num, den, an) }
+    def batchRow(evs: Seq[Ev], bucket: Long): (Long, Long, Long, Long, Long, Long) =
+      evs.toDF()
+        .transform(graft.ops.EventAnalytics.rateAnomalies("ts", "event_type"))
+        .filter(col("event_type") === "a" && col("bucket") === bucket)
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().head match { case (_, b, n, w, num, den, an) => (b, n, w, num, den, an) }
+    try {
+      // batch 1: hours 0..6 steady, hour 8 spike — hour 7 MISSING (late)
+      val b1 = (0 to 6).flatMap(h => burst(h, 2, h * 100L)) ++ burst(8, 9, 900L)
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      val r1 = latestReading
+      assert(r1 === batchRow(b1, r1._1), "streaming ≡ batch on the prefix")
+      assert(r1._6 === 1L, "9 vs steady 2s must flag")
+      // batch 2: hour 7 arrives LATE with an extreme count (20 events):
+      // it enters the spike's trailing baseline retroactively — variance
+      // explodes, so hour 8 no longer flags; next trigger's reading for
+      // bucket 8 must equal the batch over ALL delivered rows
+      val late = burst(7, 20, 700L)
+      src.addData(late: _*)
+      q.processAllAvailable()
+      val all = b1 ++ late
+      val r2 = spark.table("rate_monitor").filter(col("event_type") === "a")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .filter(r => r._2 == r1._1).maxBy(_._4) // bucket 8, post-correction row
+      val expect = batchRow(all, r1._1)
+      assert((r2._2, r2._3, r2._4, r2._5, r2._6, r2._7) === expect,
+        "late old-bucket data must retroactively correct the baseline")
+      assert(r2._7 === 0L, "exploded variance: spike no longer 3σ")
+    } finally q.stop()
+  }
 }
