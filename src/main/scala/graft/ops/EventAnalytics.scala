@@ -139,6 +139,39 @@ object EventAnalytics {
           .otherwise(0L).as("anomaly"))
   }
 
+  /** SCD2-style status history: read the event stream as a change log
+    * (each event sets its user's current status to its type), collapse
+    * consecutive repeats of the same status, and emit validity
+    * intervals `[valid_from_us, valid_to_us)` — the
+    * snapshot-to-interval build every warehouse runs to answer "what
+    * was X's status at time T" with an as-of probe
+    * ([[graft.ops.AsOfJoin]]) instead of a scan of the raw log. The
+    * open current interval carries a NULL `valid_to_us` and
+    * `is_current = 1`.
+    *
+    * Repeat observations are absorbed into the run's interval (SCD2
+    * collapses no-op changes), so output size is the number of status
+    * CHANGES, typically far below the event count. Ordering inside a
+    * user is (ts, id) — the id tiebreak makes equal instants
+    * deterministic, like the q42 sessionizer's.
+    *
+    * Shape: ONE Exchange on the user key — the repeat-collapse lag
+    * window, the filter, and the interval lead window all run over the
+    * same user partitioning (a Filter preserves its child's
+    * partitioning, so the second Window reuses the first's Exchange). */
+  def statusIntervals(userCol: String, tsCol: String, typeCol: String,
+                      idCol: String)(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col("__us"), col(idCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col(typeCol), 1).over(byUser))
+      .filter(col("__prev").isNull || col("__prev") =!= col(typeCol))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(byUser))
+      .select(col(userCol), col(typeCol).as("status"),
+        col("__us").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
   /** The [[rateAnomalies]] read-off for ONE bucket as a pure function
     * over a materialized bucket→count map — the SAME arithmetic (last
     * `trailing` observed buckets before it, exact integer z² test), so

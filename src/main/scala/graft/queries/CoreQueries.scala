@@ -891,6 +891,32 @@ object CoreQueries {
              |  CAST(w*q - s*s AS BIGINT) AS z2_den,
              |  CAST(CASE WHEN (n*w - s)*(n*w - s) > 9*(w*q - s*s)
              |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
-             |FROM t WHERE w >= 6""".stripMargin))
+             |FROM t WHERE w >= 6""".stripMargin)),
+
+    // SCD2 status-interval history: the event stream read as a change
+    // log, consecutive repeats collapsed, validity intervals
+    // [valid_from_us, valid_to_us) emitted with a NULL-open current
+    // row — the snapshot-to-interval build that turns "status at time
+    // T" from a log scan into an as-of probe (q32's join against this
+    // table). Output size = number of status CHANGES, not events. One
+    // Exchange on the user key for both windows and the filter.
+    Q("q146_status_intervals",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.statusIntervals(
+          "user_id", "ts", "event_type", "event_id")),
+      Some("""WITH o AS (SELECT user_id, event_type, event_id,
+             |    epoch_us(ts) AS us,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events),
+             |c AS (SELECT user_id, event_type, us, event_id FROM o
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS status, us AS valid_from_us,
+             |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |    AS valid_to_us,
+             |  CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) IS NULL
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM c""".stripMargin))
   )
 }

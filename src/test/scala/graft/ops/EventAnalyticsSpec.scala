@@ -105,4 +105,61 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(z.last._3 === 6L && z.last._6 === 0L && z.last._7 === 1L,
       s"zero-variance deviation must flag: ${z.last}")
   }
+
+  private def ev4(rows: Seq[(Long, Long, String, String)]) =
+    rows.toDF("event_id", "user_id", "ts_s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+
+  test("statusIntervals: partition count cannot move any interval") {
+    val events = ev4((1L to 40L).map(i =>
+      (i, i % 5, s"2024-01-01 0${i % 8}:${10 + (i % 47)}:00", if (i % 3 == 0) "a" else "b")))
+    val a = events.transform(EventAnalytics.statusIntervals(
+      "user_id", "ts", "event_type", "event_id")).collect().toSet
+    val b = events.repartition(7).transform(EventAnalytics.statusIntervals(
+      "user_id", "ts", "event_type", "event_id")).collect().toSet
+    assert(a === b)
+  }
+
+  test("statusIntervals: repeats collapse, intervals chain, the open row is current") {
+    val events = ev4(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "up"),
+      (2L, 1L, "2024-01-01 01:00:00", "up"),      // repeat: absorbed
+      (3L, 1L, "2024-01-01 02:00:00", "down"),
+      (4L, 1L, "2024-01-01 03:00:00", "up"),      // back up: NEW interval
+      (5L, 2L, "2024-01-01 04:00:00", "idle")))   // lone status
+    val out = events.transform(EventAnalytics.statusIntervals(
+        "user_id", "ts", "event_type", "event_id"))
+      .as[(Long, String, Long, Option[Long], Long)].collect()
+      .sortBy(r => (r._1, r._3))
+    val h = 3600000000L
+    val base = 1704067200000000L
+    assert(out.toSeq === Seq(
+      (1L, "up", base, Some(base + 2 * h), 0L),   // repeat at +1h absorbed
+      (1L, "down", base + 2 * h, Some(base + 3 * h), 0L),
+      (1L, "up", base + 3 * h, None, 1L),
+      (2L, "idle", base + 4 * h, None, 1L)))
+    // chaining law: within a user, valid_to == next interval's valid_from
+    out.groupBy(_._1).values.foreach { iv =>
+      val s = iv.sortBy(_._3)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"gap between $a and $b")
+        case _ =>
+      }
+      assert(s.init.forall(_._5 === 0L) && s.last._5 === 1L)
+    }
+  }
+
+  test("statusIntervals: equal-instant changes order by the id tiebreak") {
+    val events = ev4(Seq(
+      (10L, 1L, "2024-01-01 00:00:00", "a"),
+      (11L, 1L, "2024-01-01 00:00:00", "b")))     // same ts, higher id → later
+    val out = events.transform(EventAnalytics.statusIntervals(
+        "user_id", "ts", "event_type", "event_id"))
+      .as[(Long, String, Long, Option[Long], Long)].collect().sortBy(_._2)
+    val base = 1704067200000000L
+    assert(out.toSeq === Seq(
+      (1L, "a", base, Some(base), 0L),            // zero-length but ordered
+      (1L, "b", base, None, 1L)))
+  }
 }

@@ -493,4 +493,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p) // no shuffle, no broadcast join — μ/v are literals
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
+
+  test("q146 status intervals: ONE user-keyed Exchange serves both windows (filter preserves partitioning)") {
+    val p = plan("q146_status_intervals")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert("\\bWindow\\b".r.findAllIn(p).size === 2, p)
+  }
 }
