@@ -3291,7 +3291,64 @@ object LlmQueries {
              |    count(*) AS k FROM occ)
              |SELECT cell, n_vecs, (n_vecs * 10000) // t AS share_bp,
              |  (n_vecs * k * 10000) // t AS load_q
-             |FROM occ, tot""".stripMargin))
+             |FROM occ, tot""".stripMargin)),
+
+    // Per-node triangle count + local clustering coefficient over the
+    // q26/q141 near-dup pair graph — the dedup-graph HEALTH reading:
+    // closure → 10⁴ is clique-like template duplication that transitive
+    // clustering safely collapses; high degree with near-zero closure is
+    // chain-like drift (A~B~C but A≁C) where q61/q71's connected
+    // components over-merge — the "tighten the threshold first" signal.
+    // Algorithm is degree-ordered compact-forward (each edge oriented
+    // from its lower-(degree, id) endpoint, wedge fan-out bounded by
+    // arboricity, never hub-degree²; one equi-join closes wedges, each
+    // triangle materializes once). closure_bp = (2T·10⁴) div (d(d−1))
+    // in positive-operand integer division; degree-1 nodes emit NULL.
+    Q("q147_triangle_closure",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Centrality.triangleStats(
+          docs.transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+          "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("degree"),
+            col("n_tri"), col("closure_bp"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |p AS (SELECT doc_a, doc_b
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |deg AS (SELECT node, count(*) AS degree FROM (
+             |    SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p)
+             |  GROUP BY 1),
+             |o AS (SELECT CASE WHEN da.degree < db.degree
+             |      OR (da.degree = db.degree AND p.doc_a < p.doc_b)
+             |    THEN p.doc_a ELSE p.doc_b END AS u,
+             |    CASE WHEN da.degree < db.degree
+             |      OR (da.degree = db.degree AND p.doc_a < p.doc_b)
+             |    THEN p.doc_b ELSE p.doc_a END AS v
+             |  FROM p JOIN deg da ON p.doc_a = da.node
+             |    JOIN deg db ON p.doc_b = db.node),
+             |ov AS (SELECT o.u, o.v, d.degree AS dv
+             |  FROM o JOIN deg d ON o.v = d.node),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM ov e1 JOIN ov e2 ON e1.u = e2.u
+             |    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+             |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+             |tc AS (SELECT node, count(*) AS n_tri FROM (
+             |    SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1)
+             |SELECT deg.node AS doc_id, deg.degree,
+             |  coalesce(tc.n_tri, 0) AS n_tri,
+             |  CASE WHEN deg.degree >= 2
+             |    THEN (2 * coalesce(tc.n_tri, 0) * 10000) //
+             |      (deg.degree * (deg.degree - 1)) END AS closure_bp
+             |FROM deg LEFT JOIN tc USING (node)""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

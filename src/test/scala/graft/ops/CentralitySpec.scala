@@ -75,4 +75,58 @@ class CentralitySpec extends SparkSpec {
     assert(r1(0L) > r5(0L)) // the overshoot relaxes
     assert(r5(0L) > r5(1L)) // but the hub stays on top
   }
+
+  private def runTri(pairs: Seq[(Long, Long)], parts: Int = 1)
+      : Map[Long, (Long, Long, Option[Long])] = Staged.withStaged {
+    Centrality.triangleStats(
+        pairs.toDF("a", "b").repartition(parts), "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("triangleStats: clique closes fully, path not at all, pendant dilutes the hub") {
+    val out = runTri(Seq(
+      // 4-clique: 4 triangles, every node in 3, closure 10⁴
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      // path: middle node's wedge never closes
+      (10L, 11L), (11L, 12L),
+      // triangle with a pendant: hub 20 has deg 3 but only 1 of its
+      // 3 wedges closes → 3333 bp (floor)
+      (20L, 21L), (21L, 22L), (20L, 22L), (20L, 23L)))
+    for (n <- 1L to 4L) assert(out(n) === ((3L, 3L, Some(10000L))), s"clique $n")
+    assert(out(11L) === ((2L, 0L, Some(0L))))
+    assert(out(10L) === ((1L, 0L, None)) && out(12L) === ((1L, 0L, None)))
+    assert(out(20L) === ((3L, 1L, Some(3333L))))
+    assert(out(21L) === ((2L, 1L, Some(10000L))))
+    assert(out(23L) === ((1L, 0L, None)))
+  }
+
+  test("triangleStats: input edge orientation is irrelevant, each triangle counts once") {
+    val canonical = runTri(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val reversed = runTri(Seq((2L, 1L), (3L, 2L), (1L, 3L)))
+    assert(canonical === reversed)
+    assert(canonical(1L) === ((2L, 1L, Some(10000L))))
+  }
+
+  test("triangleStats: equals the brute-force count on a seeded random graph, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val pairs = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.keys.map { v =>
+      val nb = adj(v).toSeq
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size.toLong
+      val d = nb.size.toLong
+      v -> ((d, t, if (d >= 2) Some(2 * t * 10000 / (d * (d - 1))) else None))
+    }.toMap
+    assert(runTri(pairs) === expected)
+    assert(runTri(pairs, parts = 7) === expected)
+  }
 }
