@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches, Spectral}
+import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches, Spectral, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3348,7 +3348,46 @@ object LlmQueries {
              |  CASE WHEN deg.degree >= 2
              |    THEN (2 * coalesce(tc.n_tri, 0) * 10000) //
              |      (deg.degree * (deg.degree - 1)) END AS closure_bp
-             |FROM deg LEFT JOIN tc USING (node)""".stripMargin))
+             |FROM deg LEFT JOIN tc USING (node)""".stripMargin)),
+
+    // Per-source Zipf fit (q148): least-squares slope of ln(count) on
+    // ln(rank) over each source's top-200 token frequencies — natural
+    // text sits near slope −10⁴ (α≈1; Zipf 1949); α≫1 is boilerplate/
+    // log-spam domination, α≈0 is near-uniform junk (random strings,
+    // minified code) — the source-level degeneracy screen beside q75's
+    // drift monitor. x/y are ln-quantized ×10⁴ BIGINTs (q129
+    // discipline) and the fit is emitted as EXACT integer num/den plus
+    // a sign-extracted positive-operand ×10⁴ division — regression
+    // with no arithmetic left to diverge. Corpus-grain work is one
+    // (source, token) count; ranks window the vocabulary-bounded
+    // matrix with WindowGroupLimit pruning.
+    Q("q148_zipf_fit",
+      (s, d) => Tables.documents(s, d)
+        .transform(VocabStats.zipfSlopes("source", "text", 200)),
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |r AS (SELECT source, c,
+             |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+             |  FROM c),
+             |q AS (SELECT source,
+             |    CAST(round(ln(rn) * 10000) AS BIGINT) AS x,
+             |    CAST(round(ln(c) * 10000) AS BIGINT) AS y
+             |  FROM r WHERE rn <= 200),
+             |a AS (SELECT source, count(*) AS n_ranks, sum(x*y) AS sxy,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx
+             |  FROM q GROUP BY 1)
+             |SELECT source, n_ranks,
+             |  CAST(n_ranks*sxy - sx*sy AS BIGINT) AS num,
+             |  CAST(n_ranks*sxx - sx*sx AS BIGINT) AS den,
+             |  CAST(CASE WHEN n_ranks*sxx - sx*sx <= 0 THEN NULL
+             |    WHEN n_ranks*sxy - sx*sy >= 0
+             |    THEN ((n_ranks*sxy - sx*sy) * 10000) // (n_ranks*sxx - sx*sx)
+             |    ELSE -((-(n_ranks*sxy - sx*sy) * 10000) // (n_ranks*sxx - sx*sx))
+             |    END AS BIGINT) AS slope_q4
+             |FROM a""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
