@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Dedup, IncrementalDedup, Retrieval, Sampling, Similarity, Sketches, Spectral, VocabStats}
+import graft.ops.{Collocations, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Spectral, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3387,7 +3387,36 @@ object LlmQueries {
              |    THEN ((n_ranks*sxy - sx*sy) * 10000) // (n_ranks*sxx - sx*sx)
              |    ELSE -((-(n_ranks*sxy - sx*sy) * 10000) // (n_ranks*sxx - sx*sx))
              |    END AS BIGINT) AS slope_q4
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Linear classifier inference gate (q149): per-document logit =
+    // Σ token weights over a LIMIT-bounded top-2000 vocabulary, keep
+    // iff logit > 0 — the fastText-style model-based quality filter of
+    // the CCNet/LLaMA pipelines, as deployment plumbing: weights are a
+    // deterministic ×10⁻³-quantized md5 stand-in (training is out of
+    // scope; swapping in trained weights is a one-table replacement).
+    // The vocab broadcasts onto the (doc, token) stream (no join
+    // shuffle), OOV scores 0 via the left join, scoring is exact
+    // BIGINT summation with map-side partials into one per-doc
+    // aggregate.
+    Q("q149_classifier_gate",
+      (s, d) => Tables.documents(s, d)
+        .transform(LinearModel.linearGate("doc_id", "text", 2000)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok,
+             |    (('0x' || substr(md5('w|' || tok), 1, 12))::BIGINT % 2001)
+             |      - 1000 AS w
+             |  FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000)
+             |SELECT tk.doc_id, count(*) AS n_tokens,
+             |  count(v.w) AS n_in_vocab,
+             |  CAST(coalesce(sum(v.w), 0) AS BIGINT) AS score_q3,
+             |  CAST(CASE WHEN coalesce(sum(v.w), 0) > 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS keep
+             |FROM tk LEFT JOIN v USING (tok) GROUP BY 1""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -494,6 +494,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("q149 classifier gate: the LIMIT-bounded vocab broadcasts — no shuffle join on the token stream") {
+    val p = plan("q149_classifier_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q146 status intervals: ONE user-keyed Exchange serves both windows (filter preserves partitioning)") {
     val p = plan("q146_status_intervals")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
