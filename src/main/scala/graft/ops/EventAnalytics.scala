@@ -172,6 +172,25 @@ object EventAnalytics {
         when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** The [[statusIntervals]] CURRENT-row read-off as a pure function
+    * over one user's delivered event log — the same (ts, id) ordering
+    * and change-collapse arithmetic, so a streaming monitor holding
+    * the log as keyed state
+    * ([[graft.streaming.EventStream.statusMonitor]]) reads off exactly
+    * the batch query's `is_current = 1` row (status + valid_from) plus
+    * the user's interval COUNT, over whatever prefix has been
+    * delivered. Input tuples are (epoch-µs, event id, status). */
+  def currentStatusFromLog(log: Iterable[(Long, Long, String)])
+      : (String, Long, Long) = {
+    val s = log.toIndexedSeq.sortBy(e => (e._1, e._2))
+    require(s.nonEmpty, "currentStatusFromLog needs at least one event")
+    val cur = s.last._3
+    var i = s.size - 1
+    while (i > 0 && s(i - 1)._3 == cur) i -= 1
+    val nIntervals = 1L + (1 until s.size).count(j => s(j)._3 != s(j - 1)._3)
+    (cur, s(i)._1, nIntervals)
+  }
+
   /** The [[rateAnomalies]] read-off for ONE bucket as a pure function
     * over a materialized bucket→count map — the SAME arithmetic (last
     * `trailing` observed buckets before it, exact integer z² test), so

@@ -40,6 +40,13 @@ case class TypeRateReading(event_type: String, bucket: Long, n: Long,
                            w: Long, z2_num: Long, z2_den: Long,
                            anomaly: Long)
 
+/** One updated reading from [[EventStream.statusMonitor]]: the user's
+  * current status, when it took effect (µs), and how many validity
+  * intervals the user's history holds — the live head of the batch
+  * q146 SCD2 table. */
+case class CurrentStatus(user_id: Long, status: String,
+                         valid_from_us: Long, n_intervals: Long)
+
 /** Structured Streaming ingestion for the `events` table shape
   * (SURVEY §2.10). The reference's only quasi-streaming behavior is
   * GUI-triggered batch polling (reference src/main_01.py:111-126,
@@ -318,6 +325,51 @@ object EventStream {
         fs.delete(old, true)
         ()
       }
+
+  /** Live current-status store — the streaming head of the batch q146
+    * SCD2 build: per user, keyed state holds the delivered event log
+    * as a set keyed by (event-time µs, event id), and every update
+    * reads off through
+    * [[graft.ops.EventAnalytics.currentStatusFromLog]], the PURE
+    * function running the batch query's exact (ts, id)-ordered
+    * change-collapse — so the emitted reading provably equals
+    * [[graft.ops.EventAnalytics.statusIntervals]]'s `is_current = 1`
+    * row (plus the interval count) over the delivered prefix, by
+    * shared code.
+    *
+    * Unlike the counting monitors (rate/frequency/histogram), this
+    * state is genuinely REPLAY-ABSORBING: a redelivered event
+    * overwrites its own (ts, id) slot identically, so at-least-once
+    * sources need no upstream dedup. It is also out-of-order-correct
+    * in both directions — a late same-status event before the current
+    * run EXTENDS valid_from backwards, and a late different-status
+    * event inside the run SPLITS it and moves valid_from forward;
+    * neither is expressible with (status, run-start) scalar state,
+    * which is why the log is the sufficient statistic (the funnel
+    * monitor's design). State is O(per-user events) like the funnel
+    * monitor; in production, compact entries older than the source's
+    * out-of-order horizon down to the last change before it. */
+  def statusMonitor(events: DataFrame)
+      : org.apache.spark.sql.Dataset[CurrentStatus] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[(Long, Long), String], CurrentStatus](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val next = rows.foldLeft(
+            state.getOption.getOrElse(Map.empty[(Long, Long), String])) {
+            (m, r) => m.updated((r._2, r._3), r._4)
+          }
+          state.update(next)
+          val (st, vf, ni) = graft.ops.EventAnalytics.currentStatusFromLog(
+            next.map { case ((us, id), s) => (us, id, s) })
+          CurrentStatus(uid, st, vf, ni)
+      }
+  }
 
   /** Live rate-anomaly monitor — the streaming twin of q145
     * ([[graft.ops.EventAnalytics.rateAnomalies]]): per event type, the

@@ -351,4 +351,51 @@ class EventStreamSpec extends SparkSpec {
       assert(r2._7 === 0L, "exploded variance: spike no longer 3σ")
     } finally q.stop()
   }
+
+  test("statusMonitor: reading equals the batch q146 current row through out-of-order splits, extensions, and replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.statusMonitor(src.toDF())
+      .writeStream.format("memory").queryName("status_monitor")
+      .outputMode("update").start()
+    def latest: (String, Long, Long) =
+      spark.table("status_monitor").filter(col("user_id") === 1L)
+        .as[(Long, String, Long, Long)].collect().last match {
+        case (_, st, vf, ni) => (st, vf, ni)
+      }
+    def batchCurrent(evs: Seq[Ev]): (String, Long, Long) = {
+      val iv = evs.toDF().transform(graft.ops.EventAnalytics
+          .statusIntervals("user_id", "ts", "event_type", "event_id"))
+        .filter(col("user_id") === 1L)
+        .as[(Long, String, Long, Option[Long], Long)].collect()
+      val cur = iv.find(_._5 == 1L).get
+      (cur._2, cur._3, iv.length.toLong)
+    }
+    try {
+      // delivered in order: up@2h, up@6h → one interval, current run
+      // starts at its CHANGE (2h)
+      val b1 = Seq(Ev(1, t(2), 1, "up", 0, "{}"), Ev(2, t(6), 1, "up", 0, "{}"))
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest === batchCurrent(b1))
+      assert(latest._3 === 1L)
+      // a LATE down@4h splits the run: history becomes up,down,up —
+      // valid_from must move FORWARD to 6h, intervals to 3
+      val b2 = b1 :+ Ev(3, t(4), 1, "down", 0, "{}")
+      src.addData(b2.last)
+      q.processAllAvailable()
+      assert(latest === batchCurrent(b2))
+      assert(latest === (("up", t(6).getTime * 1000L, 3L)),
+        "valid_from must move FORWARD to the split run's head (6h)")
+      // a LATE up@5h extends the current run BACKWARDS past 6h to 5h
+      val b3 = b2 :+ Ev(4, t(5), 1, "up", 0, "{}")
+      src.addData(b3.last)
+      q.processAllAvailable()
+      assert(latest === batchCurrent(b3))
+      // at-least-once replay of an old event cannot move the reading
+      src.addData(b1.head)
+      q.processAllAvailable()
+      assert(latest === batchCurrent(b3), "replay must be absorbed")
+    } finally q.stop()
+  }
 }
