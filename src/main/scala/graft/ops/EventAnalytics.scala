@@ -172,6 +172,42 @@ object EventAnalytics {
         when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** Rolling active-user engagement: per active day, the distinct
+    * users active that day (DAU), in the trailing 7 days (WAU), and in
+    * the trailing 30 days (MAU), plus the DAU/MAU stickiness ratio in
+    * exact basis points — the product-health trio every event pipeline
+    * reports, and the missing sibling of the cohort matrix (q128
+    * answers "does a cohort come back?", this answers "how big is the
+    * active base right now?").
+    *
+    * Distinct-over-sliding-window does not decompose into window
+    * functions, so the scalable form is COVERAGE FAN-OUT: dedup events
+    * to the (user, day) grain (the only corpus-grain shuffle — the
+    * user-day table is orders of magnitude smaller than the event
+    * table), fan each user-day out to the ≤30 future days it keeps the
+    * user "active" for, and count distinct users per covered day in
+    * one aggregate (the three readings are conditional distincts on
+    * the coverage offset, one Expand). The day spine (active days
+    * only) is tiny and semi-joins broadcast. Day keys are epoch-day
+    * longs; stickiness_bp = (dau·10⁴) div mau on positive operands. */
+  def activeUsers(userCol: String, tsCol: String)
+                 (events: DataFrame): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val ud = events.select(col(userCol).as("u"),
+      datediff(to_date(col(tsCol)), epoch).cast("long").as("d")).distinct()
+    val spine = ud.select(col("d").as("day")).distinct()
+    val fan = ud
+      .select(col("u"), col("d"), explode(sequence(lit(0), lit(29))).as("off"))
+      .select(col("u"), (col("d") + col("off")).as("day"), col("off"))
+    fan.join(spine, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(
+        countDistinct(when(col("off") === 0, col("u"))).as("dau"),
+        countDistinct(when(col("off") <= 6, col("u"))).as("wau"),
+        countDistinct(col("u")).as("mau"))
+      .withColumn("stickiness_bp", expr("(dau * 10000L) div mau"))
+  }
+
   /** The [[statusIntervals]] CURRENT-row read-off as a pure function
     * over one user's delivered event log — the same (ts, id) ordering
     * and change-collapse arithmetic, so a streaming monitor holding

@@ -917,6 +917,32 @@ object CoreQueries {
              |  CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id
              |      ORDER BY us, event_id) IS NULL
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Rolling active users (q150): per active day, DAU / trailing-7
+    // WAU / trailing-30 MAU distinct-user counts plus DAU/MAU
+    // stickiness in exact basis points — the engagement trio beside
+    // the cohort matrix. Distinct-over-sliding-window doesn't
+    // decompose, so the scalable form is coverage fan-out: one
+    // corpus-grain dedup to the (user, day) grain, a ≤30-row explode
+    // per user-day, one conditional-distinct aggregate; the active-day
+    // spine broadcasts into a semi join.
+    Q("q150_active_users",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.activeUsers("user_id", "ts")),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+             |    date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+             |  FROM events),
+             |spine AS (SELECT DISTINCT d AS day FROM ud),
+             |fan AS (SELECT u, d + off AS day, off
+             |  FROM ud, range(30) AS r(off)),
+             |a AS (SELECT day,
+             |    count(DISTINCT CASE WHEN off = 0 THEN u END) AS dau,
+             |    count(DISTINCT CASE WHEN off <= 6 THEN u END) AS wau,
+             |    count(DISTINCT u) AS mau
+             |  FROM fan JOIN spine USING (day) GROUP BY 1)
+             |SELECT CAST(day AS BIGINT) AS day, dau, wau, mau,
+             |  (dau * 10000) // mau AS stickiness_bp
+             |FROM a""".stripMargin))
   )
 }

@@ -150,6 +150,30 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("activeUsers: window boundaries (day+6 in WAU, +7 out; +29 in MAU, +30 out), same-day dedup, stickiness") {
+    def day(d: Int) = f"2024-01-${d + 1}%02d 12:00:00"
+    val d0 = 19723L                               // 2024-01-01 as epoch days
+    val events = ev(Seq(
+      (1L, day(0), "view"), (1L, day(0), "click"), // same day counts once
+      (2L, day(0), "view"),
+      (1L, day(6), "view"),                        // d0 covers: in WAU at d6
+      (3L, day(7), "view"),                        // d0 NOT in WAU at d7
+      (2L, day(29), "view")))                      // d0 still in MAU at d29
+    val out = events.transform(EventAnalytics.activeUsers("user_id", "ts"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(d0) === ((2L, 2L, 2L, 10000L)))
+    // day 6: active {1}; WAU covers d0..d6 → {1,2}; MAU same
+    assert(out(d0 + 6) === ((1L, 2L, 2L, 5000L)))
+    // day 7: active {3}; WAU covers d1..d7 → {1,3} (d0 aged out of WAU)
+    assert(out(d0 + 7) === ((1L, 2L, 3L, 3333L)))
+    // day 29: active {2}; WAU {2,3}? — d7 is 22 days back, out of WAU
+    // window (only d23..d29) → WAU {2}; MAU covers d0..d29 → all three
+    assert(out(d0 + 29) === ((1L, 1L, 3L, 3333L)))
+    // only active days emit rows
+    assert(out.keySet === Set(d0, d0 + 6, d0 + 7, d0 + 29))
+  }
+
   test("statusIntervals: equal-instant changes order by the id tiebreak") {
     val events = ev4(Seq(
       (10L, 1L, "2024-01-01 00:00:00", "a"),
