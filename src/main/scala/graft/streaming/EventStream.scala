@@ -326,6 +326,38 @@ object EventStream {
         ()
       }
 
+  /** Stream → JDBC serving store: the latest `value` per (user, event
+    * type) upserted into a relational table every micro-batch — the
+    * "serve the current state to the app" leg next to [[upsertSink]]'s
+    * parquet leg, composed from the batch pieces ([[Merge]] within the
+    * batch, [[graft.pipeline.JdbcUpsertSink.write]] across the wire).
+    *
+    * Correctness under at-least-once delivery comes from the
+    * MONOTONIC dialect ([[graft.pipeline.JdbcUpsertSink.VersionedMergeUpsert]]):
+    * each row carries `ver` = event-time µs and a matched row updates
+    * only when the stored version is <= the incoming one, so a
+    * replayed micro-batch re-applies identical cells (idempotent) and
+    * an out-of-order OLDER event can never regress a row the stream
+    * already advanced — the foreachBatch transaction boundary doesn't
+    * have to be exactly-once, the CELL merge is. Within a batch,
+    * last-writer-wins dedup cuts the upsert to one row per key. */
+  def jdbcServingSink(events: DataFrame, table: String,
+                      connectionFactory: () => java.sql.Connection,
+                      checkpoint: String, batchSize: Int = 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = Merge.lastWriterWins(Seq("user_id", "event_type"),
+            Seq(col("ts").desc, col("event_id").desc))(batch)
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ver"))
+        graft.pipeline.JdbcUpsertSink.write(rows, table, connectionFactory,
+          Seq("user_id", "event_type"), batchSize,
+          graft.pipeline.JdbcUpsertSink.VersionedMergeUpsert("ver"))
+      }
+
   /** Live current-status store — the streaming head of the batch q146
     * SCD2 build: per user, keyed state holds the delivered event log
     * as a set keyed by (event-time µs, event id), and every update

@@ -100,4 +100,61 @@ class JdbcUpsertSinkSpec extends SparkSpec with org.scalatest.Retries {
     assert(JdbcUpsertSink.MySqlUpsert.bindOrder(Seq("k", "a", "b"), Seq("k"))
       === Seq(0, 1, 2))
   }
+
+  test("VersionedMergeUpsert against live Derby: stale versions skipped, equal replayed, newer applied",
+       org.scalatest.tagobjects.Retryable) {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute("DROP TABLE \"serve\"")
+    catch { case _: java.sql.SQLException => () }
+    conn.createStatement().execute(
+      """CREATE TABLE "serve" (
+        |  "k" VARCHAR(10) NOT NULL,
+        |  "n" INT NOT NULL,
+        |  "Status" VARCHAR(10),
+        |  "ver" INT,
+        |  PRIMARY KEY ("k", "n"))""".stripMargin)
+    conn.close()
+    val keys = Seq("k", "n")
+    val dialect = JdbcUpsertSink.VersionedMergeUpsert("ver")
+    def state = query("SELECT \"k\", \"n\", \"Status\", \"ver\" FROM \"serve\" ORDER BY \"k\", \"n\"")
+
+    val v10 = Seq(("a", 1, "up", 10), ("b", 1, "up", 10))
+      .toDF("k", "n", "Status", "ver")
+    JdbcUpsertSink.write(v10, "serve", factory, keys, batchSize = 2, dialect = dialect)
+    assert(state === Seq(("a", 1, "up", 10), ("b", 1, "up", 10)))
+
+    // a STALE write (out-of-order event / replayed old batch) must not
+    // regress the advanced row; the unseen key still inserts
+    val stale = Seq(("a", 1, "down", 5), ("c", 1, "down", 5))
+      .toDF("k", "n", "Status", "ver")
+    JdbcUpsertSink.write(stale, "serve", factory, keys, batchSize = 2, dialect = dialect)
+    assert(state === Seq(("a", 1, "up", 10), ("b", 1, "up", 10), ("c", 1, "down", 5)))
+
+    // equal-version replay re-applies identical values: idempotent
+    JdbcUpsertSink.write(v10, "serve", factory, keys, batchSize = 2, dialect = dialect)
+    assert(state === Seq(("a", 1, "up", 10), ("b", 1, "up", 10), ("c", 1, "down", 5)))
+
+    // a newer version advances
+    val v20 = Seq(("a", 1, "idle", 20)).toDF("k", "n", "Status", "ver")
+    JdbcUpsertSink.write(v20, "serve", factory, keys, batchSize = 2, dialect = dialect)
+    assert(state === Seq(("a", 1, "idle", 20), ("b", 1, "up", 10), ("c", 1, "down", 5)))
+  }
+
+  test("versioned dialect statement shapes: MERGE match guard; MySQL assigns the version LAST") {
+    val m = JdbcUpsertSink.VersionedMergeUpsert("ver")
+    assert(m.sql("t", Seq("k", "a", "ver"), Seq("k")) ===
+      "MERGE INTO \"t\" USING SYSIBM.SYSDUMMY1 ON (\"t\".\"k\" = ?) " +
+        "WHEN MATCHED AND \"t\".\"ver\" <= ? THEN UPDATE SET \"a\" = ?, \"ver\" = ? " +
+        "WHEN NOT MATCHED THEN INSERT (\"k\", \"a\", \"ver\") VALUES (?, ?, ?)")
+    assert(m.bindOrder(Seq("k", "a", "ver"), Seq("k")) === Seq(0, 2, 1, 2, 0, 1, 2))
+    val my = JdbcUpsertSink.MySqlVersionedUpsert("ver")
+    val sql = my.sql("t", Seq("k", "a", "ver"), Seq("k"))
+    assert(sql === "INSERT INTO `t` (`k`, `a`, `ver`) VALUES (?, ?, ?) " +
+      "ON DUPLICATE KEY UPDATE " +
+      "`a` = IF(VALUES(`ver`) >= `ver`, VALUES(`a`), `a`), " +
+      "`ver` = IF(VALUES(`ver`) >= `ver`, VALUES(`ver`), `ver`)")
+    // the guard's correctness depends on the version assignment being
+    // last — left-to-right evaluation would otherwise poison the guards
+    assert(sql.indexOf("`a` = IF") < sql.indexOf("`ver` = IF"))
+  }
 }

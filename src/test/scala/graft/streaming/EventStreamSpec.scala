@@ -398,4 +398,58 @@ class EventStreamSpec extends SparkSpec {
       assert(latest === batchCurrent(b3), "replay must be absorbed")
     } finally q.stop()
   }
+
+  test("jdbcServingSink: live Derby serving store survives replay and out-of-order without regressing") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftserve;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute("DROP TABLE \"events_serve\"")
+    catch { case _: java.sql.SQLException => () }
+    conn.createStatement().execute(
+      """CREATE TABLE "events_serve" (
+        |  "user_id" BIGINT NOT NULL,
+        |  "event_type" VARCHAR(20) NOT NULL,
+        |  "value" DOUBLE,
+        |  "ver" BIGINT,
+        |  PRIMARY KEY ("user_id", "event_type"))""".stripMargin)
+    conn.close()
+    val factory: () => java.sql.Connection = {
+      val u = url
+      () => java.sql.DriverManager.getConnection(u)
+    }
+    def served: Map[(Long, String), (Double, Long)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT * FROM \"events_serve\"")
+        val out = Map.newBuilder[(Long, String), (Double, Long)]
+        while (rs.next())
+          out += ((rs.getLong(1), rs.getString(2)) -> ((rs.getDouble(3), rs.getLong(4))))
+        out.result()
+      } finally c.close()
+    }
+    val src = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("serve_ckpt").toString
+    val q = EventStream.jdbcServingSink(src.toDF(), "events_serve", factory, ckpt).start()
+    try {
+      val usV = (h: Int) => t(h).getTime * 1000L
+      src.addData(Ev(1, t(2), 1, "click", 10.0, "{}"), Ev(2, t(3), 1, "click", 20.0, "{}"))
+      q.processAllAvailable()
+      assert(served === Map((1L, "click") -> ((20.0, usV(3)))),
+        "within-batch LWW serves only the latest cell")
+      // out-of-order OLDER event in a later batch: must not regress
+      src.addData(Ev(3, t(1), 1, "click", 99.0, "{}"))
+      q.processAllAvailable()
+      assert(served === Map((1L, "click") -> ((20.0, usV(3)))))
+      // at-least-once replay of the first delivery: idempotent
+      src.addData(Ev(2, t(3), 1, "click", 20.0, "{}"))
+      q.processAllAvailable()
+      assert(served === Map((1L, "click") -> ((20.0, usV(3)))))
+      // genuine progress still lands, and a new key inserts
+      src.addData(Ev(4, t(5), 1, "click", 30.0, "{}"), Ev(5, t(5), 2, "view", 7.0, "{}"))
+      q.processAllAvailable()
+      assert(served === Map(
+        (1L, "click") -> ((30.0, usV(5))),
+        (2L, "view") -> ((7.0, usV(5)))))
+    } finally q.stop()
+  }
 }
