@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, NfcNormalizeExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarityExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalizeExpr(children.head)
       }))
   }
 }

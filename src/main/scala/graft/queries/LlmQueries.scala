@@ -3416,7 +3416,46 @@ object LlmQueries {
              |  CAST(coalesce(sum(v.w), 0) AS BIGINT) AS score_q3,
              |  CAST(CASE WHEN coalesce(sum(v.w), 0) > 0 THEN 1 ELSE 0 END
              |    AS BIGINT) AS keep
-             |FROM tk LEFT JOIN v USING (tok) GROUP BY 1""".stripMargin))
+             |FROM tk LEFT JOIN v USING (tok) GROUP BY 1""".stripMargin)),
+
+    // Unicode NFC normalization (q151): the native NfcNormalizeExpr
+    // (second codegen Catalyst expression beside cosine_sim — Spark
+    // has no builtin, and a UDF would break whole-stage codegen in the
+    // gate chain where this runs) verified against DuckDB's
+    // nfc_normalize: both implement the standard Unicode algorithm, so
+    // the normalized TEXT ITSELF hash-checks. The corpus is ASCII, so
+    // decomposed forms are injected (combining acute/diaeresis, plus
+    // the U+212B→U+00C5 Angström singleton, which changes bytes but
+    // not code-point count) the q78 injection way. Canonical identity
+    // is step zero of dedup: without it "café" NFD and NFC split every
+    // content hash downstream.
+    Q("q151_nfc_normalize",
+      (s, d) => {
+        val injected = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve \u212B")))
+            .otherwise(col("text")))
+        injected
+          .select(col("doc_id"), col("text"),
+            graft.functions.NfcNormalizeExpr.nfcNormalize(col("text"))
+              .as("norm_text"))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_before"),
+            length(col("norm_text")).cast("long").as("n_after"),
+            when(col("norm_text") === col("text"), 0L).otherwise(1L)
+              .as("changed"),
+            col("norm_text"))
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769)
+             |    || ' nai' || chr(776) || 've ' || chr(8491)
+             |  ELSE text END AS text FROM documents)
+             |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+             |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_after,
+             |  CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END
+             |    AS BIGINT) AS changed,
+             |  nfc_normalize(text) AS norm_text
+             |FROM inj""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
