@@ -3455,7 +3455,40 @@ object LlmQueries {
              |  CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END
              |    AS BIGINT) AS changed,
              |  nfc_normalize(text) AS norm_text
-             |FROM inj""".stripMargin))
+             |FROM inj""".stripMargin)),
+
+    // Misra–Gries heavy hitters (q152): per-source top-token summary
+    // in ≤ 20 counters of bounded state — the TOP-K member of the
+    // sketch quartet (KMV distinct / CMS frequency / histogram
+    // quantiles / this), where exact q77 keeps a counter per distinct
+    // item. Emitted next to the exact counts with the theorem's bound
+    // check (0 ≤ exact − est ≤ n/k) so the audit column is visible in
+    // the dump; counter VALUES are encounter-order-dependent, hence
+    // rows-only + the law specs (same verification status as the
+    // xxhash production sketches). State merges map-side; the shuffle
+    // carries one ≤ k-entry map per (source × map task).
+    Q("q152_mg_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val k = 20
+        val toks = graft.ops.Staged.stage(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")))
+        val mg = graft.functions.MisraGriesAgg[(String, String)](k, _._2)
+          .toColumn
+        val summaries = toks.as[(String, String)].groupByKey(_._1)
+          .agg(mg.name("mg"), count(lit(1)).as[Long].name("n"))
+          .toDF("source", "mg", "n")
+          .select(col("source"), col("n"), explode(col("mg")).as(Seq("tok", "est")))
+        val exact = toks.groupBy("source", "tok")
+          .agg(count(lit(1)).as("exact"))
+        summaries.join(exact, Seq("source", "tok"))
+          .select(col("source"), col("tok"), col("est"), col("exact"), col("n"),
+            when(col("est") <= col("exact") &&
+              (col("exact") - col("est")) * k <= col("n"), 1L)
+              .otherwise(0L).as("bound_ok"))
+      },
+      None)
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
