@@ -16,6 +16,12 @@ case class DecodedAsset(path: String, modality: String, length: Long,
                         sampleRateHz: Int, durationMs: Long,
                         brightness: Double, features: Array[Float])
 
+/** A really-resized thumbnail: `ok = true` iff the payload decoded
+  * through the real codec path; `png` then holds the re-encoded
+  * downscaled raster. */
+case class Thumbnail(path: String, modality: String, ok: Boolean,
+                     width: Int, height: Int, png: Array[Byte])
+
 /** Content-level asset fingerprint: perceptual dHash for really-decoded
   * images (`fp_kind = "dhash"`), byte-exact md5 otherwise (`"md5"`).
   * `fp_bits` is the 64-bit form for Hamming banding. */
@@ -396,6 +402,58 @@ object Multimodal {
   /** "Resize" = typed-metadata transform (a real resize would re-encode
     * bytes inside the stub boundary): clamps decoded dims to a max edge,
     * preserving aspect ratio. Pure expression — no UDF. */
+  /** REAL pixel thumbnail for the formats the JDK decodes (same codec
+    * boundary as [[decodeOne]]): decode, nearest-neighbor downscale to
+    * fit (maxW, maxH) preserving aspect, re-encode PNG. Nearest
+    * neighbor by exact integer index mapping (src = out·srcDim div
+    * outDim) — no interpolation kernel whose platform rounding could
+    * differ, the dHash discipline applied to resampling. Payloads the
+    * sniff rejects (or non-images) emit `ok = false` with empty bytes:
+    * a resize of a fake would be fake — [[resizeMeta]] is the
+    * metadata-level planner for those. */
+  private[multimodal] def thumbnailOne(a: RawAsset, maxW: Int, maxH: Int)
+      : Thumbnail = {
+    val img =
+      if (a.modality == "image" && looksLikeImage(a.content)) {
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.content)))
+        catch { case _: java.io.IOException => None }
+      } else None
+    img match {
+      case Some(i) =>
+        val w = i.getWidth; val h = i.getHeight
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val tw = math.max(1, math.round(w * scale).toInt)
+        val th = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * h / th).toInt
+          var x = 0
+          while (x < tw) {
+            out.setRGB(x, y, i.getRGB((x.toLong * w / tw).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Thumbnail(a.path, a.modality, ok = true, tw, th, bos.toByteArray)
+      case None =>
+        Thumbnail(a.path, a.modality, ok = false, 0, 0, Array.emptyByteArray)
+    }
+  }
+
+  /** Partition-batched real thumbnails — the derived-asset leg of the
+    * pipeline ([[decodeBatch]] extracts features, this materializes the
+    * downscaled binary for preview/training-resolution use). */
+  def thumbnailBatch(assets: Dataset[RawAsset],
+                     maxW: Int = 256, maxH: Int = 256): Dataset[Thumbnail] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(thumbnailOne(_, maxW, maxH)))
+  }
+
   def resizeMeta(decoded: DataFrame, maxEdge: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxEdge) / greatest(col("width"), col("height")).cast("double"))

@@ -223,4 +223,41 @@ class MultimodalSpec extends SparkSpec {
     val fake = RawAsset("y.png", "image", 4L, Array[Byte](9, 9, 9, 9))
     assert(Multimodal.fingerprintOne(fake).fp_kind === "md5")
   }
+
+  test("real thumbnails: exact nearest-neighbor pixels, aspect-preserving fit, identity, and honest non-image refusal") {
+    def rgb(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xffffff
+    val assets = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset]
+    val thumbs = Multimodal.thumbnailBatch(assets, maxW = 2, maxH = 2)
+      .collect().map(t => t.path.split('/').last -> t).toMap
+    // tiny.png 3x2 → scale 2/3 → 2x1; nearest picks source (0,0) and (1,0)
+    val tiny = thumbs("tiny.png")
+    assert(tiny.ok && tiny.width === 2 && tiny.height === 1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tiny.png))
+    assert(img.getWidth === 2 && img.getHeight === 1)
+    assert(rgb(img, 0, 0) === 0xff0000 && rgb(img, 1, 0) === 0x00ff00)
+    // non-images refuse honestly instead of faking pixels
+    assert(!thumbs("tone.wav").ok && thumbs("tone.wav").png.isEmpty)
+    assert(!thumbs("clip.mp4").ok)
+    // identity fit: bounds larger than the raster keep dims and pixels
+    val one = Multimodal.readAssets(spark,
+        new java.io.File("fixtures/assets").getAbsolutePath)
+      .select(col("path"), col("modality"), col("length"), col("content"))
+      .as[RawAsset].filter(_.path.endsWith("tiny.png"))
+    val full = Multimodal.thumbnailBatch(one, maxW = 10, maxH = 10).collect().head
+    assert(full.width === 3 && full.height === 2)
+    val fimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(full.png))
+    assert(rgb(fimg, 2, 1) === 0x808080)
+    // thumbnails are themselves decodable assets: the pipeline composes
+    val reDecoded = Multimodal.decodeBatch(
+      Multimodal.thumbnailBatch(one, 2, 2)
+        .map(t => RawAsset(t.path, "image", t.png.length.toLong, t.png)),
+      featureDim = 4).collect().head
+    assert(reDecoded.width === 2 && reDecoded.height === 1)
+  }
 }
