@@ -29,6 +29,12 @@ case class SourceDistinctEstimate(source: String, sketch_n: Long,
 case class SourceTermFrequencies(source: String, n_tokens: Long,
                                  est: Map[String, Long])
 
+/** One updated reading from [[CorpusStream.heavyHitterMonitor]]: the
+  * source's token count so far and its ≤ k-entry Misra–Gries summary
+  * (the q152 guarantees hold over the delivered prefix). */
+case class SourceHeavyHitters(source: String, n_tokens: Long,
+                              hitters: Map[String, Long])
+
 /** Streaming corpus intake: the q62 pipeline's gate stages re-expressed
   * over an unbounded document stream — how a crawl feed enters the
   * training corpus continuously instead of via nightly batches.
@@ -219,6 +225,37 @@ object CorpusStream {
           SourceTermFrequencies(source, total,
             probeTerms.map(t => t ->
               graft.ops.Sketches.cmsEstimateFromState(next, d, w, t)).toMap)
+      }
+  }
+
+  /** Live per-source heavy hitters: ≤ k Misra–Gries counters per source
+    * in keyed state, fed through
+    * [[graft.functions.MisraGriesAgg.reduce]] — the EXACT sequential
+    * update of the batch q152 sketch — so after any delivered prefix
+    * the summary carries the theorem's guarantees over that prefix:
+    * every token with true count > n/k is present and every counter
+    * sits in [t − n/k, t]. (Counter VALUES are arrival-order-dependent,
+    * exactly as in batch — the laws, not the numbers, are the
+    * contract.) Completes the intake-health quartet's live side:
+    * distinct (KMV), quantiles (histogram), point frequency (CMS),
+    * top-k (this). A count sketch is not replay-absorbing: wire it
+    * downstream of [[dedupedDocs]]. */
+  def heavyHitterMonitor(docs: DataFrame, k: Int = 20)
+      : org.apache.spark.sql.Dataset[SourceHeavyHitters] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import docs.sparkSession.implicits._
+    val agg = graft.functions.MisraGriesAgg[String](k, identity)
+    docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[String, Long]), SourceHeavyHitters](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          var (n, m) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          rows.foreach { case (_, tok) => m = agg.reduce(m, tok); n += 1 }
+          state.update((n, m))
+          SourceHeavyHitters(source, n, m)
       }
   }
 

@@ -293,4 +293,43 @@ class CorpusStreamSpec extends SparkSpec {
       assert(finals("srcB")._3("absentword") >= 0L)
     } finally q.stop()
   }
+
+  test("heavyHitterMonitor: MG laws hold over every delivered prefix, per source, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    // srcA: heavily skewed toward 'hot'; srcB small and disjoint
+    val a1 = "hot hot hot warm hot cool hot warm hot"
+    val a2 = "hot hot mild hot warm hot hot cool hot"
+    val b1 = "only tiny words only"
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.heavyHitterMonitor(src.toDF(), k)
+      .writeStream.format("memory").queryName("mg_monitor")
+      .outputMode("update").start()
+    def latest: Map[String, (Long, Map[String, Long])] =
+      spark.table("mg_monitor").as[(String, Long, Map[String, Long])]
+        .collect().groupBy(_._1)
+        .map { case (s, rs) => s -> { val m = rs.maxBy(_._2); (m._2, m._3) } }
+    def laws(prefix: Seq[String], reading: (Long, Map[String, Long])): Unit = {
+      val toks = prefix.flatMap(_.split(' '))
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (n, m) = reading
+      assert(n === toks.size.toLong)
+      assert(m.size <= k)
+      exact.foreach { case (t, c) =>
+        if (c > n / k) assert(m.contains(t), s"heavy $t missing from $m") }
+      m.foreach { case (t, e) =>
+        assert(e <= exact(t) && (exact(t) - e) * k <= n, s"bound broken for $t") }
+    }
+    try {
+      src.addData(doc(1, t(1), a1, "srcA"), doc(2, t(1), b1, "srcB"))
+      q.processAllAvailable()
+      laws(Seq(a1), latest("srcA"))
+      laws(Seq(b1), latest("srcB"))
+      src.addData(doc(3, t(2), a2, "srcA"))
+      q.processAllAvailable()
+      laws(Seq(a1, a2), latest("srcA"))
+      laws(Seq(b1), latest("srcB"))      // srcB state untouched
+      assert(latest("srcA")._2.contains("hot"), "the dominant token survives")
+    } finally q.stop()
+  }
 }
