@@ -505,4 +505,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
     assert("\\bWindow\\b".r.findAllIn(p).size === 2, p)
   }
+
+  test("q147 triangle closure: equi-joins only — no cartesian, no nested-loop wedge explosion") {
+    val p = plan("q147_triangle_closure")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q148 zipf fit: the rank cut prunes map-side (Partial WindowGroupLimit before the source Exchange)") {
+    val p = plan("q148_zipf_fit")
+    assert(p.contains("row_number(), 200, Partial"), p)
+    assert(p.contains("row_number(), 200, Final"), p)
+  }
+
+  test("q150 active users: one Expand serves all three distinct readings; the day spine broadcasts") {
+    val p = plan("q150_active_users")
+    assert("\\bExpand\\b".r.findAllIn(p).size === 1, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
 }
