@@ -51,6 +51,33 @@ class CentralityPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: triangleStats equals the brute-force adjacency count on arbitrary graphs, flip-symmetric") {
+    (1 to 6).foreach { seed =>
+      val (_, pairs) = graphGen.pureApply(Gen.Parameters.default, Seed(seed.toLong + 100))
+      if (pairs.nonEmpty) {
+        val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val expected = adj.keys.map { v =>
+          val nb = adj(v).toSeq
+          val t = (for {
+            i <- nb.indices; j <- (i + 1) until nb.size
+            if adj(nb(i)).contains(nb(j))
+          } yield 1).size.toLong
+          val d = nb.size.toLong
+          v -> ((d, t, if (d >= 2) Some(2 * t * 10000 / (d * (d - 1))) else None))
+        }.toMap
+        def runTri(ps: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Long])] =
+          Staged.withStaged {
+            Centrality.triangleStats(ps.toDF("a", "b"), "a", "b")
+              .as[(Long, Long, Long, Option[Long])].collect()
+              .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+          }
+        assert(runTri(pairs) === expected, s"seed=$seed vs brute force")
+        assert(runTri(pairs.map(_.swap)) === expected, s"seed=$seed flip symmetry")
+      }
+    }
+  }
+
   private val listsGen: Gen[List[List[(Long, Long)]]] =
     Gen.listOfN(3, for {
       k <- Gen.choose(2, 8)
