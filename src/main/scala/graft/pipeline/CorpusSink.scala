@@ -76,4 +76,70 @@ object CorpusSink {
     val pruned = dropColumns.foldLeft(raw)(_ drop _)
     write(pruned, targetPath, partitionBy, sortWithin, maxRecordsPerFile)
   }
+
+  /** One manifest entry of [[exportJsonl]]: shard file name, row count,
+    * byte length, md5 of the exact bytes. */
+  final case class ShardEntry(name: String, rows: Long, bytes: Long,
+                              md5: String)
+
+  /** JSON-lines release export with a checksummed manifest — the
+    * handoff artifact a training-data delivery actually ships (and the
+    * write-side twin of the q136 jsonl landing-zone ingest): sorted,
+    * size-bounded `part-*.json` shards plus `manifest.json` listing
+    * every shard's row count, byte length, and md5, with totals — so
+    * the receiving side can verify completeness and integrity without
+    * trusting the transport, and a partial copy is detectable before a
+    * training run starts on it.
+    *
+    * Layout discipline is [[write]]'s: range-repartitioned on the sort
+    * key (contiguous, disjoint shards), sorted within shards,
+    * `maxRecordsPerFile`-bounded. The manifest pass streams each shard
+    * once on the driver (md5 + newline count in one buffer walk) — the
+    * FILE list is bounded and the bytes stream, nothing materializes;
+    * at full 100 TB scale, lift the per-file checksum into a
+    * distributed `binaryFile` pass and keep only the driver-side
+    * manifest assembly. Returns the entries it wrote. */
+  def exportJsonl(df: DataFrame, path: String,
+                  sortWithin: Seq[String] = Seq("doc_id"),
+                  maxRecordsPerFile: Long = 100000L): Seq[ShardEntry] = {
+    df.repartitionByRange(sortWithin.map(col): _*)
+      .sortWithinPartitions(sortWithin.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .json(path)
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+      .filter(f => f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).toSeq
+      .map { f =>
+        val in = fs.open(f.getPath)
+        try {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val buf = new Array[Byte](1 << 16)
+          var rows = 0L
+          var r = in.read(buf)
+          while (r > 0) {
+            md.update(buf, 0, r)
+            var i = 0
+            while (i < r) { if (buf(i) == '\n') rows += 1; i += 1 }
+            r = in.read(buf)
+          }
+          ShardEntry(f.getPath.getName, rows, f.getLen,
+            md.digest().map("%02x".format(_)).mkString)
+        } finally in.close()
+      }
+    val body = entries.map(e =>
+        s"""{"name":"${e.name}","rows":${e.rows},"bytes":${e.bytes},"md5":"${e.md5}"}""")
+      .mkString("[", ",", "]")
+    val manifest =
+      s"""{"files":$body,"n_files":${entries.size},""" +
+        s""""total_rows":${entries.map(_.rows).sum},""" +
+        s""""total_bytes":${entries.map(_.bytes).sum}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "manifest.json"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    entries
+  }
 }

@@ -103,4 +103,40 @@ class CorpusSinkSpec extends SparkSpec {
       }
     }
   }
+
+  test("exportJsonl: checksummed manifest matches the shards; round-trips; shard size bounded") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    withTempDir { dir =>
+      val out = s"$dir/release"
+      val entries = CorpusSink.exportJsonl(docs, out, maxRecordsPerFile = 64L)
+      // manifest totals equal the data
+      assert(entries.map(_.rows).sum === docs.count())
+      assert(entries.forall(_.rows <= 64L))
+      assert(entries.size > 1, "the bound must actually shard")
+      // every checksum/length verifies against the bytes on disk
+      entries.foreach { e =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, e.name))
+        assert(bytes.length.toLong === e.bytes, e.name)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        assert(md5 === e.md5, e.name)
+        assert(bytes.count(_ == '\n') === e.rows, e.name)
+      }
+      // the written manifest.json agrees with the returned entries
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
+      assert(manifest.contains(s""""n_files":${entries.size}"""))
+      assert(manifest.contains(s""""total_rows":${docs.count()}"""))
+      entries.foreach(e => assert(manifest.contains(e.md5)))
+      // round trip: the jsonl shards (manifest excluded by pathGlob)
+      val back = spark.read.json(s"$out/part-*")
+        .select("doc_id", "lang", "n_chars")
+      assert(back.count() === docs.count())
+      assert(back.as[(Long, String, Long)].collect().toSet ===
+        docs.as[(Long, String, Long)].collect().toSet)
+    }
+  }
 }
