@@ -208,6 +208,39 @@ object EventAnalytics {
       .withColumn("stickiness_bp", expr("(dau * 10000L) div mau"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: order each user's events by (ts, id), pair each event
+    * with its successor, and count (current → next) transitions
+    * globally, with add-one (Laplace) smoothed row-probabilities over
+    * the observed event-type alphabet — the behavior model behind
+    * next-event prediction, synthetic-session generation, and
+    * drift-vs-baseline monitoring of an intake stream.
+    *
+    * Shape: ONE Exchange on the user key for the successor window,
+    * then the transition aggregate collapses map-side to ≤ |types|²
+    * rows; the row totals and the alphabet size are aggregates OF that
+    * tiny matrix (broadcast back), never a second pass over the event
+    * table. The (ts, id) tiebreak makes equal instants deterministic,
+    * like the q42 sessionizer's. */
+  def markovTransitions(userCol: String, tsCol: String, typeCol: String,
+                        idCol: String)(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val tr = events
+      .withColumn("__next", lead(col(typeCol), 1).over(byUser))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("cur_type"), col("__next").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = tr.select(col("cur_type").as("t"))
+      .union(tr.select(col("next_type")))
+      .agg(countDistinct(col("t")).as("__v"))
+    val totals = tr.groupBy("cur_type").agg(sum("c").as("__t"))
+    tr.join(broadcast(totals), "cur_type").crossJoin(broadcast(vocab))
+      .select(col("cur_type"), col("next_type"), col("c"),
+        graft.functions.Num.round4(
+          (col("c") + lit(1.0)) / (col("__t") + col("__v"))).as("p_q4"))
+  }
+
   /** The [[statusIntervals]] CURRENT-row read-off as a pure function
     * over one user's delivered event log — the same (ts, id) ordering
     * and change-collapse arithmetic, so a streaming monitor holding

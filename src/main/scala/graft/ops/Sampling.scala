@@ -373,4 +373,42 @@ object Sampling {
       .withColumn("pos", col("pos") - 1)
       .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)).cast("int"))
   }
+
+  /** Time-ordered train/test split with a leakage embargo: rows before
+    * the cutoff train, rows inside the embargo gap after it are
+    * DROPPED from both sides (labeled so the caller can count them),
+    * rows after the gap test. The embargo is what makes a temporal
+    * split honest when features or labels leak across nearby
+    * timestamps (rolling aggregates, session context, near-duplicate
+    * crawls of the same page hours apart): without the gap, test rows
+    * adjacent to the train boundary share information with it and the
+    * eval is optimistic. The financial-ML literature calls this purging
+    * /embargo; a training-data pipeline needs it any time eval data is
+    * "the future" of train data.
+    *
+    * The cutoff sits `trainNum/trainDen` of the way through the
+    * observed time span and the gap is `span/embargoDen`, all in exact
+    * epoch-µs integer arithmetic on non-negative operands — no float,
+    * no calendar, engine-independent. Shape: one tiny min/max
+    * aggregate broadcast back, then a pure projection over the fact
+    * table — NO shuffle of the data itself; at any scale the split is
+    * scan-speed. Emits (idCol, us, split ∈ train|embargo|test). */
+  def temporalEmbargoSplit(df: DataFrame, idCol: String, tsCol: String,
+                           trainNum: Int = 8, trainDen: Int = 10,
+                           embargoDen: Int = 50): DataFrame = {
+    require(trainNum > 0 && trainDen > trainNum,
+      s"train fraction $trainNum/$trainDen must be in (0,1)")
+    require(embargoDen > 0, s"embargoDen $embargoDen must be positive")
+    val bounds = df.agg(min(unix_micros(col(tsCol))).as("__lo"),
+      max(unix_micros(col(tsCol))).as("__hi"))
+    df.select(col(idCol), unix_micros(col(tsCol)).as("us"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__cut",
+        expr(s"__lo + (__hi - __lo) * $trainNum DIV $trainDen"))
+      .withColumn("__gap", expr(s"(__hi - __lo) DIV $embargoDen"))
+      .select(col(idCol), col("us"),
+        when(col("us") < col("__cut"), "train")
+          .when(col("us") < col("__cut") + col("__gap"), "embargo")
+          .otherwise("test").as("split"))
+  }
 }

@@ -943,6 +943,52 @@ object CoreQueries {
              |  FROM fan JOIN spine USING (day) GROUP BY 1)
              |SELECT CAST(day AS BIGINT) AS day, dau, wau, mau,
              |  (dau * 10000) // mau AS stickiness_bp
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // First-order Markov transition matrix (q154): per-user sequences
+    // ordered by (ts, event_id), (current → next) transition counts,
+    // add-one-smoothed row probabilities over the observed alphabet —
+    // the behavior model behind next-event prediction and
+    // drift-vs-baseline intake monitoring. One user-keyed Exchange for
+    // the successor window; totals and alphabet size are aggregates OF
+    // the ≤|types|² matrix (broadcast back), never a second event-table
+    // pass.
+    Q("q154_markov_transitions",
+      (s, d) => Tables.events(s, d)
+        .transform(EventAnalytics.markovTransitions(
+          "user_id", "ts", "event_type", "event_id")),
+      Some("""WITH seqd AS (SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS nxt
+             |  FROM events),
+             |tr AS (SELECT event_type AS cur_type, nxt AS next_type,
+             |    count(*) AS c
+             |  FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |v AS (SELECT count(DISTINCT t) AS v FROM (
+             |  SELECT cur_type AS t FROM tr
+             |  UNION ALL SELECT next_type FROM tr)),
+             |tot AS (SELECT cur_type, sum(c) AS t FROM tr GROUP BY 1)
+             |SELECT cur_type, next_type, c,
+             |  round((c + 1.0) / (t + v), 4) + 0.0 AS p_q4
+             |FROM tr JOIN tot USING (cur_type), v""".stripMargin)),
+
+    // Temporal embargo split (q156): time-ordered train/test with a
+    // leakage gap — rows before the 80% cutoff train, the next
+    // span/50 of time is embargoed out of BOTH sides, the rest tests.
+    // Exact epoch-µs integer arithmetic on non-negative operands (DIV
+    // ≡ //); one tiny min/max aggregate broadcast back, then a pure
+    // projection — the fact table itself never shuffles.
+    Q("q156_temporal_embargo_split",
+      (s, d) => Sampling.temporalEmbargoSplit(
+        Tables.events(s, d), "event_id", "ts"),
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+             |    max(epoch_us(ts)) AS hi FROM events)
+             |SELECT event_id, epoch_us(ts) AS us,
+             |  CASE WHEN epoch_us(ts) < lo + (hi - lo) * 8 // 10
+             |      THEN 'train'
+             |    WHEN epoch_us(ts) < lo + (hi - lo) * 8 // 10
+             |        + (hi - lo) // 50 THEN 'embargo'
+             |    ELSE 'test' END AS split
+             |FROM events, b""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Spectral, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3488,7 +3488,135 @@ object LlmQueries {
               (col("exact") - col("est")) * k <= col("n"), 1L)
               .otherwise(0L).as("bound_ok"))
       },
-      None)
+      None),
+
+    // Exact 2-D Pareto frontier (q153): the documents on the
+    // (minimize length, maximize vocabulary diversity) skyline — the
+    // provably-best curation trades, everything else dominated. The
+    // oracle is the textbook O(n²) dominance anti-join; the Spark side
+    // is the bucketed one-Exchange form (in-bucket strict-less +
+    // equal-key windows, cross-bucket dominance collapsed to a
+    // ≤64-row prefix-max broadcast) — no pair join at any scale.
+    Q("q153_pareto_frontier",
+      (s, d) => {
+        val m = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long").as("n_distinct_toks"))
+        Skyline.frontier2d(m, "n_chars", "n_distinct_toks")
+      },
+      Some("""WITH m AS (SELECT doc_id, n_chars,
+             |  CAST(len(list_distinct(list_filter(
+             |    string_split_regex(trim(text), '\s+'), x -> x <> '')))
+             |    AS BIGINT) AS n_distinct_toks FROM documents)
+             |SELECT doc_id, n_chars, n_distinct_toks FROM m r
+             |WHERE NOT EXISTS (SELECT 1 FROM m o
+             |  WHERE o.n_chars <= r.n_chars
+             |    AND o.n_distinct_toks >= r.n_distinct_toks
+             |    AND (o.n_chars < r.n_chars
+             |      OR o.n_distinct_toks > r.n_distinct_toks))""".stripMargin)),
+
+    // Declarative data-quality constraint report (q155): the whole
+    // rule battery — row count, completeness, key uniqueness,
+    // derived-column consistency, domain membership, range and
+    // distribution bands — evaluates in ONE aggregate pass over the
+    // table (a single Aggregate node; the distinct-count rule adds the
+    // usual Expand), then pivots to (rule, metric, pass) rows. The
+    // n_chars_max_500 rule FAILS on this corpus (max is ~553-558) on
+    // purpose: a checker whose report is all-green on any input is
+    // indistinguishable from one that checks nothing.
+    Q("q155_quality_constraints",
+      (s, d) => {
+        import graft.ops.Constraints.Rule
+        Constraints.report(Tables.documents(s, d), Seq(
+          Rule("row_count_min_100", count(lit(1)), _ >= 100.0),
+          Rule("text_complete",
+            sum(when(col("text").isNull ||
+              length(trim(col("text"))) === 0, 1L).otherwise(0L)),
+            _ === 0.0),
+          Rule("doc_id_unique",
+            count(lit(1)) - countDistinct(col("doc_id")), _ === 0.0),
+          Rule("n_chars_matches_text",
+            sum(when(col("n_chars") =!= length(col("text")), 1L)
+              .otherwise(0L)), _ === 0.0),
+          Rule("lang_in_domain",
+            sum(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1L)
+              .otherwise(0L)), _ === 0.0),
+          Rule("n_chars_min_1", min(col("n_chars")), _ >= 1.0),
+          Rule("n_chars_max_500", max(col("n_chars")), _ <= 500.0),
+          Rule("mean_chars_band",
+            sum(col("n_chars")) * lit(1.0) / count(lit(1)),
+            m => m >= 50.0 && m <= 5000.0)))
+      },
+      Some("""WITH a AS (SELECT
+             |  count(*) * 1.0 AS m0,
+             |  sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+             |    THEN 1 ELSE 0 END) * 1.0 AS m1,
+             |  (count(*) - count(DISTINCT doc_id)) * 1.0 AS m2,
+             |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+             |    * 1.0 AS m3,
+             |  sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+             |    THEN 1 ELSE 0 END) * 1.0 AS m4,
+             |  min(n_chars) * 1.0 AS m5,
+             |  max(n_chars) * 1.0 AS m6,
+             |  sum(n_chars) * 1.0 / count(*) AS m7
+             |  FROM documents)
+             |SELECT 'row_count_min_100' AS rule, round(m0,4)+0.0 AS metric,
+             |  CAST(CASE WHEN m0 >= 100 THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |  FROM a
+             |UNION ALL SELECT 'text_complete', round(m1,4)+0.0,
+             |  CAST(CASE WHEN m1 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'doc_id_unique', round(m2,4)+0.0,
+             |  CAST(CASE WHEN m2 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'n_chars_matches_text', round(m3,4)+0.0,
+             |  CAST(CASE WHEN m3 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'lang_in_domain', round(m4,4)+0.0,
+             |  CAST(CASE WHEN m4 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'n_chars_min_1', round(m5,4)+0.0,
+             |  CAST(CASE WHEN m5 >= 1 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'n_chars_max_500', round(m6,4)+0.0,
+             |  CAST(CASE WHEN m6 <= 500 THEN 1 ELSE 0 END AS BIGINT) FROM a
+             |UNION ALL SELECT 'mean_chars_band', round(m7,4)+0.0,
+             |  CAST(CASE WHEN m7 >= 50 AND m7 <= 5000 THEN 1 ELSE 0 END
+             |    AS BIGINT) FROM a""".stripMargin)),
+
+    // Greedy k-center diversity coreset (q157): 4 farthest-point
+    // rounds over the embedding table — the maximally-diverse-subset
+    // selector (eval carving, annotation budgets), the opposite knob
+    // from SemDeDup. Spark side: k driver rounds of one scan +
+    // TakeOrdered(1) with the selected set riding as literal vectors
+    // inside the distance expression (dist² = n2x − 2·x·c + n2c off
+    // the one precomputed norm column); oracle: the same four rounds
+    // unrolled as CTEs. The emitted score sequence is the shrinking
+    // greedy cover radius.
+    Q("q157_kcenter_coreset",
+      (s, d) => Coreset.kCenterGreedy(
+        Tables.embeddings(s, d), "vec_id", "embedding", 4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+             |c1 AS (SELECT vec_id, v, n2, n2 AS sc FROM n
+             |  ORDER BY n2 DESC, vec_id LIMIT 1),
+             |d1 AS (SELECT n.vec_id, n.v, n.n2,
+             |    n.n2 - 2.0 * list_dot_product(n.v, c1.v) + c1.n2 AS dmin
+             |  FROM n, c1),
+             |c2 AS (SELECT vec_id, v, n2, dmin AS sc FROM d1
+             |  ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d2 AS (SELECT d1.vec_id, d1.v, d1.n2,
+             |    least(d1.dmin, d1.n2 - 2.0 * list_dot_product(d1.v, c2.v)
+             |      + c2.n2) AS dmin FROM d1, c2),
+             |c3 AS (SELECT vec_id, v, n2, dmin AS sc FROM d2
+             |  ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d3 AS (SELECT d2.vec_id, d2.v, d2.n2,
+             |    least(d2.dmin, d2.n2 - 2.0 * list_dot_product(d2.v, c3.v)
+             |      + c3.n2) AS dmin FROM d2, c3),
+             |c4 AS (SELECT vec_id, dmin AS sc FROM d3
+             |  ORDER BY dmin DESC, vec_id LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+             |  round(sc, 4) + 0.0 AS score_q4 FROM c1
+             |UNION ALL SELECT 2, vec_id, round(sc, 4) + 0.0 FROM c2
+             |UNION ALL SELECT 3, vec_id, round(sc, 4) + 0.0 FROM c3
+             |UNION ALL SELECT 4, vec_id, round(sc, 4) + 0.0 FROM c4"""
+        .stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -186,4 +186,36 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, "a", base, Some(base), 0L),            // zero-length but ordered
       (1L, "b", base, None, 1L)))
   }
+
+  test("markovTransitions: per-user successor pairs, Laplace smoothing over the observed alphabet") {
+    val events = ev4(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "A"),
+      (2L, 1L, "2024-01-01 00:01:00", "B"),
+      (3L, 1L, "2024-01-01 00:02:00", "A"),
+      (4L, 2L, "2024-01-01 00:00:00", "B"),
+      (5L, 2L, "2024-01-01 00:01:00", "B"),
+      // user 3's single event produces NO transition
+      (6L, 3L, "2024-01-01 00:00:00", "C")))
+    val out = events.transform(EventAnalytics.markovTransitions(
+        "user_id", "ts", "event_type", "event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // alphabet = {A,B} (C never enters a transition); totals A:1, B:2
+    assert(out === Map(
+      ("A", "B") -> ((1L, 0.6667)), // (1+1)/(1+2)
+      ("B", "A") -> ((1L, 0.5)),    // (1+1)/(2+2)
+      ("B", "B") -> ((1L, 0.5))))
+  }
+
+  test("markovTransitions: equal instants order by the id tiebreak") {
+    val events = ev4(Seq(
+      (2L, 1L, "2024-01-01 00:00:00", "Y"), // same ts: id orders X before Y
+      (1L, 1L, "2024-01-01 00:00:00", "X"),
+      (3L, 1L, "2024-01-01 00:01:00", "Z")))
+    val out = events.transform(EventAnalytics.markovTransitions(
+        "user_id", "ts", "event_type", "event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(out === Set(("X", "Y"), ("Y", "Z")))
+  }
 }

@@ -366,4 +366,34 @@ class SamplingSpec extends SparkSpec {
     }
     assert(emptySpecs.isEmpty)
   }
+
+  test("temporalEmbargoSplit: exact integer boundaries, every row labeled, embargo between the sides") {
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "us_raw")
+      .select(col("id"), timestamp_micros(col("us_raw")).as("ts"))
+    val out = Sampling.temporalEmbargoSplit(df, "id", "ts")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._2)
+    assert(out.size === 100)
+    // span 99: cutoff = 0 + 99*8 DIV 10 = 79, gap = 99 DIV 50 = 1
+    assert(out.filter(_._3 == "train").map(_._2) === (0L to 78L))
+    assert(out.filter(_._3 == "embargo").map(_._2) === Seq(79L))
+    assert(out.filter(_._3 == "test").map(_._2) === (80L to 99L))
+    // no train row at or after any embargo/test row; no test row
+    // inside the gap — the temporal order IS the split order
+    val maxTrain = out.filter(_._3 == "train").map(_._2).max
+    val minTest = out.filter(_._3 == "test").map(_._2).min
+    assert(maxTrain < 79L + 1L && minTest >= 80L)
+  }
+
+  test("temporalEmbargoSplit: the fact table does not shuffle (tiny bounds aggregate broadcast back)") {
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "us_raw")
+      .select(col("id"), timestamp_micros(col("us_raw")).as("ts"))
+    val plan = Sampling.temporalEmbargoSplit(df, "id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // the only Exchange feeds the single-row bounds aggregate, never
+    // the fact side: no hash/range repartition of the data
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), plan)
+  }
 }

@@ -7,6 +7,9 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional comma-separated names filter
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
