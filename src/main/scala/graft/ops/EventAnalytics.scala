@@ -226,11 +226,14 @@ object EventAnalytics {
                         idCol: String)(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(userCol)
       .orderBy(unix_micros(col(tsCol)), col(idCol))
-    val tr = events
+    // staged: totals and the alphabet are aggregates OF this ≤|types|²
+    // matrix — without the pin each would recompute the event-table
+    // window from its own full scan+shuffle
+    val tr = Staged.stage(events
       .withColumn("__next", lead(col(typeCol), 1).over(byUser))
       .where(col("__next").isNotNull)
       .groupBy(col(typeCol).as("cur_type"), col("__next").as("next_type"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val vocab = tr.select(col("cur_type").as("t"))
       .union(tr.select(col("next_type")))
       .agg(countDistinct(col("t")).as("__v"))

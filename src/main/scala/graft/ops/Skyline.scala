@@ -43,11 +43,16 @@ object Skyline {
     val y = col(maxCol)
     val bounds = df.agg(min(col(minCol)).cast("long").as("__lo"),
       max(col(minCol)).cast("long").as("__hi"))
-    val bucketed = df.crossJoin(broadcast(bounds))
+    // staged: the prefix-max branch below re-reads this projection —
+    // without the pin it would RECOMPUTE the caller's projection
+    // (often the expensive part, e.g. q153's tokenize) from a second
+    // source scan. Callers should pass a pruned df: the cache holds
+    // exactly its columns plus the bucket id.
+    val bucketed = Staged.stage(df.crossJoin(broadcast(bounds))
       .withColumn("__b", expr(
         s"CAST((CAST(`$minCol` AS BIGINT) - __lo) * $nBuckets" +
           " DIV (__hi - __lo + 1) AS INT)"))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi"))
     val wLess = Window.partitionBy("__b").orderBy(col(minCol).cast("long"))
       .rangeBetween(Window.unboundedPreceding, -1)
     val wEq = Window.partitionBy(col("__b"), col(minCol))

@@ -523,4 +523,47 @@ class PlanSpec extends SparkSpec {
     assert("\\bExpand\\b".r.findAllIn(p).size === 1, p)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("q153 pareto frontier: ONE bucket Exchange serves both in-bucket windows; the tokenize projection is staged (no second text scan); prefix table broadcasts") {
+    val p = graft.ops.Staged.withStaged { plan("q153_pareto_frontier") }
+    // data Exchanges: the bucket partitioning + the tiny per-bucket
+    // partial agg; both consumers read the STAGED projection (explain
+    // prints the cached subtree once per InMemoryTableScan, so every
+    // text FileScan in the dump must sit under an InMemoryRelation —
+    // unstaged, the text scans appear with NO cached relation at all)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    val cachedReads = "InMemoryTableScan".r.findAllIn(p).size
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string".r
+      .findAllIn(p).size
+    assert(cachedReads === 2, p)
+    assert(textScans === cachedRels, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q154 markov transitions: the transition matrix is staged — totals and alphabet aggregate the cache, the event table windows ONCE") {
+    val p = graft.ops.Staged.withStaged { plan("q154_markov_transitions") }
+    // all consumers read the staged matrix (tr + totals + the
+    // alphabet union's two branches); every user-window / event scan
+    // in the dump sits inside a repeated cached-subtree print
+    // (explain shows the InMemoryRelation plan once per reader)
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    assert("InMemoryTableScan".r.findAllIn(p).size === 4, p)
+    assert("\\bWindow\\b".r.findAllIn(p).size === cachedRels, p)
+    assert("events.parquet".r.findAllIn(p).size === cachedRels, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // tiny alphabet row
+  }
+
+  test("q155 quality constraints: the whole rule battery is ONE scan of documents") {
+    val p = plan("q155_quality_constraints")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q156 temporal embargo split: the fact table never shuffles — bounds broadcast, pure projection") {
+    val p = plan("q156_temporal_embargo_split")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
