@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3616,7 +3616,70 @@ object LlmQueries {
              |UNION ALL SELECT 2, vec_id, round(sc, 4) + 0.0 FROM c2
              |UNION ALL SELECT 3, vec_id, round(sc, 4) + 0.0 FROM c3
              |UNION ALL SELECT 4, vec_id, round(sc, 4) + 0.0 FROM c4"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Greedy maximum-coverage selection (q158): the 4 documents whose
+    // union covers the most of the top-2000 3-gram shingle universe,
+    // one highest-marginal-gain pick per round — submodular (1−1/e)
+    // greedy, the token-space sibling of q157's embedding-space
+    // k-center. Units are SHINGLES, not unigrams: this corpus's
+    // unigram vocabulary is 31 tokens and one document covers it
+    // whole (a correct but degenerate 1-round cover); the shingle
+    // universe is thousands-large, so the 4 rounds genuinely
+    // discriminate. All-integer output (gains, coverage totals): no
+    // float parity surface at all. Spark side: staged bounded
+    // (doc, unit) pair table, k rounds of broadcast anti-join +
+    // TakeOrdered(1); oracle: the same four rounds unrolled as CTEs.
+    Q("q158_greedy_set_cover",
+      (s, d) => Coverage.greedySetCover(Tables.documents(s, d), "doc_id",
+        TextFunctions.shingles(col("text"), 3), 4),
+      Some("""WITH tk AS (SELECT DISTINCT doc_id, shingle AS tok FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |      range(greatest(len(w) - 2, 0)),
+             |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS w
+             |    FROM documents))),
+             |uni AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk
+             |    GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000),
+             |tku AS (SELECT tk.doc_id, tk.tok FROM tk JOIN uni USING (tok)),
+             |g1 AS (SELECT doc_id, count(*) AS gain FROM tku GROUP BY 1),
+             |p1 AS (SELECT doc_id, gain FROM g1
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c1 AS (SELECT DISTINCT tok FROM tku JOIN p1 USING (doc_id)),
+             |g2 AS (SELECT doc_id, count(*) AS gain FROM tku
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+             |    AND tok NOT IN (SELECT tok FROM c1) GROUP BY 1),
+             |p2 AS (SELECT doc_id, gain FROM g2
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c2 AS (SELECT tok FROM c1
+             |  UNION SELECT tok FROM tku JOIN p2 USING (doc_id)),
+             |g3 AS (SELECT doc_id, count(*) AS gain FROM tku
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM p1
+             |    UNION ALL SELECT doc_id FROM p2)
+             |    AND tok NOT IN (SELECT tok FROM c2) GROUP BY 1),
+             |p3 AS (SELECT doc_id, gain FROM g3
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c3 AS (SELECT tok FROM c2
+             |  UNION SELECT tok FROM tku JOIN p3 USING (doc_id)),
+             |g4 AS (SELECT doc_id, count(*) AS gain FROM tku
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM p1
+             |    UNION ALL SELECT doc_id FROM p2
+             |    UNION ALL SELECT doc_id FROM p3)
+             |    AND tok NOT IN (SELECT tok FROM c3) GROUP BY 1),
+             |p4 AS (SELECT doc_id, gain FROM g4
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c4 AS (SELECT tok FROM c3
+             |  UNION SELECT tok FROM tku JOIN p4 USING (doc_id))
+             |SELECT CAST(1 AS BIGINT) AS round, doc_id, gain,
+             |  (SELECT count(*) FROM c1) AS covered_total FROM p1
+             |UNION ALL SELECT 2, doc_id, gain,
+             |  (SELECT count(*) FROM c2) FROM p2
+             |UNION ALL SELECT 3, doc_id, gain,
+             |  (SELECT count(*) FROM c3) FROM p3
+             |UNION ALL SELECT 4, doc_id, gain,
+             |  (SELECT count(*) FROM c4) FROM p4""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
