@@ -77,6 +77,41 @@ object CorpusSink {
     write(pruned, targetPath, partitionBy, sortWithin, maxRecordsPerFile)
   }
 
+  /** Z-ordered layout write: cluster files along the Morton curve of
+    * two numeric columns so parquet min/max stats prune files for
+    * range predicates on EITHER OR BOTH dimensions — the
+    * multi-dimensional data-skipping layout (the Delta/Iceberg
+    * OPTIMIZE ZORDER idea) that [[write]]'s lexicographic sort cannot
+    * give: a time-sorted event table answers time ranges cheaply but
+    * scans every file for a user predicate; z-ordered on (time, user)
+    * each file covers a small rectangle of both. The curve key is
+    * dropped before the write — the benefit lives in the per-file
+    * min/max of the REAL columns. One tiny bounds aggregate broadcast
+    * + one range Exchange on the curve key: exactly [[write]]'s
+    * shuffle budget. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int = 64,
+                    maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, max, min}
+    import graft.functions.ZCurve
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("__xlo"),
+      max(col(xCol)).cast("long").as("__xhi"),
+      min(col(yCol)).cast("long").as("__ylo"),
+      max(col(yCol)).cast("long").as("__yhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", ZCurve.zValue(
+        ZCurve.scaleTo16(xCol, "__xlo", "__xhi"),
+        ZCurve.scaleTo16(yCol, "__ylo", "__yhi")))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** One manifest entry of [[exportJsonl]]: shard file name, row count,
     * byte length, md5 of the exact bytes. */
   final case class ShardEntry(name: String, rows: Long, bytes: Long,

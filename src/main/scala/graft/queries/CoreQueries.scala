@@ -989,6 +989,62 @@ object CoreQueries {
              |    WHEN epoch_us(ts) < lo + (hi - lo) * 8 // 10
              |        + (hi - lo) // 50 THEN 'embargo'
              |    ELSE 'test' END AS split
-             |FROM events, b""".stripMargin))
+             |FROM events, b""".stripMargin)),
+
+    // Morton / Z-order curve encoding (q159): the multi-dimensional
+    // layout key behind CorpusSink.writeZOrdered — (time, user) scaled
+    // to 16 bits by exact overflow-free width division, bit-interleaved
+    // by the magic-masks spread, plus the 64-way file-bucket id the
+    // range writer would assign. Pure per-row integer projection over
+    // a broadcast bounds row: no shuffle, no float surface; the same
+    // shift/and/or arithmetic runs verbatim in the oracle, so the
+    // curve itself is hash-verified (the layout's skipping effect is
+    // CorpusSinkSpec's evidence).
+    Q("q159_zorder_curve",
+      (s, d) => {
+        import graft.functions.ZCurve
+        val ev = Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("us"), col("user_id"))
+        val bounds = ev.agg(
+          min("us").as("__tlo"), max("us").as("__thi"),
+          min("user_id").as("__ulo"), max("user_id").as("__uhi"))
+        ev.crossJoin(broadcast(bounds))
+          .select(col("event_id"),
+            ZCurve.scaleTo16("us", "__tlo", "__thi").as("zx"),
+            ZCurve.scaleTo16("user_id", "__ulo", "__uhi").as("zy"))
+          .withColumn("zval", ZCurve.zValue(col("zx"), col("zy")))
+          .withColumn("file_bucket", expr("zval * 64 DIV 4294967296"))
+      },
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS tlo,
+             |    max(epoch_us(ts)) AS thi, min(user_id) AS ulo,
+             |    max(user_id) AS uhi FROM events),
+             |s AS (SELECT event_id,
+             |    CASE WHEN thi = tlo THEN 0
+             |      WHEN thi - tlo <= 100000000000000
+             |        THEN ((epoch_us(ts) - tlo) * 65535) // (thi - tlo)
+             |      ELSE (epoch_us(ts) - tlo) // ((thi - tlo) // 65536 + 1)
+             |      END AS zx,
+             |    CASE WHEN uhi = ulo THEN 0
+             |      WHEN uhi - ulo <= 100000000000000
+             |        THEN ((user_id - ulo) * 65535) // (uhi - ulo)
+             |      ELSE (user_id - ulo) // ((uhi - ulo) // 65536 + 1)
+             |      END AS zy
+             |  FROM events, b),
+             |p1 AS (SELECT event_id, zx, zy,
+             |    ((zx & 65535) | ((zx & 65535) << 8)) & 16711935 AS ax,
+             |    ((zy & 65535) | ((zy & 65535) << 8)) & 16711935 AS ay
+             |  FROM s),
+             |p2 AS (SELECT event_id, zx, zy,
+             |    (ax | (ax << 4)) & 252645135 AS ax,
+             |    (ay | (ay << 4)) & 252645135 AS ay FROM p1),
+             |p3 AS (SELECT event_id, zx, zy,
+             |    (ax | (ax << 2)) & 858993459 AS ax,
+             |    (ay | (ay << 2)) & 858993459 AS ay FROM p2),
+             |p4 AS (SELECT event_id, zx, zy,
+             |    (ax | (ax << 1)) & 1431655765 AS ax,
+             |    (ay | (ay << 1)) & 1431655765 AS ay FROM p3)
+             |SELECT event_id, zx, zy, (ax | (ay << 1)) AS zval,
+             |  ((ax | (ay << 1)) * 64) // 4294967296 AS file_bucket
+             |FROM p4""".stripMargin))
   )
 }

@@ -104,6 +104,44 @@ class CorpusSinkSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: files cover rectangles — a user-slice predicate prunes files the time-sorted layout must all read") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"))
+    withTempDir { dir =>
+      val zPath = s"$dir/zorder"
+      val tPath = s"$dir/timesort"
+      CorpusSink.writeZOrdered(ev, "us", "user_id", zPath, nFiles = 16)
+      ev.repartitionByRange(16, col("us")).sortWithinPartitions("us")
+        .write.parquet(tPath) // the classic single-dimension layout
+      def fileStats(path: String): Seq[(Long, Long, Long, Long)] =
+        new java.io.File(path).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .toSeq.map { f =>
+            spark.read.parquet(f.getAbsolutePath)
+              .agg(min("us"), max("us"), min("user_id"), max("user_id"))
+              .as[(Long, Long, Long, Long)].collect()(0)
+          }
+      val (zStats, tStats) = (fileStats(zPath), fileStats(tPath))
+      assert(zStats.size > 4 && tStats.size > 4, "need a real file population")
+      // box: ALL of time × the middle 1/16 of the user range — the
+      // "one user cohort" probe a time-sorted layout cannot skip for
+      val (ulo, uhi) = ev.agg(min("user_id"), max("user_id"))
+        .as[(Long, Long)].collect()(0)
+      val w = (uhi - ulo + 1) / 16
+      val (qlo, qhi) = (ulo + 7 * w, ulo + 8 * w)
+      def touching(stats: Seq[(Long, Long, Long, Long)]): Int =
+        stats.count { case (_, _, umin, umax) => umin <= qhi && umax >= qlo }
+      assert(touching(tStats) === tStats.size,
+        "time-sorted files all span the full user range — no skipping")
+      assert(touching(zStats) < zStats.size,
+        s"z-order must prune some files: ${touching(zStats)} of ${zStats.size}")
+      // and the layout rewrite is row-preserving
+      val back = spark.read.parquet(zPath).as[(Long, Long, Long)].collect().toSet
+      assert(back === ev.as[(Long, Long, Long)].collect().toSet)
+    }
+  }
+
   test("exportJsonl: checksummed manifest matches the shards; round-trips; shard size bounded") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
