@@ -397,4 +397,54 @@ object CorpusStream {
       } finally { fresh.unpersist(); () }
     }
   }
+
+  /** Streaming admission control: every micro-batch is contract-checked
+    * by [[graft.ops.Constraints.report]] — the batch q155 operator
+    * VERBATIM, so live ≡ batch by shared code — and routed whole:
+    * batches whose `required` rules all pass land in
+    * `acceptPath/batch=<id>`, failing batches are QUARANTINED to
+    * `quarantinePath/batch=<id>` instead of silently poisoning the
+    * corpus, and every batch's full (rule, metric, pass, admitted)
+    * report is persisted to `reportPath/batch=<id>` either way — the
+    * audit trail an intake pipeline owes its consumers. Rules outside
+    * `required` are advisory: reported, never blocking.
+    *
+    * Batch-granular by design: a delivery that violates its contract
+    * (truncated feed, schema drift upstream, encoding breakage) is
+    * usually wrong AS A WHOLE, and quarantine-then-inspect beats
+    * row-level salvage. Replay-idempotent the [[corpusIngestSink]]
+    * way — every write is an `overwrite` of the batch-id directory,
+    * and the decision is a deterministic function of the batch's rows.
+    * Empty micro-batches are skipped entirely (no report row — an
+    * empty Aggregate would report null metrics for min/max rules and
+    * spuriously quarantine nothing). */
+  def admissionControl(docs: DataFrame,
+                       rules: Seq[graft.ops.Constraints.Rule],
+                       required: Set[String],
+                       acceptPath: String, quarantinePath: String,
+                       reportPath: String, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(rules.nonEmpty, "admission control needs at least one rule")
+    val names = rules.map(_.name).toSet
+    require(required.subsetOf(names),
+      s"required rules ${required -- names} are not declared")
+    foreachBatchSink(docs, checkpoint) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val rep = graft.ops.Constraints.report(batch, rules)
+          .as[(String, Double, Long)].collect() // ≤ #rules rows
+        val admitted = rep.forall { case (rule, _, pass) =>
+          !required(rule) || pass == 1L }
+        rep.toSeq
+          .map { case (rule, metric, pass) =>
+            (rule, metric, pass, if (admitted) 1L else 0L) }
+          .toDF("rule", "metric", "pass", "admitted")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$reportPath/batch=$batchId")
+        val target = if (admitted) acceptPath else quarantinePath
+        batch.write.mode("overwrite").parquet(s"$target/batch=$batchId")
+      }
+    }
+  }
 }

@@ -332,4 +332,66 @@ class CorpusStreamSpec extends SparkSpec {
       assert(latest("srcA")._2.contains("hot"), "the dominant token survives")
     } finally q.stop()
   }
+
+  test("admissionControl: good batches admitted, contract-violating batches quarantined whole, report = the batch operator verbatim") {
+    import graft.ops.Constraints.Rule
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("admission").toString
+    val rules = Seq(
+      Rule("text_complete",
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)),
+        _ === 0.0),
+      Rule("doc_id_unique",
+        count(lit(1)) - countDistinct(col("doc_id")), _ === 0.0),
+      Rule("batch_min_2", count(lit(1)), _ >= 2.0)) // advisory only
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.admissionControl(src.toDF(), rules,
+        required = Set("text_complete", "doc_id_unique"),
+        s"$dir/accept", s"$dir/quarantine", s"$dir/report",
+        s"$dir/ckpt").start()
+    try {
+      // batch 0: clean, 2 docs → admitted (advisory rule also passes)
+      val b0 = Seq(doc(1, t(1), good), doc(2, t(1), good + " x"))
+      src.addData(b0: _*)
+      q.processAllAvailable()
+      // batch 1: duplicate id + an empty text → BOTH required rules
+      // fail → the whole batch quarantines, nothing reaches accept
+      val b1 = Seq(doc(3, t(2), good), doc(3, t(2), "  "))
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: single clean doc → required pass; the ADVISORY
+      // batch_min_2 fails and must not block admission
+      src.addData(doc(9, t(3), good))
+      q.processAllAvailable()
+      val accepted = spark.read.option("basePath", s"$dir/accept")
+        .parquet(s"$dir/accept/batch=*")
+      assert(accepted.select("doc_id").as[Long].collect().toSet ===
+        Set(1L, 2L, 9L))
+      val quarantined = spark.read.option("basePath", s"$dir/quarantine")
+        .parquet(s"$dir/quarantine/batch=*")
+      assert(quarantined.select("doc_id").as[Long].collect().toSeq
+        .sorted === Seq(3L, 3L))
+      // the persisted report IS the batch q155 operator on those rows
+      val rep = spark.read.option("basePath", s"$dir/report")
+        .parquet(s"$dir/report/batch=*")
+        .select("batch", "rule", "metric", "pass", "admitted")
+        .as[(Long, String, Double, Long, Long)].collect()
+        .groupBy(_._1).map { case (b, rs) =>
+          b -> rs.map(r => (r._2, r._3, r._4, r._5)).toSet }
+      val batchIds = rep.keys.toSeq.sorted
+      assert(batchIds.size === 3)
+      def expectedFor(docs: Seq[StreamDoc], admitted: Long) =
+        graft.ops.Constraints.report(docs.toDF(), rules)
+          .as[(String, Double, Long)].collect()
+          .map(r => (r._1, r._2, r._3, admitted)).toSet
+      assert(rep(batchIds(0)) === expectedFor(b0, 1L))
+      assert(rep(batchIds(1)) === expectedFor(b1, 0L))
+      assert(rep(batchIds(1)).exists { case (r, _, p, _) =>
+        r == "doc_id_unique" && p == 0L })
+      // advisory failure visible in the report, admitted anyway
+      assert(rep(batchIds(2)).exists { case (r, _, p, _) =>
+        r == "batch_min_2" && p == 0L })
+      assert(rep(batchIds(2)).forall(_._4 == 1L))
+    } finally q.stop()
+  }
 }
