@@ -3679,7 +3679,49 @@ object LlmQueries {
              |UNION ALL SELECT 3, doc_id, gain,
              |  (SELECT count(*) FROM c3) FROM p3
              |UNION ALL SELECT 4, doc_id, gain,
-             |  (SELECT count(*) FROM c4) FROM p4""".stripMargin))
+             |  (SELECT count(*) FROM c4) FROM p4""".stripMargin)),
+
+    // Language-ID confusion audit (q160): the q25 heuristic predictor
+    // cross-tabulated against the DECLARED lang column — the
+    // label-vs-model agreement matrix a curation pipeline reads before
+    // trusting either side (here it also EXPOSES the predictor's
+    // blind spot: declared-zh rows can only land in 'und' or a false
+    // positive, since the n-gram stopword battery has no zh entry).
+    // Row percentages in exact basis points (n·10⁴ div row total).
+    // One (lang, pred) aggregate with map-side partials; the
+    // normalizer windows the ≤|langs|² matrix, never the corpus.
+    Q("q160_langid_confusion",
+      (s, d) => {
+        val preds = Tables.documents(s, d).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        val m = preds.groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+        m.withColumn("pct_bp", expr(
+          "n * 10000 DIV sum(n) OVER (PARTITION BY lang)"))
+      },
+      Some("""WITH p AS (SELECT lang, CASE WHEN mx = 0 THEN 'und'
+             |    WHEN h_fr = mx THEN 'fr' WHEN h_es = mx THEN 'es'
+             |    WHEN h_en = mx THEN 'en' ELSE 'de' END AS lang_pred
+             |  FROM (SELECT lang,
+             |    greatest(h_de, h_en, h_es, h_fr) AS mx, h_de, h_en,
+             |    h_es, h_fr FROM (SELECT lang,
+             |  len(list_filter(w, x -> list_contains(
+             |    ['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             |  len(list_filter(w, x -> list_contains(
+             |    ['the','a','of','and','to','in','is','that'], x))) AS h_en,
+             |  len(list_filter(w, x -> list_contains(
+             |    ['el','la','de','que','y','los','una'], x))) AS h_es,
+             |  len(list_filter(w, x -> list_contains(
+             |    ['le','la','les','des','et','est','une'], x))) AS h_fr
+             |  FROM (SELECT lang,
+             |    string_split_regex(trim(text), '\s+') AS w
+             |    FROM documents)))),
+             |m AS (SELECT lang, lang_pred, count(*) AS n FROM p
+             |  GROUP BY 1, 2)
+             |SELECT lang, lang_pred, n,
+             |  CAST((n * 10000) // sum(n) OVER (PARTITION BY lang)
+             |    AS BIGINT) AS pct_bp
+             |FROM m""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
