@@ -71,4 +71,45 @@ object Skyline {
         (col("__mPrev").isNull || col("__mPrev") < y))
       .drop("__b", "__mLess", "__mEq", "__mPrev")
   }
+
+  /** [[frontier2d]] independently within each `groupCols` key — the
+    * per-domain/per-source curation frontier. Same structure, with the
+    * group key prepended everywhere: per-group bounds join (the bounds
+    * table is |groups| rows), per-(group, bucket) windows off one
+    * Exchange, and a |groups|·nBuckets-row prefix table whose running
+    * max windows PER GROUP before broadcasting back. The fact table
+    * still shuffles once, on (group, bucket). */
+  def frontier2dPerGroup(df: DataFrame, groupCols: Seq[String],
+                         minCol: String, maxCol: String,
+                         nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(groupCols.nonEmpty, "use frontier2d for the ungrouped form")
+    val g = groupCols.map(col)
+    val y = col(maxCol)
+    val bounds = df.groupBy(g: _*)
+      .agg(min(col(minCol)).cast("long").as("__lo"),
+        max(col(minCol)).cast("long").as("__hi"))
+    val bucketed = Staged.stage(df.join(broadcast(bounds), groupCols)
+      .withColumn("__b", expr(
+        s"CAST((CAST(`$minCol` AS BIGINT) - __lo) * $nBuckets" +
+          " DIV (__hi - __lo + 1) AS INT)"))
+      .drop("__lo", "__hi"))
+    val gb = (groupCols :+ "__b").map(col)
+    val wLess = Window.partitionBy(gb: _*).orderBy(col(minCol).cast("long"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy((gb :+ col(minCol)): _*)
+    val prefix = bucketed.groupBy(gb: _*).agg(max(y).as("__bm"))
+      .withColumn("__mPrev", max(col("__bm")).over(
+        Window.partitionBy(g: _*).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select((groupCols :+ "__b" :+ "__mPrev").map(col): _*)
+    bucketed
+      .withColumn("__mLess", max(y).over(wLess))
+      .withColumn("__mEq", max(y).over(wEq))
+      .join(broadcast(prefix), groupCols :+ "__b")
+      .where((col("__mLess").isNull || col("__mLess") < y) &&
+        col("__mEq") === y &&
+        (col("__mPrev").isNull || col("__mPrev") < y))
+      .drop("__b", "__mLess", "__mEq", "__mPrev")
+  }
 }

@@ -3721,7 +3721,35 @@ object LlmQueries {
              |SELECT lang, lang_pred, n,
              |  CAST((n * 10000) // sum(n) OVER (PARTITION BY lang)
              |    AS BIGINT) AS pct_bp
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Per-source Pareto frontier (q161): q153's skyline independently
+    // within every source — the per-domain curation trade sheet (each
+    // crawl source gets its own "shortest documents for a given
+    // diversity" frontier, because frontiers do NOT compose: a row
+    // dominated globally can be its source's best). Same bucketed
+    // one-Exchange structure with the group key prepended; the oracle
+    // is the dominance anti-join constrained to the same source.
+    Q("q161_pareto_per_source",
+      (s, d) => {
+        val m = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars"),
+          size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long").as("n_distinct_toks"))
+        Skyline.frontier2dPerGroup(m, Seq("source"),
+          "n_chars", "n_distinct_toks")
+      },
+      Some("""WITH m AS (SELECT doc_id, source, n_chars,
+             |  CAST(len(list_distinct(list_filter(
+             |    string_split_regex(trim(text), '\s+'), x -> x <> '')))
+             |    AS BIGINT) AS n_distinct_toks FROM documents)
+             |SELECT doc_id, source, n_chars, n_distinct_toks FROM m r
+             |WHERE NOT EXISTS (SELECT 1 FROM m o
+             |  WHERE o.source = r.source
+             |    AND o.n_chars <= r.n_chars
+             |    AND o.n_distinct_toks >= r.n_distinct_toks
+             |    AND (o.n_chars < r.n_chars
+             |      OR o.n_distinct_toks > r.n_distinct_toks))""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -57,4 +57,30 @@ class SkylineSpec extends SparkSpec {
     assert(once.as[(Long, Long, Long)].collect().toSet ===
       twice.as[(Long, Long, Long)].collect().toSet)
   }
+
+  test("frontier2dPerGroup equals the per-group brute force; groups are independent") {
+    for (seed <- 1 to 5) {
+      val a = rowsGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val b = rowsGen.pureApply(Gen.Parameters.default, Seed(seed + 50L))
+      val rows = a.map { case (i, x, y) => (i, "ga", x, y) } ++
+        b.map { case (i, x, y) => (i, "gb", x, y) }
+      val got = Skyline.frontier2dPerGroup(
+          rows.toDF("id", "g", "x", "y"), Seq("g"), "x", "y", nBuckets = 7)
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (g, i, x, y) => (i, g, x, y) }.toSet
+      val expect =
+        brute(a).map { case (i, x, y) => (i, "ga", x, y) } ++
+          brute(b).map { case (i, x, y) => (i, "gb", x, y) }
+      assert(got === expect, s"seed=$seed")
+    }
+    // independence made concrete: a row dominated globally survives as
+    // its own group's frontier
+    val rows = Seq((1L, "big", 5L, 100L), (2L, "small", 5L, 1L))
+    val got = Skyline.frontier2dPerGroup(
+        rows.toDF("id", "g", "x", "y"), Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long)].collect().map(_._2).toSet
+    assert(got === Set(1L, 2L))
+    assert(Skyline.frontier2d(rows.toDF("id", "g", "x", "y"), "x", "y")
+      .as[(Long, String, Long, Long)].collect().map(_._1).toSet === Set(1L))
+  }
 }
