@@ -109,4 +109,69 @@ object Retrieval {
       .orderBy(col("rrf_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-ranking: greedily pick k results
+    * balancing relevance to the query against redundancy with what is
+    * already picked — score = relWeight·rel − divWeight·max cosine to
+    * the selected set; the first pick is pure argmax relevance. The
+    * standard diversified-retrieval head on top of any dense ranker
+    * (RAG context assembly, search-result dedup), and the
+    * query-anchored sibling of [[graft.ops.Coreset.kCenterGreedy]].
+    *
+    * `relWeight`/`divWeight` are BOTH explicit: computing 1−λ in
+    * different places yields different doubles (1−0.7 ≠ the 0.3
+    * literal), and the verify contract needs the engine and the oracle
+    * to fold the exact same constants.
+    *
+    * Scale shape: relevance and norms are ONE staged projection; each
+    * of the k ≤ 64 driver rounds is one scan + TakeOrdered(1) with the
+    * selected vectors as literals in the codegen score expression (the
+    * q157 pattern). At serve scale candidates come pre-cut by ANN
+    * (q30/q35), so the scan is top-N-sized, not corpus-sized. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int,
+                relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    val n0 = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = n0.filter(col("id") === queryId)
+      .select("v", "n2").collect()
+    require(q.nonEmpty, s"query id $queryId not found")
+    val (qv, qn2) = (q(0).getSeq[Double](0).toArray, q(0).getDouble(1))
+    val base = Staged.stage(n0.filter(col("id") =!= queryId)
+      .withColumn("rel", dot(col("v"), array(qv.map(lit).toSeq: _*)) /
+        (sqrt(col("n2")) * sqrt(lit(qn2)))))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val centers = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    var picked = Vector.empty[Long]
+    var r = 1
+    while (r <= k) {
+      val scored =
+        if (centers.isEmpty) base.withColumn("__sc", col("rel"))
+        else {
+          val sims = centers.map { case (cv, cn2) =>
+            dot(col("v"), array(cv.map(lit).toSeq: _*)) /
+              (sqrt(col("n2")) * sqrt(lit(cn2)))
+          }.toSeq
+          val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+          base.withColumn("__sc",
+            lit(relWeight) * col("rel") - lit(divWeight) * ms)
+        }
+      val row = scored.filter(if (picked.isEmpty) lit(true)
+          else !col("id").isin(picked: _*))
+        .orderBy(desc("__sc"), asc("id")).limit(1)
+        .select("id", "v", "__sc", "n2").collect()(0)
+      picks += ((r.toLong, row.getLong(0), row.getDouble(2)))
+      centers += ((row.getSeq[Double](1).toArray, row.getDouble(3)))
+      picked :+= row.getLong(0)
+      r += 1
+    }
+    picks.toSeq.toDF("round", "vec_id", "score")
+      .select(col("round"), col("vec_id"),
+        graft.functions.Num.round4(col("score")).as("score_q4"))
+  }
 }

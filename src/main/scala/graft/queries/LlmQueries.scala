@@ -3749,7 +3749,54 @@ object LlmQueries {
              |    AND o.n_chars <= r.n_chars
              |    AND o.n_distinct_toks >= r.n_distinct_toks
              |    AND (o.n_chars < r.n_chars
-             |      OR o.n_distinct_toks > r.n_distinct_toks))""".stripMargin))
+             |      OR o.n_distinct_toks > r.n_distinct_toks))""".stripMargin)),
+
+    // MMR diversified re-ranking (q162): 4 greedy rounds of
+    // relevance-vs-redundancy over the embedding table anchored at
+    // query vec 0 — the diversified-retrieval head (RAG context
+    // assembly) on top of any dense ranker, query-anchored where
+    // q157's k-center is query-free. 0.7/0.3 weights are LITERALS on
+    // both sides (1−0.7 computed anywhere is a different double than
+    // the 0.3 literal — the constants must fold identically). Oracle:
+    // the same four rounds unrolled, max-similarity carried
+    // incrementally via greatest (associative ⇒ ≡ the from-scratch
+    // greatest the Spark side evaluates).
+    Q("q162_mmr_rerank",
+      (s, d) => Retrieval.mmrRerank(
+        Tables.embeddings(s, d), "vec_id", "embedding", 0L, 4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+             |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+             |c AS (SELECT vec_id, v, n2,
+             |    list_dot_product(v, qv) / (sqrt(n2) * sqrt(qn2)) AS rel
+             |  FROM n, q WHERE vec_id <> 0),
+             |c1 AS (SELECT vec_id, v, n2, rel, rel AS sc FROM c
+             |  ORDER BY rel DESC, vec_id LIMIT 1),
+             |s1 AS (SELECT c.vec_id, c.v, c.n2, c.rel,
+             |    list_dot_product(c.v, c1.v) / (sqrt(c.n2) * sqrt(c1.n2))
+             |      AS ms
+             |  FROM c, c1 WHERE c.vec_id <> c1.vec_id),
+             |c2 AS (SELECT vec_id, v, n2, rel, 0.7 * rel - 0.3 * ms AS sc
+             |  FROM s1 ORDER BY sc DESC, vec_id LIMIT 1),
+             |s2 AS (SELECT s1.vec_id, s1.v, s1.n2, s1.rel,
+             |    greatest(s1.ms, list_dot_product(s1.v, c2.v)
+             |      / (sqrt(s1.n2) * sqrt(c2.n2))) AS ms
+             |  FROM s1, c2 WHERE s1.vec_id <> c2.vec_id),
+             |c3 AS (SELECT vec_id, v, n2, rel, 0.7 * rel - 0.3 * ms AS sc
+             |  FROM s2 ORDER BY sc DESC, vec_id LIMIT 1),
+             |s3 AS (SELECT s2.vec_id, s2.v, s2.n2, s2.rel,
+             |    greatest(s2.ms, list_dot_product(s2.v, c3.v)
+             |      / (sqrt(s2.n2) * sqrt(c3.n2))) AS ms
+             |  FROM s2, c3 WHERE s2.vec_id <> c3.vec_id),
+             |c4 AS (SELECT vec_id, 0.7 * rel - 0.3 * ms AS sc FROM s3
+             |  ORDER BY sc DESC, vec_id LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+             |  round(sc, 4) + 0.0 AS score_q4 FROM c1
+             |UNION ALL SELECT 2, vec_id, round(sc, 4) + 0.0 FROM c2
+             |UNION ALL SELECT 3, vec_id, round(sc, 4) + 0.0 FROM c3
+             |UNION ALL SELECT 4, vec_id, round(sc, 4) + 0.0 FROM c4"""
+        .stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
