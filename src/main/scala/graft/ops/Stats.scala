@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-level statistics for corpus monitoring: two-sample
+  * drift testing and resampling-based uncertainty — the numbers a
+  * data pipeline needs before declaring "source A changed" or "the
+  * corpus mean is X ± ε".
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov distance between `valueCol`'s
+    * distributions under two predicates, in EXACT integer arithmetic:
+    * D = max_x |F_a(x) − F_b(x)| is emitted as the exact fraction
+    * (d_num, d_den) = (max_x |cumA(x)·n_b − cumB(x)·n_a|, n_a·n_b)
+    * plus basis points — no floats, no ties-handling ambiguity (the
+    * sup over the pooled observed values IS the KS statistic for
+    * step ECDFs). The classic drift alarm between two crawl sources
+    * or two snapshot dates.
+    *
+    * Shape: one (value)-grain aggregate over both populations with
+    * map-side partials (the only corpus-grain stage), then windows and
+    * the max over the value-DOMAIN-sized matrix — fine for discrete /
+    * pre-bucketed values (lengths, scores in bp, day keys); bucket
+    * continuous values first. The final max is a single-row
+    * aggregate. */
+  def ksDrift(df: DataFrame, valueCol: String,
+              inA: Column, inB: Column): DataFrame = {
+    val perValue = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .where(col("a") === 1L || col("b") === 1L)
+      .groupBy("v")
+      .agg(sum("a").as("ca"), sum("b").as("cb"))
+    // value-domain-sized matrix from here on; STAGED — the totals row
+    // and the max both read it, and unstaged each would re-run the
+    // corpus-grain aggregate
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = Staged.stage(perValue
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w)))
+    // totals broadcast back: the row-wise |…| term needs n_a/n_b
+    val totals = cum.agg(max("cuma").as("n_a"), max("cumb").as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("__d"))
+      .groupBy("n_a", "n_b")
+      .agg(max("__d").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"),
+        expr("d_num * 10000 DIV (n_a * n_b)").as("d_bp"))
+  }
+
+  /** Poisson bootstrap confidence interval for the mean of an integer
+    * `valueCol`: each of `b` replicas weights every row by a
+    * DETERMINISTIC Poisson(1) draw derived from md5(id, replica) —
+    * the one-pass resampling scheme that works at any scale because it
+    * never materializes an index-based resample — and the CI is the
+    * exact order-statistic quantile pair of the replica means. Replica
+    * sums are exact integers (weight · value); only the final
+    * mean divisions and the quantile read-off touch doubles, and both
+    * engines fold them identically.
+    *
+    * Shape: the b-way fan-out is the only corpus-grain stage
+    * (rows × b), aggregating map-side to b replica rows; the quantile
+    * window runs over the b-row matrix. Emits one row:
+    * (mean_q4, lo_q4, hi_q4, n_replicas). */
+  def poissonBootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+                         b: Int = 200, loRank: Int = 5,
+                         hiRank: Int = 196): DataFrame = {
+    require(b >= 2, s"need at least 2 replicas, got $b")
+    require(loRank >= 1 && hiRank <= b && loRank < hiRank,
+      s"bad ranks [$loRank, $hiRank] for b=$b")
+    // u ∈ [0,1): first 12 md5 hex digits / 16^12; Poisson(1) inverse
+    // CDF thresholds as exact decimal literals (both engines parse the
+    // same doubles)
+    val u = expr(
+      s"CAST(conv(substring(md5(concat(CAST(`$idCol` AS STRING), '|', " +
+        "CAST(__b AS STRING))), 1, 12), 16, 10) AS DOUBLE) / 281474976710656.0")
+    val pois = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val reps = df
+      .select(col(idCol), col(valueCol).cast("long").as("__x"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", pois)
+      .groupBy("__b")
+      .agg(sum(col("__w") * col("__x")).as("__s"), sum("__w").as("__n"))
+      .where(col("__n") > 0L)
+      .select((col("__s") * lit(1.0) / col("__n")).as("__m"))
+    val ranked = reps
+      .withColumn("__rk", row_number().over(Window.orderBy("__m")))
+    val point = df.agg(
+      (sum(col(valueCol).cast("long")) * lit(1.0) / count(lit(1))).as("__pm"))
+    ranked.crossJoin(broadcast(point))
+      .agg(
+        Num.round4(max(col("__pm"))).as("mean_q4"),
+        Num.round4(max(when(col("__rk") === loRank, col("__m")))).as("lo_q4"),
+        Num.round4(max(when(col("__rk") === hiRank, col("__m")))).as("hi_q4"),
+        count(lit(1)).as("n_replicas"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3796,7 +3796,72 @@ object LlmQueries {
              |UNION ALL SELECT 2, vec_id, round(sc, 4) + 0.0 FROM c2
              |UNION ALL SELECT 3, vec_id, round(sc, 4) + 0.0 FROM c3
              |UNION ALL SELECT 4, vec_id, round(sc, 4) + 0.0 FROM c4"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Poisson bootstrap CI (q163): 200 deterministic md5-seeded
+    // Poisson(1)-weighted replicas of the corpus length mean, CI =
+    // exact order-statistic quantiles of the replica means — the
+    // one-pass resampling scheme that works at any scale because it
+    // never materializes an index-based resample. Replica sums are
+    // exact integers; u = md5-48-bit / 2⁴⁸ is an EXACT power-of-two
+    // division, so both engines see identical uniforms, weights, and
+    // means. Tie-straddled quantile ranks are still deterministic:
+    // tied means emit the same value whichever side of the rank they
+    // land.
+    Q("q163_bootstrap_ci",
+      (s, d) => Stats.poissonBootstrapCi(
+        Tables.documents(s, d), "doc_id", "n_chars"),
+      Some("""WITH r AS (SELECT doc_id, n_chars, b
+             |  FROM documents, range(200) AS t(b)),
+             |wt AS (SELECT n_chars, b,
+             |    CASE WHEN u < 0.36787944117144233 THEN 0
+             |      WHEN u < 0.7357588823428847 THEN 1
+             |      WHEN u < 0.9196986029286058 THEN 2
+             |      WHEN u < 0.9810118431238462 THEN 3
+             |      WHEN u < 0.9963401531726563 THEN 4
+             |      ELSE 5 END AS w
+             |  FROM (SELECT n_chars, b,
+             |      ('0x' || substring(md5(doc_id::VARCHAR || '|'
+             |        || b::VARCHAR), 1, 12))::BIGINT
+             |        / 281474976710656.0 AS u
+             |    FROM r)),
+             |reps AS (SELECT b, sum(w * n_chars) AS s, sum(w) AS n
+             |  FROM wt GROUP BY 1 HAVING sum(w) > 0),
+             |m AS (SELECT s * 1.0 / n AS m FROM reps),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM m),
+             |p AS (SELECT sum(n_chars) * 1.0 / count(*) AS pm
+             |  FROM documents)
+             |SELECT round(max(pm), 4) + 0.0 AS mean_q4,
+             |  round(max(CASE WHEN rk = 5 THEN m END), 4) + 0.0 AS lo_q4,
+             |  round(max(CASE WHEN rk = 196 THEN m END), 4) + 0.0 AS hi_q4,
+             |  count(*) AS n_replicas
+             |FROM rk, p""".stripMargin)),
+
+    // Two-sample KS drift (q164): the Kolmogorov–Smirnov distance
+    // between src0's and src1's length distributions in EXACT integer
+    // arithmetic — D emitted as the fraction (max_x |cumA·n_b −
+    // cumB·n_a|, n_a·n_b) plus basis points, no floats, no
+    // ties-handling ambiguity. The drift alarm between two crawl
+    // sources or snapshot dates. One (value)-grain aggregate over both
+    // populations; windows and the max run over the value-domain-sized
+    // matrix (staged — totals and the max share it).
+    Q("q164_ks_drift",
+      (s, d) => Stats.ksDrift(Tables.documents(s, d), "n_chars",
+        col("source") === "src0", col("source") === "src1"),
+      Some("""WITH pv AS (SELECT n_chars AS v,
+             |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+             |  FROM documents WHERE source IN ('src0', 'src1')
+             |  GROUP BY 1),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+             |    sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+             |t AS (SELECT max(cuma) AS n_a, max(cumb) AS n_b FROM c)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+             |  CAST(n_a * n_b AS BIGINT) AS d_den,
+             |  CAST(max(abs(cuma * n_b - cumb * n_a)) * 10000
+             |    // (n_a * n_b) AS BIGINT) AS d_bp
+             |FROM c, t GROUP BY n_a, n_b""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

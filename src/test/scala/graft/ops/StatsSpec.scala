@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refKs(a: Seq[Long], b: Seq[Long]): (Long, Long) = {
+    val vals = (a ++ b).distinct.sorted
+    val na = a.size.toLong; val nb = b.size.toLong
+    val dNum = vals.map(v =>
+      math.abs(a.count(_ <= v) * nb - b.count(_ <= v) * na)).max
+    (dNum, na * nb)
+  }
+
+  test("ksDrift equals the exact two-sample KS fraction on arbitrary samples") {
+    val gen = for {
+      na <- Gen.choose(1, 40); nb <- Gen.choose(1, 40)
+      a <- Gen.listOfN(na, Gen.choose(0L, 30L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 30L))
+    } yield (a, b)
+    for (seed <- 1 to 6) {
+      val (a, b) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = (a.map(v => (v, "A")) ++ b.map(v => (v, "B")))
+        .toDF("v", "g").repartition(7)
+      val got = Stats.ksDrift(df, "v", col("g") === "A", col("g") === "B")
+        .as[(Long, Long, Long, Long, Long)].collect()(0)
+      val (dNum, dDen) = refKs(a, b)
+      assert((got._1, got._2, got._3, got._4) ===
+        ((a.size.toLong, b.size.toLong, dNum, dDen)), s"seed=$seed")
+      assert(got._5 === dNum * 10000 / dDen)
+    }
+  }
+
+  test("ksDrift: identical samples give D=0; disjoint supports give D=1 (10000 bp)") {
+    val same = (1L to 50L).flatMap(v => Seq((v, "A"), (v, "B"))).toDF("v", "g")
+    val s = Stats.ksDrift(same, "v", col("g") === "A", col("g") === "B")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(s._3 === 0L && s._5 === 0L)
+    val disj = ((1L to 20L).map(v => (v, "A")) ++
+      (100L to 130L).map(v => (v, "B"))).toDF("v", "g")
+    val d = Stats.ksDrift(disj, "v", col("g") === "A", col("g") === "B")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(d._3 === d._4 && d._5 === 10000L)
+  }
+
+  test("poissonBootstrapCi matches a plain-Scala replica-by-replica reference") {
+    def md5u(id: Long, b: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(h, 16).toDouble / 281474976710656.0
+    }
+    def pois(u: Double): Long =
+      if (u < 0.36787944117144233) 0L else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L else if (u < 0.9810118431238462) 3L
+      else if (u < 0.9963401531726563) 4L else 5L
+    val docs = (1L to 80L).map(i => (i, 10L + (i * 7) % 50))
+    val bN = 50
+    val means = (0 until bN).flatMap { b =>
+      val ws = docs.map { case (id, x) => (pois(md5u(id, b)), x) }
+      val n = ws.map(_._1).sum
+      if (n > 0) Some(ws.map { case (w, x) => w * x }.sum * 1.0 / n) else None
+    }.sorted
+    val pm = docs.map(_._2).sum * 1.0 / docs.size
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.poissonBootstrapCi(
+        docs.toDF("doc_id", "n_chars").repartition(5), "doc_id", "n_chars",
+        b = bN, loRank = 2, hiRank = bN - 1)
+      .as[(Double, Double, Double, Long)].collect()(0)
+    assert(got._4 === means.size.toLong)
+    assert(got._1 === r4(pm))
+    assert(got._2 === r4(means(1)))          // rank 2, 1-indexed
+    assert(got._3 === r4(means(bN - 2)))     // rank bN-1
+    assert(got._2 <= got._1 && got._1 <= got._3,
+      "CI brackets the point estimate on this well-behaved sample")
+  }
+
+  test("poissonBootstrapCi is partition-invariant and deterministic") {
+    val docs = (1L to 60L).map(i => (i, i % 23 + 5))
+    def run(parts: Int) = Stats.poissonBootstrapCi(
+        docs.toDF("doc_id", "n_chars").repartition(parts),
+        "doc_id", "n_chars", b = 40, loRank = 2, hiRank = 39)
+      .as[(Double, Double, Double, Long)].collect()(0)
+    assert(run(1) === run(13))
+  }
+}
