@@ -566,4 +566,42 @@ class PlanSpec extends SparkSpec {
       !p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q159 zorder curve: pure projection over a broadcast bounds row — no data Exchange, no Window") {
+    val p = plan("q159_zorder_curve")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q160 langid confusion: the normalizer windows the matrix AFTER the aggregate, never the corpus") {
+    val p = plan("q160_langid_confusion")
+    // window input is the (lang, pred) aggregate output — the plan has
+    // the Window above the final HashAggregate, and only the aggregate
+    // reads the corpus scan
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must sit above the aggregate: win@$winIdx agg@$aggIdx\n$p")
+  }
+
+  test("q161 per-source frontier: staged projection (every text scan under a cached relation), one (source, bucket) Exchange for both windows") {
+    val p = graft.ops.Staged.withStaged { plan("q161_pareto_per_source") }
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string".r
+      .findAllIn(p).size
+    assert("InMemoryTableScan".r.findAllIn(p).size === 2, p)
+    assert(textScans === cachedRels, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q164 ks drift: ONE corpus-grain aggregate; the staged cumulative matrix feeds totals and the max") {
+    val p = graft.ops.Staged.withStaged { plan("q164_ks_drift") }
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    assert("InMemoryTableScan".r.findAllIn(p).size === 2, p)
+    // every corpus scan sits inside the repeated cached-subtree print
+    assert("documents.parquet".r.findAllIn(p).size === cachedRels, p)
+  }
 }
