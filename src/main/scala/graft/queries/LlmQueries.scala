@@ -3861,7 +3861,171 @@ object LlmQueries {
              |  CAST(n_a * n_b AS BIGINT) AS d_den,
              |  CAST(max(abs(cuma * n_b - cumb * n_a)) * 10000
              |    // (n_a * n_b) AS BIGINT) AS d_bp
-             |FROM c, t GROUP BY n_a, n_b""".stripMargin))
+             |FROM c, t GROUP BY n_a, n_b""".stripMargin)),
+
+    // Gate-agreement kappa (q165): Cohen's κ between two independent
+    // keep-gates — the stopword-density heuristic (integer
+    // cross-multiply: hits·20 ≥ n_tokens ⟺ ratio ≥ 0.05) and the q149
+    // classifier — in EXACT rational arithmetic: κ = (n·agree −
+    // Σ marginal products) / (n² − Σ marginal products) emitted as
+    // (num, den) plus sign-extracted basis points (κ can be negative;
+    // truncating and flooring division disagree there, so the sign is
+    // factored out before the positive-operand DIV — the zipf-fit
+    // discipline). The agreement audit that tells you whether a cheap
+    // heuristic can stand in for a model gate.
+    Q("q165_gate_kappa",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val heur = docs.select(col("doc_id"),
+          when(TextFunctions.stopwordHits(col("text"), stopwords) * 20 >=
+            TextFunctions.tokenCount(col("text")), 1L).otherwise(0L).as("a"))
+        val model = docs.transform(LinearModel.linearGate("doc_id", "text", 2000))
+          .select(col("doc_id"), col("keep").as("b"))
+        heur.join(model, "doc_id")
+          .agg(
+            sum(col("a") * col("b")).as("n11"),
+            sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+            sum((lit(1L) - col("a")) * col("b")).as("n01"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+          .select(col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("""(n11+n10+n01+n00) * (n11+n00)
+              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))""").as("kappa_num"),
+            expr("""(n11+n10+n01+n00) * (n11+n10+n01+n00)
+              - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))""").as("kappa_den"))
+          .withColumn("kappa_bp", expr(
+            """CASE WHEN kappa_num >= 0
+              THEN kappa_num * 10000 DIV kappa_den
+              ELSE -((-kappa_num) * 10000 DIV kappa_den) END"""))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok,
+             |    (('0x' || substr(md5('w|' || tok), 1, 12))::BIGINT % 2001)
+             |      - 1000 AS w
+             |  FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000),
+             |mdl AS (SELECT tk.doc_id,
+             |    CASE WHEN coalesce(sum(v.w), 0) > 0 THEN 1 ELSE 0 END AS b
+             |  FROM tk LEFT JOIN v USING (tok) GROUP BY 1),
+             |heur AS (SELECT doc_id, CASE WHEN
+             |    len(list_filter(w, x -> list_contains(
+             |      ['the','a','of','and','to','in'], x))) * 20 >= len(w)
+             |    THEN 1 ELSE 0 END AS a
+             |  FROM (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w FROM documents)),
+             |ct AS (SELECT
+             |    CAST(sum(a * b) AS BIGINT) AS n11,
+             |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+             |  FROM heur JOIN mdl USING (doc_id)),
+             |k AS (SELECT n11, n10, n01, n00,
+             |    (n11+n10+n01+n00) * (n11+n00)
+             |      - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS kappa_num,
+             |    (n11+n10+n01+n00) * (n11+n10+n01+n00)
+             |      - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS kappa_den
+             |  FROM ct)
+             |SELECT n11, n10, n01, n00,
+             |  CAST(kappa_num AS BIGINT) AS kappa_num,
+             |  CAST(kappa_den AS BIGINT) AS kappa_den,
+             |  CAST(CASE WHEN kappa_num >= 0
+             |    THEN kappa_num * 10000 // kappa_den
+             |    ELSE -((-kappa_num) * 10000 // kappa_den) END
+             |    AS BIGINT) AS kappa_bp
+             |FROM k""".stripMargin)),
+
+    // Quantized-ranking eval (q166): how much ranking damage does int8
+    // compression do? Per query: the exact-cosine top-10 is ground
+    // truth, the int8-quantized-cosine top-10 is the run, and the
+    // metrics are recall@10, reciprocal rank of the true top-1, and
+    // harmonic-discounted cumulative gain (HDCG: discount 27720 DIV
+    // (pos+1) — the lcm(2..11) trick keeps the whole eval in EXACT
+    // integers where log₂ discounts would hand the hash to libm
+    // differences). This is the evaluation a PQ/int8 compression claim
+    // owes its users, and it rides the established round4-then-rank
+    // determinism contract on both rankings.
+    Q("q166_quantized_ranking_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ideal = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id"), col("rk").as("irk"))
+        val z = emb.select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("zv"))
+        val zq = z.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("zv").as("qv"))
+        val run = z.select(col("vec_id").as("neighbor_id"), col("zv").as("cv"))
+          .crossJoin(broadcast(zq))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim",
+            Num.round4(VectorFunctions.cosine(col("qv"), col("cv"))))
+          .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+          .filter(col("rk") <= 10)
+          .select("query_id", "neighbor_id", "rk")
+        val perQ = run
+          .join(ideal, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("irk")).as("n_hits"),
+            coalesce(max(when(col("irk") === 1L, expr("10000 DIV rk"))),
+              lit(0L)).as("rr_bp"),
+            sum(when(col("irk").isNotNull,
+              (lit(11L) - col("irk")) * expr("27720 DIV (rk + 1)"))
+              .otherwise(0L)).as("hdcg"))
+        val idealG = ideal.groupBy("query_id")
+          .agg(sum((lit(11L) - col("irk")) *
+            expr("27720 DIV (irk + 1)")).as("ihdcg"))
+        perQ.join(idealG, "query_id")
+          .withColumn("ndcg_bp", expr("hdcg * 10000 DIV ihdcg"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.v, c.v) /
+             |      (sqrt(list_dot_product(q.v, q.v))
+             |        * sqrt(list_dot_product(c.v, c.v))), 4) + 0.0 AS sim
+             |  FROM e q, e c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+             |ideal AS (SELECT query_id, neighbor_id, rk AS irk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS rk FROM ex)
+             |  WHERE rk <= 10),
+             |z AS (SELECT vec_id,
+             |    CASE WHEN mx = 0
+             |      THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+             |      ELSE list_transform(v,
+             |        x -> CAST(CAST(round(x * 127.0 / mx) AS BIGINT)
+             |          AS DOUBLE)) END AS zv
+             |  FROM (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e)),
+             |zc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.zv, c.zv) /
+             |      (sqrt(list_dot_product(q.zv, q.zv))
+             |        * sqrt(list_dot_product(c.zv, c.zv))), 4) + 0.0 AS sim
+             |  FROM z q, z c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+             |run AS (SELECT query_id, neighbor_id, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS rk FROM zc)
+             |  WHERE rk <= 10),
+             |j AS (SELECT run.query_id, run.rk, ideal.irk FROM run
+             |  LEFT JOIN ideal USING (query_id, neighbor_id)),
+             |pq AS (SELECT query_id, count(irk) AS n_hits,
+             |    coalesce(max(CASE WHEN irk = 1 THEN 10000 // rk END), 0)
+             |      AS rr_bp,
+             |    sum(CASE WHEN irk IS NOT NULL
+             |      THEN (11 - irk) * (27720 // (rk + 1)) ELSE 0 END) AS hdcg
+             |  FROM j GROUP BY 1),
+             |ig AS (SELECT query_id,
+             |    sum((11 - irk) * (27720 // (irk + 1))) AS ihdcg
+             |  FROM ideal GROUP BY 1)
+             |SELECT pq.query_id, CAST(n_hits AS BIGINT) AS n_hits,
+             |  CAST(rr_bp AS BIGINT) AS rr_bp,
+             |  CAST(hdcg AS BIGINT) AS hdcg,
+             |  CAST(ihdcg AS BIGINT) AS ihdcg,
+             |  CAST(hdcg * 10000 // ihdcg AS BIGINT) AS ndcg_bp
+             |FROM pq JOIN ig USING (query_id)""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
