@@ -55,6 +55,30 @@ object Stats {
         expr("d_num * 10000 DIV (n_a * n_b)").as("d_bp"))
   }
 
+  /** The [[ksDrift]] read-off as a pure function over two
+    * value→count histograms — the same pooled-values ECDF sup in the
+    * same exact integer arithmetic, so a streaming monitor holding a
+    * histogram as keyed state
+    * ([[graft.streaming.CorpusStream.driftMonitor]]) reads off exactly
+    * what the batch query computes over the same two populations
+    * (live ≡ batch, pinned by `StatsSpec`). Returns
+    * (n_a, n_b, d_num, d_den, d_bp); empty sides give a zero
+    * denominator and d_bp 0. */
+  def ksFromHistograms(a: Map[Long, Long],
+                       b: Map[Long, Long]): (Long, Long, Long, Long, Long) = {
+    val vals = (a.keySet ++ b.keySet).toSeq.sorted
+    val na = a.values.sum
+    val nb = b.values.sum
+    var ca = 0L; var cb = 0L; var d = 0L
+    vals.foreach { v =>
+      ca += a.getOrElse(v, 0L)
+      cb += b.getOrElse(v, 0L)
+      d = math.max(d, math.abs(ca * nb - cb * na))
+    }
+    val den = na * nb
+    (na, nb, d, den, if (den == 0L) 0L else d * 10000L / den)
+  }
+
   /** Poisson bootstrap confidence interval for the mean of an integer
     * `valueCol`: each of `b` replicas weights every row by a
     * DETERMINISTIC Poisson(1) draw derived from md5(id, replica) —

@@ -35,6 +35,13 @@ case class SourceTermFrequencies(source: String, n_tokens: Long,
 case class SourceHeavyHitters(source: String, n_tokens: Long,
                               hitters: Map[String, Long])
 
+/** One updated reading from [[CorpusStream.driftMonitor]]: the KS
+  * distance between the source's arrived length distribution (n_a
+  * docs) and the frozen baseline (n_b rows), as the exact integer
+  * fraction d_num/d_den plus basis points — the q164 arithmetic. */
+case class SourceDrift(source: String, n_a: Long, n_b: Long,
+                       d_num: Long, d_den: Long, d_bp: Long)
+
 /** Streaming corpus intake: the q62 pipeline's gate stages re-expressed
   * over an unbounded document stream — how a crawl feed enters the
   * training corpus continuously instead of via nightly batches.
@@ -396,6 +403,43 @@ object CorpusStream {
             indexTable, dim, m, nBuckets)
       } finally { fresh.unpersist(); () }
     }
+  }
+
+  /** Live distribution-drift monitor: per source, the two-sample KS
+    * distance between the ARRIVED length distribution and a FROZEN
+    * baseline histogram (yesterday's corpus, the accepted snapshot) —
+    * the continuously-updated "is this feed still sending the same
+    * kind of documents?" alarm, the live twin of the batch q164. The
+    * keyed state is the same binned histogram the quantile monitor
+    * keeps (value-domain-bounded, not row-bounded); the read-off is
+    * [[graft.ops.Stats.ksFromHistograms]] — the EXACT integer
+    * arithmetic of the batch query, so after any exactly-once prefix
+    * the reading equals q164 over (delivered rows, baseline) by shared
+    * arithmetic (StatsSpec pins the function ≡ the DataFrame op). A
+    * count histogram is not replay-absorbing: wire it downstream of
+    * [[dedupedDocs]], the documented intake order. */
+  def driftMonitor(docs: DataFrame, baseline: Map[Long, Long],
+                   binWidth: Long = 16L)
+      : org.apache.spark.sql.Dataset[SourceDrift] = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        (size(TextFunctions.tokens(col("text"))).cast("double") / binWidth)
+          .cast("long").as("bin"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], SourceDrift](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (m, r) => m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          state.update(next)
+          val (na, nb, dNum, dDen, dBp) =
+            graft.ops.Stats.ksFromHistograms(next, baseline)
+          SourceDrift(source, na, nb, dNum, dDen, dBp)
+      }
   }
 
   /** Streaming admission control: every micro-batch is contract-checked

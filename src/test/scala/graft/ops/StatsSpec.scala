@@ -80,6 +80,25 @@ class StatsSpec extends SparkSpec {
       "CI brackets the point estimate on this well-behaved sample")
   }
 
+  test("ksFromHistograms ≡ the DataFrame ksDrift on arbitrary histograms (the streaming monitor's contract)") {
+    val gen = for {
+      a <- Gen.mapOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(1L, 5L)))
+      b <- Gen.mapOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(1L, 5L)))
+      if a.nonEmpty && b.nonEmpty
+    } yield (a, b)
+    for (seed <- 1 to 6) {
+      val (a, b) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val rows = a.toSeq.flatMap { case (v, c) => Seq.fill(c.toInt)((v, "A")) } ++
+        b.toSeq.flatMap { case (v, c) => Seq.fill(c.toInt)((v, "B")) }
+      val fromDf = Stats.ksDrift(rows.toDF("v", "g"),
+          "v", col("g") === "A", col("g") === "B")
+        .as[(Long, Long, Long, Long, Long)].collect()(0)
+      assert(Stats.ksFromHistograms(a, b) === fromDf, s"seed=$seed")
+    }
+    assert(Stats.ksFromHistograms(Map.empty, Map(1L -> 2L)) ===
+      ((0L, 2L, 0L, 0L, 0L)))
+  }
+
   test("poissonBootstrapCi is partition-invariant and deterministic") {
     val docs = (1L to 60L).map(i => (i, i % 23 + 5))
     def run(parts: Int) = Stats.poissonBootstrapCi(

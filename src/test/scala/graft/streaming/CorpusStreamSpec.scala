@@ -333,6 +333,46 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor: live KS vs the frozen baseline equals the pure read-off per prefix; a drifted feed alarms, an in-distribution one doesn't") {
+    implicit val sqlCtx = spark.sqlContext
+    def binned(texts: Seq[String], w: Long = 16L): Map[Long, Long] =
+      texts.map(t => (t.trim.split("\\s+").count(_.nonEmpty) / w.toDouble).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // baseline: short docs (bin 0)
+    val baseTexts = Seq.fill(20)(good)
+    val baseline = binned(baseTexts)
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.driftMonitor(src.toDF(), baseline)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("drift_t").start()
+    try {
+      def latest(s: String): (Long, Long, Long, Long, Long) = {
+        val r = spark.table("drift_t").filter(col("source") === s)
+          .as[(String, Long, Long, Long, Long, Long)].collect().last
+        (r._2, r._3, r._4, r._5, r._6)
+      }
+      val long = (good + " ") * 10 // ~90 tokens → a far bin
+      // steady feed sends baseline-like docs; drifted feed sends long ones
+      val s1 = Seq(doc(1, t(1), good, "steady"), doc(2, t(1), good + " x", "steady"),
+        doc(3, t(1), long, "drifted"))
+      src.addData(s1: _*)
+      q.processAllAvailable()
+      assert(latest("steady") === graft.ops.Stats.ksFromHistograms(
+        binned(Seq(good, good + " x")), baseline))
+      assert(latest("drifted") === graft.ops.Stats.ksFromHistograms(
+        binned(Seq(long)), baseline))
+      assert(latest("drifted")._5 === 10000L, "disjoint support = max drift")
+      assert(latest("steady")._5 === 0L, "same bin as baseline = no drift")
+      // second batch extends the prefix; per-source isolation holds
+      src.addData(doc(4, t(2), long, "drifted"), doc(5, t(2), good, "steady"))
+      q.processAllAvailable()
+      assert(latest("drifted") === graft.ops.Stats.ksFromHistograms(
+        binned(Seq(long, long)), baseline))
+      assert(latest("steady") === graft.ops.Stats.ksFromHistograms(
+        binned(Seq(good, good + " x", good)), baseline))
+    } finally q.stop()
+  }
+
   test("admissionControl: good batches admitted, contract-violating batches quarantined whole, report = the batch operator verbatim") {
     import graft.ops.Constraints.Rule
     implicit val sqlCtx = spark.sqlContext
