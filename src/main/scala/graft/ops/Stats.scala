@@ -130,4 +130,37 @@ object Stats {
         Num.round4(max(when(col("__rk") === hiRank, col("__m")))).as("hi_q4"),
         count(lit(1)).as("n_replicas"))
   }
+
+  /** Exact tie-aware ROC AUC of an integer `scoreCol` against a 0/1
+    * `labelCol`, via the Mann–Whitney U statistic in EXACT integer
+    * arithmetic: AUC = U / (n₁·n₀) where
+    * U = #(pos-score > neg-score) + ½·#(ties). Doubling clears the ½:
+    * auc_num = 2U = Σ_s c₁(s)·(2·cum₀(<s) + c₀(s)), auc_den = 2·n₁·n₀
+    * — no ranks, no floats, no tie ambiguity. The threshold-free
+    * ranking-quality number for a quality classifier (q165's κ scores
+    * the binarized gate; this scores the whole ordering).
+    *
+    * Shape: one score-grain aggregate with map-side partials (the only
+    * corpus-grain stage), then a cumulative window + single-row
+    * aggregate over the score-DOMAIN-sized table — the [[ksDrift]]
+    * staging discipline. Emits one row:
+    * (n_pos, n_neg, auc_num, auc_den, auc_bp); auc_bp is null when a
+    * class is empty (AUC is undefined, not 0). */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("c1"), (count(lit(1)) - sum("y")).as("c0"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum0", coalesce(sum("c0").over(w), lit(0L)))
+      .agg(sum("c1").as("n_pos"), sum("c0").as("n_neg"),
+        sum(col("c1") * (col("cum0") * 2L + col("c0"))).as("auc_num"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"),
+        (col("n_pos") * col("n_neg") * 2L).as("auc_den"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE auc_num * 10000 DIV (2 * n_pos * n_neg) END""").as("auc_bp"))
+  }
 }

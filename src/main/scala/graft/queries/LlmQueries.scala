@@ -4025,7 +4025,65 @@ object LlmQueries {
              |  CAST(hdcg AS BIGINT) AS hdcg,
              |  CAST(ihdcg AS BIGINT) AS ihdcg,
              |  CAST(hdcg * 10000 // ihdcg AS BIGINT) AS ndcg_bp
-             |FROM pq JOIN ig USING (query_id)""".stripMargin))
+             |FROM pq JOIN ig USING (query_id)""".stripMargin)),
+
+    // Classifier ranking quality (q167): exact tie-aware ROC AUC of the
+    // q149 linear classifier's integer score against the stopword
+    // heuristic's accept label, via Mann–Whitney in EXACT integer
+    // arithmetic (auc_num = 2U, auc_den = 2·n₁·n₀ — doubling clears
+    // the tie ½, so there is no float or rank-convention surface).
+    // q165's κ scores the binarized gate; this scores the whole
+    // ordering — the threshold-free number that tells you whether the
+    // classifier could REPLACE the heuristic at some cutoff, before
+    // committing to one. Score-grain staging: the corpus touches one
+    // aggregate; the cumulative window runs over the score domain.
+    Q("q167_classifier_auc",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val heur = docs.select(col("doc_id"),
+          when(TextFunctions.stopwordHits(col("text"), stopwords) * 20 >=
+            TextFunctions.tokenCount(col("text")), 1L).otherwise(0L).as("y"))
+        val scored = docs
+          .transform(LinearModel.linearGate("doc_id", "text", 2000))
+          .select(col("doc_id"), col("score_q3"))
+        Stats.aucExact(scored.join(heur, "doc_id"), "score_q3", "y")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok,
+             |    (('0x' || substr(md5('w|' || tok), 1, 12))::BIGINT % 2001)
+             |      - 1000 AS w
+             |  FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000),
+             |sc AS (SELECT tk.doc_id,
+             |    CAST(coalesce(sum(v.w), 0) AS BIGINT) AS s
+             |  FROM tk LEFT JOIN v USING (tok) GROUP BY 1),
+             |heur AS (SELECT doc_id, CASE WHEN
+             |    len(list_filter(w, x -> list_contains(
+             |      ['the','a','of','and','to','in'], x))) * 20 >= len(w)
+             |    THEN 1 ELSE 0 END AS y
+             |  FROM (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w FROM documents)),
+             |ps AS (SELECT s, sum(y) AS c1, count(*) - sum(y) AS c0
+             |  FROM sc JOIN heur USING (doc_id) GROUP BY 1),
+             |cw AS (SELECT s, c1, c0,
+             |    coalesce(sum(c0) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum0
+             |  FROM ps),
+             |ag AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+             |    CAST(sum(c0) AS BIGINT) AS n_neg,
+             |    CAST(sum(c1 * (2 * cum0 + c0)) AS BIGINT) AS auc_num
+             |  FROM cw)
+             |SELECT n_pos, n_neg, auc_num,
+             |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+             |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             |    ELSE auc_num * 10000 // (2 * n_pos * n_neg) END
+             |    AS BIGINT) AS auc_bp
+             |FROM ag""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -107,4 +107,46 @@ class StatsSpec extends SparkSpec {
       .as[(Double, Double, Double, Long)].collect()(0)
     assert(run(1) === run(13))
   }
+
+  // brute-force 2U: +2 per (pos > neg) pair, +1 per tied pair
+  private def refAuc2U(xs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val pos = xs.filter(_._2 == 1L).map(_._1)
+    val neg = xs.filter(_._2 == 0L).map(_._1)
+    val num = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    (pos.size.toLong, neg.size.toLong, num)
+  }
+
+  test("aucExact equals the brute-force pairwise Mann–Whitney on arbitrary tied samples") {
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-5L, 5L), Gen.oneOf(0L, 1L)))
+    } yield xs
+    for (seed <- 1 to 6) {
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val (np, nn, num) = refAuc2U(xs)
+      val got = Stats.aucExact(xs.toDF("s", "y").repartition(7), "s", "y")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+      assert((got._1, got._2, got._3, got._4) === ((np, nn, num, 2 * np * nn)),
+        s"seed=$seed")
+      if (np > 0 && nn > 0)
+        assert(got._5 === Some(num * 10000 / (2 * np * nn)), s"seed=$seed")
+      else assert(got._5 === None, s"seed=$seed")
+    }
+  }
+
+  test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
+    def run(xs: Seq[(Long, Long)]) =
+      Stats.aucExact(xs.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    val perfect = (1L to 10L).map(s => (s + 100L, 1L)) ++
+      (1L to 15L).map(s => (s, 0L))
+    assert(run(perfect)._5 === Some(10000L))
+    val reversed = perfect.map { case (s, y) => (s, 1L - y) }
+    assert(run(reversed)._5 === Some(0L))
+    val tied = (1L to 8L).map(_ => (7L, 1L)) ++ (1L to 9L).map(_ => (7L, 0L))
+    assert(run(tied)._5 === Some(5000L))
+    val oneClass = (1L to 5L).map(s => (s, 1L))
+    assert(run(oneClass)._5 === None, "AUC undefined without both classes")
+  }
 }
