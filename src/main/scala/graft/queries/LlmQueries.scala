@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4083,7 +4083,41 @@ object LlmQueries {
              |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
              |    ELSE auc_num * 10000 // (2 * n_pos * n_neg) END
              |    AS BIGINT) AS auc_bp
-             |FROM ag""".stripMargin))
+             |FROM ag""".stripMargin)),
+
+    // Privacy audit (q168): k-anonymity / l-diversity over the corpus
+    // metadata — quasi-identifiers (source, n_chars DIV 100), sensitive
+    // attribute lang. q78 redacts direct identifiers from TEXT; this
+    // measures what the per-document ATTRIBUTES still leak: a class
+    // smaller than k=5 pins its members to class_size candidates for
+    // anyone who knows (source, length band); a class with one lang
+    // leaks the language even when large (homogeneity). Per-class rows
+    // plus the global (total_rows, at_risk_rows, risk_bp) audit — all
+    // exact integers; one corpus-grain aggregate, everything else over
+    // the QI-domain-sized class table.
+    Q("q168_k_anonymity",
+      (s, d) => Privacy.kAnonymity(
+        Tables.documents(s, d)
+          .withColumn("len_bucket", expr("n_chars DIV 100")),
+        Seq("source", "len_bucket"), "lang", k = 5),
+      Some("""WITH c AS (SELECT source, n_chars // 100 AS len_bucket,
+             |    count(*) AS class_size,
+             |    count(DISTINCT lang) AS n_sensitive
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (SELECT CAST(sum(class_size) AS BIGINT) AS total_rows,
+             |    CAST(coalesce(sum(CASE WHEN class_size < 5
+             |      THEN class_size END), 0) AS BIGINT) AS at_risk_rows
+             |  FROM c)
+             |SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+             |  CAST(class_size AS BIGINT) AS class_size,
+             |  CAST(n_sensitive AS BIGINT) AS n_sensitive,
+             |  CAST(CASE WHEN class_size >= 5 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS k_ok,
+             |  CAST(CASE WHEN n_sensitive >= 2 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS l_ok,
+             |  total_rows, at_risk_rows,
+             |  CAST(at_risk_rows * 10000 // total_rows AS BIGINT) AS risk_bp
+             |FROM c, g""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
