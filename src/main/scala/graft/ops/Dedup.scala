@@ -1266,4 +1266,48 @@ object Dedup {
       }
     }
   }
+
+  /** Duplicated-SPAN detection: the maximal runs of corpus-duplicated
+    * `n`-token windows inside every document — the reporting half of
+    * substring-level dedup (Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better" removes exactly these spans; this
+    * emits them, with [[dropRepeatedPassages]] as the removal twin at
+    * chunk granularity). A window (n consecutive tokens) is duplicated
+    * when its text occurs more than once in the corpus — across
+    * documents or repeated within one; consecutive duplicated window
+    * starts merge into one maximal span via the islands rule
+    * (pos − row_number is constant exactly on a run), so a copied
+    * paragraph surfaces as ONE (start, length) span, not fifty
+    * overlapping grams. Output: (id, span_start, span_ntokens),
+    * 0-based token index.
+    *
+    * Shuffle discipline: windows are hashed to a 128-bit md5
+    * fingerprint before any Exchange — the duplication count groups
+    * (fp) and the hit join moves (fp, id, pos), never text; the
+    * per-doc islands window is doc-partitioned. The gram table is
+    * staged (the count and the probe both read it); nothing re-scans
+    * the corpus. */
+  def dupSpans(idCol: String, textCol: String, n: Int = 5)
+              (docs: DataFrame): DataFrame = {
+    require(n >= 1, s"window length must be positive: $n")
+    val grams = Staged.stage(docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $n))))")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("__h")))
+    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L).select("__h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, "__h")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + n).as("span_ntokens"))
+      .select(col(idCol), col("span_start"),
+        col("span_ntokens").cast("long").as("span_ntokens"))
+  }
 }

@@ -4117,7 +4117,39 @@ object LlmQueries {
              |    AS BIGINT) AS l_ok,
              |  total_rows, at_risk_rows,
              |  CAST(at_risk_rows * 10000 // total_rows AS BIGINT) AS risk_bp
-             |FROM c, g""".stripMargin))
+             |FROM c, g""".stripMargin)),
+
+    // Duplicated spans (q169): the maximal runs of corpus-duplicated
+    // 5-token windows inside each document — substring-level dedup's
+    // reporting half (Lee et al. remove exactly these spans; q72/q93
+    // drop them at chunk granularity). Islands merging (pos −
+    // row_number constant on a run) turns a copied paragraph into ONE
+    // (start, length) span instead of fifty overlapping grams. Windows
+    // are md5-fingerprinted before any Exchange — the count groups
+    // fingerprints, the probe moves (fp, id, pos), never text.
+    Q("q169_dup_spans",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.dupSpans("doc_id", "text", 5)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |ge AS (SELECT doc_id,
+             |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+             |      i -> struct_pack(pos := i,
+             |        h := md5(array_to_string(w[i+1 : i+5], ' '))))) AS s
+             |  FROM tk),
+             |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.h AS h
+             |  FROM ge),
+             |dup AS (SELECT h FROM g GROUP BY 1 HAVING count(*) > 1),
+             |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+             |isl AS (SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS grp
+             |  FROM hit)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_ntokens
+             |FROM isl GROUP BY doc_id, grp""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -674,5 +676,69 @@ class DedupSpec extends SparkSpec {
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     }
     assert(pairs === Set((1L, 2L)))
+  }
+
+  // plain-Scala dupSpans reference: gram occurrence counts over the whole
+  // corpus, then per-doc islands of consecutive duplicated window starts
+  private def refDupSpans(docs: Seq[(Long, String)],
+                          n: Int): Set[(Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, t) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - n).map(i => (id, i.toLong, w.slice(i, i + n).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, os) => g -> os.size }
+    grams.filter(g => counts(g._3) > 1).groupBy(_._1).flatMap {
+      case (id, hs) =>
+        val ps = hs.map(_._2).sorted
+        val runs = ps.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        runs.map { case (s, e) => (id, s, e - s + n) }
+    }.toSet
+  }
+
+  test("dupSpans equals the brute-force islands reference on generated corpora") {
+    val gen = for {
+      nd <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nd,
+        Gen.choose(0, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (seed <- 1 to 6) {
+      val docs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text").repartition(5)
+          .transform(Dedup.dupSpans("doc_id", "text", 3))
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      assert(got === refDupSpans(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("dupSpans: copied paragraph = ONE maximal span; unique corpus = none; intra-doc repeats count") {
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique one two three $para"),
+      (2L, s"$para four five six seven"),
+      (3L, "nothing shared here at all"),
+      (4L, "rep rep rep rep rep rep rep rep rep rep")).toDF("doc_id", "text")
+    val out = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.dupSpans("doc_id", "text", 5))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // doc 1: the 8-token paragraph starts at token 4 → one span (4, 8);
+    // doc 2: same tokens at position 0 → (0, 8); doc 3: absent;
+    // doc 4: ten identical tokens → every 5-window duplicated → (0, 10)
+    assert(out === Set((1L, 4L, 8L), (2L, 0L, 8L), (4L, 0L, 10L)))
+  }
+
+  test("dupSpans: documents shorter than the window never emit") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.dupSpans("doc_id", "text", 3))
+        .as[(Long, Long, Long)].collect()
+    }
+    assert(out.isEmpty)
   }
 }
