@@ -67,4 +67,47 @@ object VocabStats {
             .otherwise(-expr("((-num) * 10000L) div den")))
           .as("slope_q4"))
   }
+
+  /** Vocabulary growth curve (Heaps' law, Heaps 1978): cumulative
+    * distinct-token count as the corpus grows in ingestion order
+    * (`idCol` ascending), read off at `bucketSize`-document
+    * checkpoints. Natural text grows vocabulary ≈ K·tokens^β with
+    * β ≈ 0.4–0.6; a curve that keeps growing linearly means unbounded
+    * token churn (random IDs, hashes — tokenizer poison), one that
+    * flattens early means heavy repetition. This is the scaling read a
+    * vocab-size decision extrapolates from.
+    *
+    * Cumulative-distinct does not decompose into window functions; the
+    * scalable form is first-occurrence attribution: a token
+    * contributes +1 exactly at its min-id document, so the curve is
+    * the running sum of per-bucket first-occurrence counts. Emits one
+    * exact-integer row per bucket:
+    * (bucket, docs_so_far, cum_tokens, cum_vocab).
+    *
+    * Shape: one (token)-grain min aggregate and one bucket-grain token
+    * count — both corpus-grain with map-side partials over the STAGED
+    * token table (tokenized once) — then left joins and the cumulative
+    * window over the bucket-grain table (corpus/bucketSize rows, the
+    * ksDrift staging discipline; the doc spine rides a column-pruned
+    * id-only scan). */
+  def vocabGrowth(idCol: String, textCol: String, bucketSize: Long = 10)
+                 (docs: DataFrame): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be positive: $bucketSize")
+    val toks = Staged.stage(docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t")))
+    val newV = toks.groupBy("__t").agg(min("__id").as("__fd"))
+      .groupBy(expr(s"__fd DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("__new"))
+    val tokB = toks.groupBy(expr(s"__id DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("__toks"))
+    val docB = docs.groupBy(expr(s"`$idCol` DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("__docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docB.join(tokB, Seq("bucket"), "left").join(newV, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum("__docs").over(w).as("docs_so_far"),
+        sum(coalesce(col("__toks"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("__new"), lit(0L))).over(w).as("cum_vocab"))
+  }
 }

@@ -4149,7 +4149,39 @@ object LlmQueries {
              |  FROM hit)
              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
              |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_ntokens
-             |FROM isl GROUP BY doc_id, grp""".stripMargin))
+             |FROM isl GROUP BY doc_id, grp""".stripMargin)),
+
+    // Vocabulary growth curve (q170): Heaps' law read at 10-document
+    // checkpoints — cumulative distinct tokens vs cumulative tokens in
+    // ingestion order, the scaling curve a vocab-size decision
+    // extrapolates from (linear growth = unbounded churn / tokenizer
+    // poison; early flattening = heavy repetition). Cumulative-distinct
+    // doesn't decompose into windows; the scalable form is
+    // first-occurrence attribution (+1 exactly at each token's min-id
+    // document) with the running sum over the bucket grain.
+    Q("q170_vocab_growth",
+      (s, d) => Tables.documents(s, d)
+        .transform(VocabStats.vocabGrowth("doc_id", "text", 10)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |nv AS (SELECT first_doc // 10 AS bucket, count(*) AS nw
+             |  FROM (SELECT tok, min(doc_id) AS first_doc FROM tk
+             |    GROUP BY 1) GROUP BY 1),
+             |tb AS (SELECT doc_id // 10 AS bucket, count(*) AS nt
+             |  FROM tk GROUP BY 1),
+             |db AS (SELECT doc_id // 10 AS bucket, count(*) AS nd
+             |  FROM documents GROUP BY 1)
+             |SELECT CAST(db.bucket AS BIGINT) AS bucket,
+             |  CAST(sum(nd) OVER (ORDER BY db.bucket) AS BIGINT)
+             |    AS docs_so_far,
+             |  CAST(sum(coalesce(nt, 0)) OVER (ORDER BY db.bucket)
+             |    AS BIGINT) AS cum_tokens,
+             |  CAST(sum(coalesce(nw, 0)) OVER (ORDER BY db.bucket)
+             |    AS BIGINT) AS cum_vocab
+             |FROM db LEFT JOIN tb USING (bucket)
+             |  LEFT JOIN nv USING (bucket)""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -57,4 +57,73 @@ class VocabStatsSpec extends SparkSpec {
       ("p", "extra words extra m"))
     assert(fit(rows, parts = 1) === fit(rows, parts = 8))
   }
+
+  // plain-Scala vocab growth: walk docs in id order, bucket read-offs
+  private def refGrowth(docs: Seq[(Long, String)],
+                        b: Long): Seq[(Long, Long, Long, Long)] = {
+    val sorted = docs.sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var nd = 0L; var nt = 0L
+    sorted.groupBy(_._1 / b).toSeq.sortBy(_._1).map { case (bucket, ds) =>
+      ds.sortBy(_._1).foreach { case (_, t) =>
+        nd += 1
+        val w = t.trim.split("\\s+").filter(_.nonEmpty)
+        nt += w.length
+        w.foreach(seen += _)
+      }
+      (bucket, nd, nt, seen.size.toLong)
+    }
+  }
+
+  test("vocabGrowth equals the sequential prefix-distinct walk on generated corpora") {
+    val gen = for {
+      nd <- org.scalacheck.Gen.choose(1, 40)
+      docs <- org.scalacheck.Gen.listOfN(nd,
+        org.scalacheck.Gen.choose(0, 8).flatMap(len =>
+          org.scalacheck.Gen.listOfN(len,
+            org.scalacheck.Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+            .map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (seed <- 1 to 6) {
+      val docs = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong))
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text").repartition(5)
+          .transform(VocabStats.vocabGrowth("doc_id", "text", 7))
+          .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      }
+      assert(got === refGrowth(docs, 7), s"seed=$seed")
+    }
+  }
+
+  test("vocabGrowth: repetition flattens the curve; churn keeps it on the diagonal") {
+    val rep = (0L until 20L).map(i => (i, "same three words"))
+    val gotRep = graft.ops.Staged.withStaged {
+      rep.toDF("doc_id", "text")
+        .transform(VocabStats.vocabGrowth("doc_id", "text", 5))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(gotRep.map(_._4) === Seq(3L, 3L, 3L, 3L),
+      "vocab saturates in the first bucket")
+    assert(gotRep.last._3 === 60L)
+    val churn = (0L until 20L).map(i => (i, s"u$i v$i"))
+    val gotChurn = graft.ops.Staged.withStaged {
+      churn.toDF("doc_id", "text")
+        .transform(VocabStats.vocabGrowth("doc_id", "text", 5))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(gotChurn.map(_._4) === Seq(10L, 20L, 30L, 40L),
+      "every token new: cum_vocab == cum_tokens")
+    assert(gotChurn.map(t => t._3 - t._4).forall(_ == 0L))
+  }
+
+  test("vocabGrowth counts empty documents in the doc spine, not the vocab") {
+    val docs = Seq((0L, "x y"), (1L, ""), (2L, "   "), (3L, "x z"))
+    val got = graft.ops.Staged.withStaged {
+      docs.toDF("doc_id", "text")
+        .transform(VocabStats.vocabGrowth("doc_id", "text", 2))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(got === Seq((0L, 2L, 2L, 2L), (1L, 4L, 4L, 3L)))
+  }
 }
