@@ -1310,4 +1310,58 @@ object Dedup {
       .select(col(idCol), col("span_start"),
         col("span_ntokens").cast("long").as("span_ntokens"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS scheme): hash every `k`-token window, then in each run
+    * of `w` consecutive window hashes select the minimum — the
+    * guarantee is that any shared substring of at least w+k−1 tokens
+    * contributes at least one IDENTICAL selected fingerprint to both
+    * documents, at an expected density of 2/(w+1) instead of
+    * one-hash-per-token. The position-robust document signature for
+    * plagiarism-style overlap detection: [[dupSpans]] reports exact
+    * duplicated runs, winnowing gives the bounded sketch you can
+    * inverted-index at corpus scale.
+    *
+    * Determinism: the per-window argmin is the smallest (hash, pos)
+    * pair — leftmost-on-ties, encoded as one integer
+    * key = h·2²⁰ + pos (h = 40 md5 bits, pos < 2²⁰ — positions past
+    * 2²⁰ window-hashes per document are dropped, a ~1M-token cap that
+    * keeps the packing exact; both engines compare identical BIGINTs,
+    * no float or tie surface). Output: one row per distinct selected
+    * fingerprint, (id, fp, fp_pos); documents with fewer than w
+    * window-hashes emit nothing (no full window exists).
+    *
+    * Shape: the gram projection + one doc-partitioned window pass
+    * (rolling min + per-doc max ride the same Exchange), then the
+    * distinct — (id, fp)-grain, never text. */
+  def winnowFingerprints(idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4)
+                        (docs: DataFrame): DataFrame = {
+    require(k >= 1, s"gram length must be positive: $k")
+    require(w >= 1, s"winnow window must be positive: $w")
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $k))))")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (conv(substring(col("col"), 1, 10), 16, 10).cast("long") *
+          lit(1048576L) + col("pos")).as("__key"))
+      .where(col("pos") < 1048576L)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val sel = grams
+      .withColumn("__min", min("__key").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          w - 1)))
+      .withColumn("__last", max("pos").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .where(col("pos") <= col("__last") - (w - 1))
+    sel.select(col(idCol),
+        expr("__min DIV 1048576").as("fp"),
+        expr("__min % 1048576").as("fp_pos"))
+      .distinct()
+  }
 }

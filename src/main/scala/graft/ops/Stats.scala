@@ -163,4 +163,45 @@ object Stats {
         expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
           ELSE auc_num * 10000 DIV (2 * n_pos * n_neg) END""").as("auc_bp"))
   }
+
+  /** Precision/recall threshold sweep for an integer `scoreCol` against
+    * a 0/1 `labelCol`: one row per DISTINCT score value `thresh`, with
+    * the confusion counts and basis-point precision / recall / F1 of
+    * the rule "predict positive iff score ≥ thresh" — the
+    * cutoff-selection table next to [[aucExact]]'s threshold-free
+    * summary (AUC says the ranking is good; this says WHERE to cut it
+    * and what each cut costs). All exact integers: tp/fp are the
+    * descending cumulative class counts at the threshold, F1 in basis
+    * points is 2·tp·10⁴ DIV (2·tp + fp + fn) — denominators are
+    * positive at every emitted row because thresh is an observed score
+    * (tp + fp ≥ 1).
+    *
+    * Shape: one score-grain aggregate with map-side partials (the only
+    * corpus-grain stage), then the descending cumulative window over
+    * the score-DOMAIN-sized table — the [[ksDrift]]/[[aucExact]]
+    * staging discipline. `recall_bp` is null when there are no
+    * positives at all. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .select(col(scoreCol).cast("long").as("thresh"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("thresh")
+      .agg(sum("y").as("c1"), (count(lit(1)) - sum("y")).as("c0"))
+    val desc = Window.orderBy(col("thresh").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy(col("thresh").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("tp", sum("c1").over(desc))
+      .withColumn("fp", sum("c0").over(desc))
+      .withColumn("n_pos", sum("c1").over(all))
+      .withColumn("n_neg", sum("c0").over(all))
+      .select(col("thresh"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        expr("tp * 10000 DIV (tp + fp)").as("precision_bp"),
+        expr("CASE WHEN n_pos = 0 THEN NULL ELSE tp * 10000 DIV n_pos END")
+          .as("recall_bp"),
+        expr("2 * tp * 10000 DIV (2 * tp + fp + (n_pos - tp))").as("f1_bp"))
+  }
 }

@@ -4181,7 +4181,101 @@ object LlmQueries {
              |  CAST(sum(coalesce(nw, 0)) OVER (ORDER BY db.bucket)
              |    AS BIGINT) AS cum_vocab
              |FROM db LEFT JOIN tb USING (bucket)
-             |  LEFT JOIN nv USING (bucket)""".stripMargin))
+             |  LEFT JOIN nv USING (bucket)""".stripMargin)),
+
+    // PR threshold sweep (q171): the cutoff-selection table beside
+    // q167's threshold-free AUC — one row per distinct classifier
+    // score, with confusion counts and basis-point precision / recall
+    // / F1 of "keep iff score ≥ thresh", all exact integers (tp/fp =
+    // descending cumulative class counts; F1 = 2·tp·10⁴ DIV
+    // (2·tp+fp+fn)). AUC says the ordering is good; this is where you
+    // pick the operating point and read what it costs in kept spam
+    // (fp) vs dropped quality (fn).
+    Q("q171_pr_curve",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val heur = docs.select(col("doc_id"),
+          when(TextFunctions.stopwordHits(col("text"), stopwords) * 20 >=
+            TextFunctions.tokenCount(col("text")), 1L).otherwise(0L).as("y"))
+        val scored = docs
+          .transform(LinearModel.linearGate("doc_id", "text", 2000))
+          .select(col("doc_id"), col("score_q3"))
+        Stats.prCurve(scored.join(heur, "doc_id"), "score_q3", "y")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok,
+             |    (('0x' || substr(md5('w|' || tok), 1, 12))::BIGINT % 2001)
+             |      - 1000 AS w
+             |  FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000),
+             |sc AS (SELECT tk.doc_id,
+             |    CAST(coalesce(sum(v.w), 0) AS BIGINT) AS s
+             |  FROM tk LEFT JOIN v USING (tok) GROUP BY 1),
+             |heur AS (SELECT doc_id, CASE WHEN
+             |    len(list_filter(w, x -> list_contains(
+             |      ['the','a','of','and','to','in'], x))) * 20 >= len(w)
+             |    THEN 1 ELSE 0 END AS y
+             |  FROM (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w FROM documents)),
+             |ps AS (SELECT s AS thresh, sum(y) AS c1,
+             |    count(*) - sum(y) AS c0
+             |  FROM sc JOIN heur USING (doc_id) GROUP BY 1),
+             |cw AS (SELECT thresh,
+             |    sum(c1) OVER (ORDER BY thresh DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             |    sum(c0) OVER (ORDER BY thresh DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             |    sum(c1) OVER () AS n_pos, sum(c0) OVER () AS n_neg
+             |  FROM ps)
+             |SELECT thresh, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp,
+             |  CAST(n_pos - tp AS BIGINT) AS fn,
+             |  CAST(n_neg - fp AS BIGINT) AS tn,
+             |  CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+             |  CAST(CASE WHEN n_pos = 0 THEN NULL
+             |    ELSE tp * 10000 // n_pos END AS BIGINT) AS recall_bp,
+             |  CAST(2 * tp * 10000 // (2 * tp + fp + (n_pos - tp))
+             |    AS BIGINT) AS f1_bp
+             |FROM cw""".stripMargin)),
+
+    // Winnowing fingerprints (q172): the MOSS document signature
+    // (Schleimer et al. 2003) — min-hash-per-window selection over
+    // 3-gram hashes at w=4, guaranteeing any shared ≥6-token substring
+    // contributes one identical fingerprint to both docs at ~2/(w+1)
+    // density. q169 reports exact duplicated runs; this is the bounded
+    // sketch you inverted-index at corpus scale. Argmin = smallest
+    // (hash, pos) encoded as ONE integer key (40 md5 bits · 2²⁰ + pos)
+    // so both engines compare identical BIGINTs — no tie surface.
+    Q("q172_winnow_fingerprints",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |ge AS (SELECT doc_id,
+             |    unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |      i -> struct_pack(pos := i,
+             |        h := ('0x' || substr(md5(
+             |          array_to_string(w[i+1 : i+3], ' ')), 1, 10))
+             |          ::BIGINT))) AS s
+             |  FROM tk),
+             |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+             |    s.h * 1048576 + s.pos AS key
+             |  FROM ge WHERE s.pos < 1048576),
+             |mw AS (SELECT doc_id, pos,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    max(pos) OVER (PARTITION BY doc_id) AS last
+             |  FROM g)
+             |SELECT DISTINCT doc_id,
+             |  CAST(mn // 1048576 AS BIGINT) AS fp,
+             |  CAST(mn % 1048576 AS BIGINT) AS fp_pos
+             |FROM mw WHERE pos <= last - 3""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -741,4 +741,71 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.isEmpty)
   }
+
+  // plain-Scala winnowing: k-gram 40-bit md5 hashes packed with position,
+  // min per w-window of window-hashes
+  private def refWinnow(toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    def h40(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 10), 16)
+    val keys = (0 to toks.length - k)
+      .map(i => h40(toks.slice(i, i + k).mkString(" ")))
+      .zipWithIndex.map { case (h, p) => h * 1048576L + p }
+    (0 to keys.length - w)
+      .map(p => keys.slice(p, p + w).min)
+      .map(key => (key / 1048576L, key % 1048576L)).toSet
+  }
+
+  test("winnowFingerprints equals the plain-Scala MOSS reference on generated corpora") {
+    val gen = for {
+      nd <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nd,
+        Gen.choose(0, 20).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s", "t"))
+            .map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (seed <- 1 to 6) {
+      val docs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = docs.toDF("doc_id", "text").repartition(5)
+        .transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = docs.flatMap { case (id, t) =>
+        refWinnow(t.trim.split("\\s+").filter(_.nonEmpty).toSeq, 3, 4)
+          .map { case (fp, pos) => (id, fp, pos) }
+      }.toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("winnowing theorem: a shared >= w+k-1 token substring yields a shared fingerprint; gaps <= w") {
+    // w+k-1 = 6: both docs embed the same 8-token run at different offsets
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared"),
+      (2L, s"$shared nine ten eleven twelve thirteen")).toDF("doc_id", "text")
+    val fps = docs.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "the shared run must contribute an identical selected hash to both docs")
+    // density guarantee: consecutive selected POSITIONS gap <= w
+    fps.groupBy(_._1).foreach { case (id, xs) =>
+      val ps = xs.map(_._3).distinct.sorted
+      ps.zip(ps.drop(1)).foreach { case (a, b) =>
+        assert(b - a <= 4L, s"doc $id: selected-position gap ${b - a} > w")
+      }
+    }
+  }
+
+  test("winnowFingerprints: fewer than w window-hashes emits nothing") {
+    // 5 tokens, k=3 -> 3 window-hashes < w=4
+    val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    assert(docs.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+      .as[(Long, Long, Long)].collect().isEmpty)
+    // 6 tokens -> exactly one full window -> exactly one fingerprint
+    val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(one.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+      .as[(Long, Long, Long)].collect().length === 1)
+  }
 }

@@ -135,6 +135,44 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("prCurve equals the brute-force per-threshold confusion table on arbitrary tied samples") {
+    val gen = for {
+      n <- Gen.choose(2, 50)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-4L, 4L), Gen.oneOf(0L, 1L)))
+    } yield xs
+    for (seed <- 1 to 6) {
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val np = xs.count(_._2 == 1L).toLong
+      val nn = xs.size - np
+      val got = Stats.prCurve(xs.toDF("s", "y").repartition(7), "s", "y")
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long], Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got.map(_._1) === xs.map(_._1).distinct.sorted, s"seed=$seed")
+      got.foreach { case (t, tp, fp, fn, tn, prec, rec, f1) =>
+        val tpR = xs.count(x => x._1 >= t && x._2 == 1L).toLong
+        val fpR = xs.count(x => x._1 >= t && x._2 == 0L).toLong
+        assert((tp, fp, fn, tn) === ((tpR, fpR, np - tpR, nn - fpR)),
+          s"seed=$seed t=$t")
+        assert(prec === tp * 10000 / (tp + fp), s"seed=$seed t=$t")
+        if (np > 0) assert(rec === Some(tp * 10000 / np), s"seed=$seed")
+        else assert(rec === None, s"seed=$seed")
+        assert(f1 === 2 * tp * 10000 / (2 * tp + fp + fn), s"seed=$seed")
+      }
+    }
+  }
+
+  test("prCurve endpoints: the lowest threshold keeps everything (recall 10000)") {
+    val xs = Seq((5L, 1L), (3L, 0L), (3L, 1L), (1L, 0L))
+    val got = Stats.prCurve(xs.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toSeq.sortBy(_._1)
+    val lowest = got.head
+    assert(lowest._2 === 2L && lowest._3 === 2L && lowest._7 === Some(10000L))
+    val highest = got.last
+    assert(highest._1 === 5L && highest._2 === 1L && highest._3 === 0L &&
+      highest._6 === 10000L, "top cut keeps only the top-scored positive")
+  }
+
   test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
     def run(xs: Seq[(Long, Long)]) =
       Stats.aucExact(xs.toDF("s", "y"), "s", "y")

@@ -604,4 +604,48 @@ class PlanSpec extends SparkSpec {
     // every corpus scan sits inside the repeated cached-subtree print
     assert("documents.parquet".r.findAllIn(p).size === cachedRels, p)
   }
+
+  test("q167 auc: SinglePartition only above the score-grain aggregate; token table staged") {
+    val p = graft.ops.Staged.withStaged { plan("q167_classifier_auc") }
+    // the cumulative window's single partition sits ABOVE the
+    // score-grain hash Exchange — the corpus never lands on one task
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert("Exchange hashpartitioning\\(s#".r.findAllIn(p).size === 1, p)
+    // both classifier stages (vocab count + doc scores) read the
+    // staged token explode, not a fresh corpus tokenize
+    assert("InMemoryTableScan".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q168 k-anonymity: one pruned corpus scan; totals broadcast back over the class table") {
+    val p = plan("q168_k_anonymity")
+    // QI + sensitive columns only — text never leaves the parquet reader
+    assert(p.contains(
+      "ReadSchema: struct<lang:string,source:string,n_chars:bigint>"), p)
+    assert(p.contains("partial_count(distinct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q169 dup spans: staged gram table feeds count and probe; doc-partitioned islands window") {
+    val p = graft.ops.Staged.withStaged { plan("q169_dup_spans") }
+    // both the duplication count and the probe read the md5-gram cache
+    assert("InMemoryTableScan".r.findAllIn(p).size === 2, p)
+    // the dup-fingerprint set broadcasts into the probe
+    assert(p.contains("BroadcastHashJoin [__h#"), p)
+    // islands window is doc-partitioned — no global-order Exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("windowspecdefinition\\(doc_id#".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
+    val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
+    // the doc-bucket spine prunes to the id column
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // bucket-grain sides broadcast into the spine; the only
+    // SinglePartition is the bucket-grain cumulative window
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
