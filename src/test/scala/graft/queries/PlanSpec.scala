@@ -638,6 +638,23 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(doc_id#".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q171 pr curve: SinglePartition only above the score-grain aggregate, one desc sort serves both windows") {
+    val p = graft.ops.Staged.withStaged { plan("q171_pr_curve") }
+    assert("Exchange hashpartitioning\\(thresh#".r.findAllIn(p).size === 1, p)
+    // cumulative + totals windows share the one thresh-desc sort
+    assert("Sort \\[thresh#\\d+L DESC".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q172 winnowing: ONE doc Exchange; rolling min and per-doc max ride the same Window") {
+    val p = plan("q172_winnow_fingerprints")
+    assert("Exchange hashpartitioning\\(doc_id#".r.findAllIn(p).size === 1, p)
+    // both frames in a single Window operator — no second sort/shuffle
+    assert("\\+- Window ".r.findAllIn(p).size === 1, p)
+    // the distinct aggregates map-side before any further Exchange
+    assert(p.contains("HashAggregate(keys=[doc_id#"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
