@@ -1364,4 +1364,52 @@ object Dedup {
         expr("__min % 1048576").as("fp_pos"))
       .distinct()
   }
+
+  /** Winnow-sketch overlap pairs — the MOSS pipeline closed end to end:
+    * [[winnowFingerprints]] gives each document a ~2/(w+1)-density
+    * sketch; this inverted-indexes the sketches and emits every pair
+    * sharing at least `minShared` distinct fingerprints, with the
+    * overlap fraction against the SMALLER sketch in basis points
+    * (the containment convention — an excerpt embedded in a long doc
+    * still scores high). The candidate-pair generator that does what
+    * [[ngramJaccardPairs]] does at a fraction of the index size,
+    * because only selected fingerprints ever reach the pair join.
+    *
+    * Same df-cap discipline as the shingle index: fingerprints present
+    * in more than `maxDf` documents are dropped before pairing
+    * (boilerplate fps would otherwise explode the join quadratically
+    * — search engines drop stop terms for the same reason). All
+    * emitted numbers are exact integers. Output:
+    * (doc_a, doc_b, n_shared, n_a, n_b, overlap_bp), doc_a < doc_b.
+    *
+    * Shape: the (id, fp)-distinct sketch table is STAGED (df filter,
+    * both join sides, and the per-doc sizes all read it); the df cut
+    * and sizes are fp-/id-grain aggregates; the pair join is fp-grain
+    * and df-bounded; the final count is pair-grain. No text anywhere
+    * past the gram hash. */
+  def winnowOverlapPairs(idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxDf: Long = 1000L)
+                        (docs: DataFrame): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    require(maxDf >= 2, s"maxDf < 2 would drop every shareable fp: $maxDf")
+    val fps = Staged.stage(
+      winnowFingerprints(idCol, textCol, k, w)(docs)
+        .select(col(idCol).as("doc"), col("fp")).distinct())
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val sizes = fps.groupBy("doc").agg(count(lit(1)).as("__sz"))
+    val idx = fps.join(keep, "fp")
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("__sz").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("__sz").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 10000 DIV least(n_a, n_b)").as("overlap_bp"))
+  }
 }

@@ -4275,7 +4275,53 @@ object LlmQueries {
              |SELECT DISTINCT doc_id,
              |  CAST(mn // 1048576 AS BIGINT) AS fp,
              |  CAST(mn % 1048576 AS BIGINT) AS fp_pos
-             |FROM mw WHERE pos <= last - 3""".stripMargin))
+             |FROM mw WHERE pos <= last - 3""".stripMargin)),
+
+    // Winnow overlap pairs (q173): the MOSS pipeline end-to-end —
+    // sketch (q172) → df-capped inverted index → candidate pairs with
+    // the shared-fingerprint count and the containment-convention
+    // overlap fraction (vs the SMALLER sketch, so excerpts still
+    // fire). Does the q26 job at sketch density: only selected
+    // fingerprints reach the pair join. All exact integers.
+    Q("q173_winnow_overlap_pairs",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.winnowOverlapPairs("doc_id", "text", 3, 4, 2, 1000L)),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |ge AS (SELECT doc_id,
+             |    unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |      i -> struct_pack(pos := i,
+             |        h := ('0x' || substr(md5(
+             |          array_to_string(w[i+1 : i+3], ' ')), 1, 10))
+             |          ::BIGINT))) AS s
+             |  FROM tk),
+             |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+             |    s.h * 1048576 + s.pos AS key
+             |  FROM ge WHERE s.pos < 1048576),
+             |mw AS (SELECT doc_id, pos,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    max(pos) OVER (PARTITION BY doc_id) AS last
+             |  FROM g),
+             |fps AS (SELECT DISTINCT doc_id AS doc,
+             |    CAST(mn // 1048576 AS BIGINT) AS fp
+             |  FROM mw WHERE pos <= last - 3),
+             |keep AS (SELECT fp FROM fps GROUP BY 1
+             |  HAVING count(*) <= 1000),
+             |sz AS (SELECT doc, count(*) AS sz FROM fps GROUP BY 1),
+             |idx AS (SELECT doc, fps.fp FROM fps JOIN keep USING (fp)),
+             |pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    count(*) AS n_shared
+             |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc < b.doc
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             |  CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+             |  CAST(n_shared * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+             |    AS overlap_bp
+             |FROM pr JOIN sz sa ON pr.doc_a = sa.doc
+             |  JOIN sz sb ON pr.doc_b = sb.doc""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

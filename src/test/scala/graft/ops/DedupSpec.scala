@@ -798,6 +798,69 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  private def refOverlap(docs: Seq[(Long, String)], minShared: Int,
+                         maxDf: Long): Set[(Long, Long, Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> refWinnow(t.trim.split("\\s+").filter(_.nonEmpty).toSeq, 3, 4)
+        .map(_._1)
+    }.filter(_._2.nonEmpty).toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (f, o) => f -> o.size }
+    val kept = sets.map { case (id, s) => id -> s.filter(f => df(f) <= maxDf) }
+    (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a < b
+      shared = (sa intersect sb).size.toLong if shared >= minShared
+    } yield (a, b, shared, sets(a).size.toLong, sets(b).size.toLong,
+      shared * 10000 / math.min(sets(a).size, sets(b).size))).toSet
+  }
+
+  test("winnowOverlapPairs equals the brute-force sketch-intersection reference") {
+    val gen = for {
+      nd <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nd,
+        Gen.choose(6, 25).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (seed <- 1 to 6) {
+      val docs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text").repartition(5)
+          .transform(Dedup.winnowOverlapPairs("doc_id", "text", 3, 4, 1, 100L))
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      }
+      assert(got === refOverlap(docs, 1, 100L), s"seed=$seed")
+    }
+  }
+
+  test("winnowOverlapPairs: an excerpt scores by the SMALLER sketch; the df cap drops boilerplate fps") {
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long = s"one two three four five six $excerpt seven eight nine ten eleven twelve"
+    val docs = Seq((1L, excerpt), (2L, long)).toDF("doc_id", "text")
+    val out = graft.ops.Staged.withStaged {
+      docs.transform(Dedup.winnowOverlapPairs("doc_id", "text", 3, 4, 1, 100L))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    }
+    assert(out.length === 1)
+    val (_, _, shared, na, _, bp) = out(0)
+    assert(na <= out(0)._5, "doc 1 is the smaller sketch")
+    assert(shared >= na / 2 && bp >= 5000L,
+      "most of the excerpt's fingerprints reappear inside the long doc")
+    // boilerplate guard: with maxDf = 2, a fp present in all three docs
+    // is dropped and the all-pairs clique disappears
+    val boiler = (1L to 3L).map(i => (i, s"same same same same same same u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val loose = graft.ops.Staged.withStaged {
+      boiler.transform(Dedup.winnowOverlapPairs("doc_id", "text", 3, 4, 1, 100L))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    }
+    val capped = graft.ops.Staged.withStaged {
+      boiler.transform(Dedup.winnowOverlapPairs("doc_id", "text", 3, 4, 1, 2L))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    }
+    assert(loose.nonEmpty)
+    assert(capped.length < loose.length,
+      "the df cap must remove the shared-boilerplate pairs")
+  }
+
   test("winnowFingerprints: fewer than w window-hashes emits nothing") {
     // 5 tokens, k=3 -> 3 window-hashes < w=4
     val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")

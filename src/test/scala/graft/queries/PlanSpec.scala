@@ -655,6 +655,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate(keys=[doc_id#"), p)
   }
 
+  test("q173 winnow pairs: every reader consumes the staged sketch; no text past the gram hash") {
+    val p = graft.ops.Staged.withStaged { plan("q173_winnow_overlap_pairs") }
+    // df filter, both pair-join sides, and the two size joins all read
+    // the staged (doc, fp) sketch — the corpus is winnowed ONCE
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the pair aggregate groups (doc, doc) — fp never reaches output
+    assert(p.contains("Exchange hashpartitioning(doc#"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
