@@ -204,4 +204,97 @@ object Stats {
           .as("recall_bp"),
         expr("2 * tp * 10000 DIV (2 * tp + fp + (n_pos - tp))").as("f1_bp"))
   }
+
+  /** Exact Pearson correlation between two integer columns, emitted as
+    * the EXACT rational pieces plus a signed ×10⁴ r² reading:
+    *   r_num  = n·Σxy − Σx·Σy
+    *   r_den_x = n·Σx² − (Σx)²,   r_den_y = n·Σy² − (Σy)²
+    *   r2_bp  = sign(r_num) · (r_num²·10⁴ DIV (r_den_x·r_den_y))
+    * — r² avoids the square root (no integer sqrt exists with
+    * cross-engine ulp parity), the sign is factored out before the
+    * positive-operand floor division (the kappa/zipf discipline), and
+    * r2_bp is NULL when either column is constant (r undefined, not 0).
+    * The bias audit for any scored pipeline stage: corr(score, length)
+    * far from 0 means the "quality" signal is substantially a length
+    * proxy.
+    *
+    * Arithmetic rides DECIMAL(38,0) on the Spark side (DuckDB sums
+    * BIGINTs into HUGEINT automatically): with |x|,|y| ≤ 10⁵ and
+    * n ≤ 10⁹ the moments fit 64 bits but r_num² does not — the
+    * decimal path keeps the whole computation exact on both engines.
+    * One aggregate with map-side partials; a single output row. */
+  def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .select(
+        col("__n").cast("long").as("n"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__dx"),
+        (col("__n") * col("__syy") - col("__sy") * col("__sy")).as("__dy"))
+      .select(col("n"),
+        col("__num").cast("long").as("r_num"),
+        col("__dx").cast("long").as("r_den_x"),
+        col("__dy").cast("long").as("r_den_y"),
+        expr("""CASE WHEN __dx = 0 OR __dy = 0 THEN NULL
+          WHEN __num >= 0
+            THEN CAST((__num * __num * 10000) DIV (__dx * __dy) AS BIGINT)
+          ELSE -CAST((__num * __num * 10000) DIV (__dx * __dy) AS BIGINT)
+          END""").as("r2_bp"))
+  }
+
+  /** Chi-squared homogeneity of `colCol`'s distribution across
+    * `rowCol`'s groups (Pearson 1900), with Cramér's V² as the
+    * size-free effect reading: per grid cell
+    *   term_bp = (O·N − rowTot·colTot)²·10⁴ DIV (rowTot·colTot·N)
+    * — the exact ×10⁴ value of (O−E)²/E with the expectation's
+    * division never performed (cross-multiplied away), each cell
+    * floor-divided once (deterministic on both engines; chi2_bp is
+    * within n_cells/10⁴ of the real statistic, always from below) and
+    * summed over the FULL observed-category grid including structural
+    * zeros (O = 0 cells carry E²/E = E). v2_bp = chi2_bp DIV
+    * (N·min(nr−1, nc−1)) is Cramér's V² in basis points — the
+    * corpus-audit number ("how far from homogeneous is the language
+    * mix across sources") that doesn't grow with N the way χ² does.
+    * One row: (n, n_rows, n_cols, dof, chi2_bp, v2_bp); v2_bp NULL
+    * for a degenerate 1×c / r×1 table.
+    *
+    * Shape: one (row, col)-grain corpus aggregate with map-side
+    * partials; margins, the grid completion (tiny × tiny cross join),
+    * and the final sum all work the category-domain-sized matrix.
+    * Arithmetic rides DECIMAL(38,0) / HUGEINT — (O·N)² needs ~2·63
+    * bits long before any output column does. */
+  def chi2Homogeneity(df: DataFrame, rowCol: String,
+                      colCol: String): DataFrame = {
+    val obs = Staged.stage(df
+      .groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o")))
+    val rt = obs.groupBy("r").agg(sum("o").as("rt"))
+    val ct = obs.groupBy("c").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"), count(lit(1)).as("__nobs"))
+      .select(col("n"))
+    val dims = rt.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(ct.agg(count(lit(1)).as("n_cols")))
+    val cells = rt.crossJoin(ct)
+      .join(obs, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+          | * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+          | * 10000) DIV (CAST(rt AS DECIMAL(38,0)) * ct * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("__term_bp"),
+        col("n"))
+    cells.groupBy("n").agg(sum("__term_bp").as("chi2_bp"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1L) * (col("n_cols") - 1L)).as("dof"),
+        col("chi2_bp"),
+        expr("""CASE WHEN n_rows < 2 OR n_cols < 2 THEN NULL
+          ELSE chi2_bp DIV (n * least(n_rows - 1, n_cols - 1)) END""")
+          .as("v2_bp"))
+  }
 }

@@ -4321,7 +4321,92 @@ object LlmQueries {
              |  CAST(n_shared * 10000 // least(sa.sz, sb.sz) AS BIGINT)
              |    AS overlap_bp
              |FROM pr JOIN sz sa ON pr.doc_a = sa.doc
-             |  JOIN sz sb ON pr.doc_b = sb.doc""".stripMargin))
+             |  JOIN sz sb ON pr.doc_b = sb.doc""".stripMargin)),
+
+    // Length-bias audit (q174): exact Pearson correlation between the
+    // q149 classifier's integer score and document length — r² in
+    // signed basis points plus the exact rational pieces. Length bias
+    // is the canonical quality-classifier failure mode (the model
+    // learns "long = good"); a corr far from 0 means the gate is
+    // substantially a length proxy and the curation it drives skews
+    // the corpus length distribution. r² avoids the square root, the
+    // sign is factored out before the positive-operand DIV, and the
+    // arithmetic rides decimal/HUGEINT so r_num² stays exact.
+    Q("q174_score_length_bias",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs
+          .transform(LinearModel.linearGate("doc_id", "text", 2000))
+          .select(col("doc_id"), col("score_q3"))
+        Stats.corrExact(
+          scored.join(docs.select(col("doc_id"), col("n_chars")), "doc_id"),
+          "score_q3", "n_chars")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok,
+             |    (('0x' || substr(md5('w|' || tok), 1, 12))::BIGINT % 2001)
+             |      - 1000 AS w
+             |  FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+             |  ORDER BY c DESC, tok LIMIT 2000),
+             |sc AS (SELECT tk.doc_id,
+             |    CAST(coalesce(sum(v.w), 0) AS BIGINT) AS x
+             |  FROM tk LEFT JOIN v USING (tok) GROUP BY 1),
+             |j AS (SELECT x, n_chars AS y FROM sc
+             |  JOIN documents USING (doc_id)),
+             |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+             |  FROM j),
+             |dd AS (SELECT n, n*sxy - sx*sy AS num,
+             |    n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+             |  FROM m)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(num AS BIGINT) AS r_num,
+             |  CAST(dx AS BIGINT) AS r_den_x, CAST(dy AS BIGINT) AS r_den_y,
+             |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN NULL
+             |    WHEN num >= 0 THEN (num*num*10000) // (dx*dy)
+             |    ELSE -((num*num*10000) // (dx*dy)) END AS BIGINT) AS r2_bp
+             |FROM dd""".stripMargin)),
+
+    // Source homogeneity (q175): Pearson chi² of the language mix
+    // across sources with Cramér's V² in basis points — the
+    // distribution-level audit beside q160's cell-level confusion
+    // matrix: a single number that says whether sources draw from the
+    // same language distribution (V² ≈ 0) or some source has drifted
+    // (V² ≫ 0), independent of corpus size where raw χ² grows with N.
+    // Every cell's (O−E)²/E is computed with the expectation
+    // cross-multiplied away and one deterministic floor division.
+    Q("q175_source_lang_chi2",
+      (s, d) => Stats.chi2Homogeneity(
+        Tables.documents(s, d), "source", "lang"),
+      Some("""WITH obs AS (SELECT source AS r, lang AS c, count(*) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY 1),
+             |ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY 1),
+             |tot AS (SELECT sum(o) AS n FROM obs),
+             |dims AS (SELECT (SELECT count(*) FROM rt) AS n_rows,
+             |    (SELECT count(*) FROM ct) AS n_cols),
+             |grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct,
+             |    coalesce(obs.o, 0) AS o
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+             |cells AS (SELECT
+             |    ((o::HUGEINT * n - rt::HUGEINT * ct)
+             |     * (o::HUGEINT * n - rt::HUGEINT * ct)
+             |     * 10000) // (rt::HUGEINT * ct * n) AS term_bp, n
+             |  FROM grid, tot),
+             |agg AS (SELECT n, sum(term_bp) AS chi2_bp FROM cells
+             |  GROUP BY n)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_cols AS BIGINT) AS n_cols,
+             |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+             |  CAST(chi2_bp AS BIGINT) AS chi2_bp,
+             |  CAST(CASE WHEN n_rows < 2 OR n_cols < 2 THEN NULL
+             |    ELSE chi2_bp // (n * least(n_rows - 1, n_cols - 1)) END
+             |    AS BIGINT) AS v2_bp
+             |FROM agg, dims""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

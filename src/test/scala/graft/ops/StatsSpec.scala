@@ -173,6 +173,104 @@ class StatsSpec extends SparkSpec {
       highest._6 === 10000L, "top cut keeps only the top-scored positive")
   }
 
+  test("corrExact equals the brute-force moment arithmetic on arbitrary integer pairs") {
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(-50L, 50L)))
+    } yield xs
+    for (seed <- 1 to 6) {
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val n = BigInt(xs.size)
+      val sx = xs.map(t => BigInt(t._1)).sum; val sy = xs.map(t => BigInt(t._2)).sum
+      val sxx = xs.map(t => BigInt(t._1) * t._1).sum
+      val syy = xs.map(t => BigInt(t._2) * t._2).sum
+      val sxy = xs.map(t => BigInt(t._1) * t._2).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      val want: Option[Long] =
+        if (dx == 0 || dy == 0) None
+        else Some((if (num >= 0) (num * num * 10000) / (dx * dy)
+                   else -((num * num * 10000) / (dx * dy))).toLong)
+      val got = Stats.corrExact(xs.toDF("x", "y").repartition(7), "x", "y")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+      assert((got._1, got._2, got._3, got._4) ===
+        ((n.toLong, num.toLong, dx.toLong, dy.toLong)), s"seed=$seed")
+      assert(got._5 === want, s"seed=$seed")
+    }
+  }
+
+  test("corrExact closed forms: affine = ±10000 bp; constant column = NULL") {
+    def run(xs: Seq[(Long, Long)]) =
+      Stats.corrExact(xs.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    val up = (1L to 20L).map(i => (i, 2 * i + 3))
+    assert(run(up)._5 === Some(10000L))
+    val down = (1L to 20L).map(i => (i, 100L - i))
+    assert(run(down)._5 === Some(-10000L))
+    val const = (1L to 10L).map(i => (i, 7L))
+    assert(run(const)._5 === None, "zero variance: r undefined, not 0")
+  }
+
+  private def refChi2(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long, Option[Long]) = {
+    val o = rows.groupBy(identity).map { case (k, v) => k -> BigInt(v.size) }
+    val rs = rows.map(_._1).distinct; val cs = rows.map(_._2).distinct
+    val rt = rs.map(r => r -> o.collect { case ((`r`, _), v) => v }.sum).toMap
+    val ct = cs.map(c => c -> o.collect { case ((_, `c`), v) => v }.sum).toMap
+    val n = BigInt(rows.size)
+    val chi2 = (for (r <- rs; c <- cs) yield {
+      val d = o.getOrElse((r, c), BigInt(0)) * n - rt(r) * ct(c)
+      (d * d * 10000) / (rt(r) * ct(c) * n)
+    }).sum
+    val v2 = if (rs.size < 2 || cs.size < 2) None
+      else Some((chi2 / (n * BigInt(math.min(rs.size, cs.size) - 1))).toLong)
+    (n.toLong, rs.size.toLong, cs.size.toLong,
+      (rs.size - 1).toLong * (cs.size - 1), chi2.toLong, v2)
+  }
+
+  test("chi2Homogeneity equals the brute-force grid arithmetic on arbitrary tables") {
+    val gen = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.oneOf("s1", "s2", "s3"), Gen.oneOf("en", "de", "fr", "pt")))
+    } yield rows
+    for (seed <- 1 to 6) {
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = graft.ops.Staged.withStaged {
+        Stats.chi2Homogeneity(rows.toDF("src", "lang").repartition(7),
+            "src", "lang")
+          .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+      }
+      assert(got === refChi2(rows), s"seed=$seed")
+    }
+  }
+
+  test("chi2Homogeneity closed forms: proportional rows = 0; diagonal association = V2 10000; 1-col NULL") {
+    // identical distribution in both rows (x2 scale) -> every term 0
+    val prop = Seq.fill(4)(("a", "en")) ++ Seq.fill(2)(("a", "de")) ++
+      Seq.fill(8)(("b", "en")) ++ Seq.fill(4)(("b", "de"))
+    val p = graft.ops.Staged.withStaged {
+      Stats.chi2Homogeneity(prop.toDF("src", "lang"), "src", "lang")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    }
+    assert(p._5 === 0L && p._6 === Some(0L))
+    // perfect association: 2x2 diagonal, equal counts -> V^2 = 1
+    // (counts chosen so every cell divides exactly: d^2*10^4/(rt*ct*n)
+    // = 25000 per cell; truncation-free, so the bound is attained)
+    val diag = Seq("x", "y").flatMap(s => Seq.fill(5)((s, s.toUpperCase)))
+    val dd = graft.ops.Staged.withStaged {
+      Stats.chi2Homogeneity(diag.toDF("src", "lang"), "src", "lang")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    }
+    assert(dd._5 === 100000L && dd._6 === Some(10000L), s"got $dd")
+    // single observed column: dof 0, V^2 undefined
+    val one = Seq.fill(6)(("a", "en")) ++ Seq.fill(3)(("b", "en"))
+    val o = graft.ops.Staged.withStaged {
+      Stats.chi2Homogeneity(one.toDF("src", "lang"), "src", "lang")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    }
+    assert(o._4 === 0L && o._6 === None)
+  }
+
   test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
     def run(xs: Seq[(Long, Long)]) =
       Stats.aucExact(xs.toDF("s", "y"), "s", "y")

@@ -665,6 +665,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(doc#"), p)
   }
 
+  test("q174 length bias: one single-row moment aggregate; decimal arithmetic stays in the projection") {
+    val p = graft.ops.Staged.withStaged { plan("q174_score_length_bias") }
+    // the corpus lands in one keyless aggregate (partial + final)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q175 chi2: every reader consumes the staged (source, lang) matrix — one corpus aggregate") {
+    val p = graft.ops.Staged.withStaged { plan("q175_source_lang_chi2") }
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    // all corpus scans sit inside the repeated cached-subtree prints
+    assert("documents.parquet".r.findAllIn(p).size === cachedRels, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
