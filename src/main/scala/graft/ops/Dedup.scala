@@ -1412,4 +1412,45 @@ object Dedup {
         col("n_a"), col("n_b"),
         expr("n_shared * 10000 DIV least(n_a, n_b)").as("overlap_bp"))
   }
+
+  /** Probe-vs-base sketch pairing — the incremental / serving half of
+    * the winnow family: given a BASE sketch (the standing corpus,
+    * winnowed once and persisted) and a PROBE sketch (a delta batch,
+    * winnowed on arrival — selection is doc-local, so sketches compose
+    * by union and split by filter), emit every (probe, base) pair
+    * sharing at least `minShared` fingerprints with the
+    * containment-convention overlap. This is the near-dup ADMISSION
+    * check: "is this incoming document substantially already in the
+    * corpus?" — probe-intra-probe pairs are deliberately out of scope
+    * (intra-batch dedup is [[winnowOverlapPairs]] on the batch).
+    *
+    * The df cap comes from the BASE index (the standing corpus defines
+    * what is boilerplate), so each probe fingerprint joins at most
+    * `maxDf` base documents — the probe cost is
+    * O(|probe sketch| · maxDf) however large the corpus. Input frames
+    * are (doc, fp) in any multiplicity (distinct applied); output:
+    * (probe_id, base_id, n_shared, n_probe, n_base, overlap_bp). */
+  def sketchProbePairs(minShared: Int = 2, maxDf: Long = 1000L)
+                      (baseFps: DataFrame, probeFps: DataFrame): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    require(maxDf >= 1, s"maxDf must be positive: $maxDf")
+    val base = Staged.stage(baseFps
+      .select(col("doc").cast("long").as("__bdoc"), col("fp")).distinct())
+    val probe = Staged.stage(probeFps
+      .select(col("doc").cast("long").as("__pdoc"), col("fp")).distinct())
+    val keep = base.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val bsz = base.groupBy(col("__bdoc")).agg(count(lit(1)).as("n_base"))
+    val psz = probe.groupBy(col("__pdoc")).agg(count(lit(1)).as("n_probe"))
+    val pairs = probe.join(base.join(keep, "fp"), Seq("fp"))
+      .groupBy(col("__pdoc").as("probe_id"), col("__bdoc").as("base_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(psz.select(col("__pdoc").as("probe_id"), col("n_probe")), "probe_id")
+      .join(bsz.select(col("__bdoc").as("base_id"), col("n_base")), "base_id")
+      .select(col("probe_id"), col("base_id"), col("n_shared"),
+        col("n_probe"), col("n_base"),
+        expr("n_shared * 10000 DIV least(n_probe, n_base)").as("overlap_bp"))
+  }
 }

@@ -4406,7 +4406,73 @@ object LlmQueries {
              |  CAST(CASE WHEN n_rows < 2 OR n_cols < 2 THEN NULL
              |    ELSE chi2_bp // (n * least(n_rows - 1, n_cols - 1)) END
              |    AS BIGINT) AS v2_bp
-             |FROM agg, dims""".stripMargin))
+             |FROM agg, dims""".stripMargin)),
+
+    // Incremental near-dup probe (q176): the winnow family's serving
+    // half — the NEWER half of the corpus (the q74 cut convention)
+    // probed against the OLDER half's sketch index: "is this incoming
+    // document substantially already in the corpus?" Winnowing is
+    // doc-local, so the corpus is sketched ONCE and split by the cut;
+    // the df cap comes from the base (the standing corpus defines
+    // boilerplate), bounding the probe at O(|probe sketch|·maxDf)
+    // however large the base. Probe-intra-probe pairs deliberately
+    // absent (intra-batch dedup is q173 on the batch). The streaming
+    // twin (CorpusStream.nearDupProbe) runs this exact code per
+    // micro-batch against a frozen base sketch.
+    Q("q176_winnow_probe",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = docs.agg((max("doc_id") / lit(2.0)).as("__cut"))
+        val fps = graft.ops.Staged.stage(
+          Dedup.winnowFingerprints("doc_id", "text", 3, 4)(docs)
+            .select(col("doc_id").as("doc"), col("fp"))
+            .crossJoin(broadcast(cut)))
+        Dedup.sketchProbePairs(2, 1000L)(
+          fps.filter(col("doc") <= col("__cut")).select("doc", "fp"),
+          fps.filter(col("doc") > col("__cut")).select("doc", "fp"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |ge AS (SELECT doc_id,
+             |    unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |      i -> struct_pack(pos := i,
+             |        h := ('0x' || substr(md5(
+             |          array_to_string(w[i+1 : i+3], ' ')), 1, 10))
+             |          ::BIGINT))) AS s
+             |  FROM tk),
+             |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+             |    s.h * 1048576 + s.pos AS key
+             |  FROM ge WHERE s.pos < 1048576),
+             |mw AS (SELECT doc_id, pos,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    max(pos) OVER (PARTITION BY doc_id) AS last
+             |  FROM g),
+             |fps AS (SELECT DISTINCT doc_id AS doc,
+             |    CAST(mn // 1048576 AS BIGINT) AS fp
+             |  FROM mw WHERE pos <= last - 3),
+             |cut AS (SELECT max(doc_id) / 2.0 AS cut FROM documents),
+             |base AS (SELECT doc, fp FROM fps, cut WHERE doc <= cut),
+             |probe AS (SELECT doc, fp FROM fps, cut WHERE doc > cut),
+             |keep AS (SELECT fp FROM base GROUP BY 1
+             |  HAVING count(*) <= 1000),
+             |bsz AS (SELECT doc, count(*) AS n_base FROM base GROUP BY 1),
+             |psz AS (SELECT doc, count(*) AS n_probe FROM probe GROUP BY 1),
+             |pr AS (SELECT p.doc AS probe_id, b.doc AS base_id,
+             |    count(*) AS n_shared
+             |  FROM probe p JOIN base b ON p.fp = b.fp
+             |  JOIN keep k ON b.fp = k.fp
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT probe_id, base_id,
+             |  CAST(n_shared AS BIGINT) AS n_shared,
+             |  CAST(psz.n_probe AS BIGINT) AS n_probe,
+             |  CAST(bsz.n_base AS BIGINT) AS n_base,
+             |  CAST(n_shared * 10000 // least(psz.n_probe, bsz.n_base)
+             |    AS BIGINT) AS overlap_bp
+             |FROM pr JOIN psz ON pr.probe_id = psz.doc
+             |  JOIN bsz ON pr.base_id = bsz.doc""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -491,4 +491,41 @@ object CorpusStream {
       }
     }
   }
+
+  /** Streaming near-dup admission probe: every arriving document is
+    * winnowed on the spot ([[graft.ops.Dedup.winnowFingerprints]] —
+    * selection is doc-local, so a micro-batch sketches independently
+    * of everything else) and its sketch probed against a FROZEN base
+    * sketch index via [[graft.ops.Dedup.sketchProbePairs]] — the batch
+    * q176 operator VERBATIM, so live ≡ batch by shared code. Flagged
+    * (probe, base) pairs land in `outPath/batch=<id>` — the review
+    * queue that answers "is this incoming document substantially
+    * already in the corpus?" before it is admitted, at
+    * O(|batch sketch|·maxDf) per batch however large the base.
+    *
+    * The base sketch is frozen — the same discipline as the IVF index
+    * and drift baseline: refresh it by a periodic batch rebuild, not
+    * in-stream (a self-updating index would make admission decisions
+    * order-dependent under replay). Replay-idempotent the
+    * [[corpusIngestSink]] way: batch-id directory overwrites of a
+    * deterministic function of (batch rows, frozen base). Intra-batch
+    * pairs are deliberately absent (q173 on the batch is that job).
+    * Empty batches skip. */
+  def nearDupProbe(docs: DataFrame, baseFps: DataFrame,
+                   outPath: String, checkpoint: String,
+                   k: Int = 3, w: Int = 4, minShared: Int = 2,
+                   maxDf: Long = 1000L)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(docs, checkpoint) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        graft.ops.Staged.withStaged {
+          val probeFps = graft.ops.Dedup
+            .winnowFingerprints("doc_id", "text", k, w)(batch)
+            .select(col("doc_id").as("doc"), col("fp"))
+          graft.ops.Dedup.sketchProbePairs(minShared, maxDf)(baseFps, probeFps)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+      }
+    }
 }

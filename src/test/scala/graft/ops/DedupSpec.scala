@@ -861,6 +861,45 @@ class DedupSpec extends SparkSpec {
       "the df cap must remove the shared-boilerplate pairs")
   }
 
+  test("sketchProbePairs equals the brute-force probe-vs-base intersection; df cap from the BASE") {
+    val gen = for {
+      nb <- Gen.choose(1, 6); np <- Gen.choose(1, 6)
+      mk = Gen.choose(6, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("p", "q", "r", "s")).map(_.mkString(" ")))
+      bs <- Gen.listOfN(nb, mk); ps <- Gen.listOfN(np, mk)
+    } yield (bs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      ps.zipWithIndex.map { case (t, i) => (100L + i, t) })
+    for (seed <- 1 to 6) {
+      val (bs, ps) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      def sketch(docs: Seq[(Long, String)]) = docs.map { case (id, t) =>
+        id -> refWinnow(t.trim.split("\\s+").filter(_.nonEmpty).toSeq, 3, 4)
+          .map(_._1)
+      }.filter(_._2.nonEmpty).toMap
+      val (sb, sp) = (sketch(bs), sketch(ps))
+      val df = sb.values.flatten.groupBy(identity)
+        .map { case (f, o) => f -> o.size }
+      val maxDf = 2L
+      val want = (for {
+        (p, pf) <- sp.toSeq; (b, bf) <- sb.toSeq
+        shared = (pf intersect bf).count(f => df(f) <= maxDf).toLong
+        if shared >= 1L
+      } yield (p, b, shared, pf.size.toLong, bf.size.toLong,
+        shared * 10000 / math.min(pf.size, bf.size))).toSet
+      val got = graft.ops.Staged.withStaged {
+        Dedup.sketchProbePairs(1, maxDf)(
+          graft.ops.Staged.withStaged {
+            Dedup.winnowFingerprints("doc_id", "text", 3, 4)(
+              bs.toDF("doc_id", "text"))
+          }.select(col("doc_id").as("doc"), col("fp")),
+          Dedup.winnowFingerprints("doc_id", "text", 3, 4)(
+            ps.toDF("doc_id", "text"))
+            .select(col("doc_id").as("doc"), col("fp")))
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("winnowFingerprints: fewer than w window-hashes emits nothing") {
     // 5 tokens, k=3 -> 3 window-hashes < w=4
     val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")

@@ -681,6 +681,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q176 winnow probe: the corpus sketches once (staged), base and probe split by filter") {
+    val p = graft.ops.Staged.withStaged { plan("q176_winnow_probe") }
+    // every reader — df cap, both split sides, both size aggregates —
+    // consumes a cache; no second winnow of the corpus exists
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column

@@ -434,4 +434,59 @@ class CorpusStreamSpec extends SparkSpec {
       assert(rep(batchIds(2)).forall(_._4 == 1L))
     } finally q.stop()
   }
+
+  test("nearDupProbe: arriving docs probe the frozen base sketch; live = the batch operator; intra-batch pairs absent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ndprobe").toString
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // the standing corpus: doc 100 carries the paragraph, 101 does not
+    val base = Seq(
+      (100L, s"intro words here $para closing words"),
+      (101L, "completely different standing content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val baseFps = graft.ops.Staged.withStaged {
+      graft.ops.Dedup.winnowFingerprints("doc_id", "text", 3, 4)(base)
+        .select(col("doc_id").as("doc"), col("fp"))
+        .localCheckpoint() // frozen: materialized once, reused per batch
+    }
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.nearDupProbe(src.toDF(), baseFps,
+        s"$dir/out", s"$dir/ckpt", minShared = 1).start()
+    try {
+      // batch 0: doc 1 re-posts the paragraph (must pair with 100 and
+      // ONLY 100); docs 2+3 are identical to each other but new to the
+      // corpus — intra-batch pairs must NOT appear
+      src.addData(
+        doc(1, t(1), s"$para reposted with fresh framing words"),
+        doc(2, t(1), "brand new content never seen before in any form"),
+        doc(3, t(1), "brand new content never seen before in any form"))
+      q.processAllAvailable()
+      // batch 1: clean novel doc -> empty output for the batch
+      src.addData(doc(4, t(2), "another entirely novel document body here"))
+      q.processAllAvailable()
+      val out = spark.read.option("basePath", s"$dir/out")
+        .parquet(s"$dir/out/batch=*")
+        .select("probe_id", "base_id", "n_shared", "n_probe", "n_base",
+          "overlap_bp", "batch")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(out.map(r => (r._1, r._2)).toSet === Set((1L, 100L)),
+        "only the repost pairs, only against its true base doc")
+      // live ≡ batch: the flagged row equals the batch operator run on
+      // the same rows against the same frozen base
+      val b0 = Seq(
+        doc(1, t(1), s"$para reposted with fresh framing words"),
+        doc(2, t(1), "brand new content never seen before in any form"),
+        doc(3, t(1), "brand new content never seen before in any form"))
+        .toDF()
+      val expect = graft.ops.Staged.withStaged {
+        graft.ops.Dedup.sketchProbePairs(1, 1000L)(
+          baseFps,
+          graft.ops.Dedup.winnowFingerprints("doc_id", "text", 3, 4)(b0)
+            .select(col("doc_id").as("doc"), col("fp")))
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      }
+      assert(out.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet ===
+        expect)
+    } finally q.stop()
+  }
 }
