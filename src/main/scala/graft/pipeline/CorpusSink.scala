@@ -46,6 +46,25 @@ object CorpusSink {
       .parquet(path)
   }
 
+  /** [[write]]'s layout through Spark's built-in ORC source instead of
+    * parquet — the interchange format a warehouse-side consumer (Hive,
+    * Trino ORC tables) asks for. Same range-partition + sorted-within
+    * + bounded-files discipline, so ORC's per-stripe min/max indexes
+    * carry the same data-skipping the parquet layout gets; predicate
+    * pushdown to the ORC reader is pinned in CorpusSinkSpec. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Seq("split"),
+               sortWithin: Seq[String] = Seq("doc_id"),
+               maxRecordsPerFile: Long = 1000000L): Unit = {
+    val layout = (partitionBy ++ sortWithin).map(col)
+    df.repartitionByRange(layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionBy: _*)
+      .orc(path)
+  }
+
   /** Compaction — the maintenance job the streaming intake's delta log
     * ([[graft.streaming.CorpusStream.corpusIngestSink]]) needs
     * eventually: months of micro-batches leave thousands of small
