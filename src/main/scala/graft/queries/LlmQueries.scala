@@ -4472,7 +4472,73 @@ object LlmQueries {
              |  CAST(n_shared * 10000 // least(psz.n_probe, bsz.n_base)
              |    AS BIGINT) AS overlap_bp
              |FROM pr JOIN psz ON pr.probe_id = psz.doc
-             |  JOIN bsz ON pr.base_id = bsz.doc""".stripMargin))
+             |  JOIN bsz ON pr.base_id = bsz.doc""".stripMargin)),
+
+    // Dedup-recall harness (q177): q50's measurement discipline applied
+    // to the NEAR-DUP family — the md5 MinHash+LSH pair set (q91's
+    // pipeline, est ≥ 0.3) scored against exact-Jaccard truth (q26's
+    // pipeline, jaccard ≥ 0.3): n_truth / n_run / n_tp and basis-point
+    // precision/recall. This is the number a dedup deployment owes
+    // before trusting the sketch: LSH trades recall for never running
+    // the full pair join, and the trade should be MEASURED, not
+    // assumed. Both sides ride their established oracle-exact paths,
+    // so the whole eval hash-checks end to end.
+    Q("q177_lsh_dedup_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.3)(docs)
+          .select("doc_a", "doc_b")
+        val run = Dedup.minhashLshPairsMd5("doc_id", "text", 3, 32, 4, 0.3)(docs)
+          .select("doc_a", "doc_b")
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nR = run.agg(count(lit(1)).as("n_run"))
+        val nTp = truth.join(run, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_tp"))
+        nT.crossJoin(broadcast(nR)).crossJoin(broadcast(nTp))
+          .select(col("n_truth"), col("n_run"), col("n_tp"),
+            expr("CASE WHEN n_run = 0 THEN NULL ELSE n_tp * 10000 DIV n_run END")
+              .as("precision_bp"),
+            expr("CASE WHEN n_truth = 0 THEN NULL ELSE n_tp * 10000 DIV n_truth END")
+              .as("recall_bp"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |    FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |truth AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.3),
+             |sig AS (SELECT doc, p, min(md5(p::VARCHAR || '|' || shingle)) AS h
+             |  FROM sh CROSS JOIN range(32) t(p) GROUP BY doc, p),
+             |buck AS (SELECT doc, p // 4 AS band,
+             |    md5(string_agg(h, '|' ORDER BY p)) AS bucket
+             |  FROM sig GROUP BY doc, p // 4),
+             |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             |  FROM buck a JOIN buck b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+             |run AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+             |    round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 4)
+             |      AS est
+             |  FROM cand JOIN sig sa ON sa.doc = cand.doc_a
+             |            JOIN sig sb ON sb.doc = cand.doc_b AND sb.p = sa.p
+             |  GROUP BY doc_a, doc_b) WHERE est >= 0.3),
+             |ct AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+             |    (SELECT count(*) FROM run) AS n_run,
+             |    (SELECT count(*) FROM truth JOIN run USING (doc_a, doc_b))
+             |      AS n_tp)
+             |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+             |  CAST(n_run AS BIGINT) AS n_run,
+             |  CAST(n_tp AS BIGINT) AS n_tp,
+             |  CAST(CASE WHEN n_run = 0 THEN NULL
+             |    ELSE n_tp * 10000 // n_run END AS BIGINT) AS precision_bp,
+             |  CAST(CASE WHEN n_truth = 0 THEN NULL
+             |    ELSE n_tp * 10000 // n_truth END AS BIGINT) AS recall_bp
+             |FROM ct""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

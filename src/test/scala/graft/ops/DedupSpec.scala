@@ -900,6 +900,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup-recall harness discriminates: banding misses a borderline pair, catches an extreme one") {
+    // docs 1/2: ~0.97 jaccard (one token changed in 40) — every band
+    // agrees, LSH must surface it. docs 3/4: ~0.33 jaccard — at
+    // b=8, r=4 the candidate probability is 1-(1-j^4)^8 ~ 9%, so with
+    // this fixed md5 hash family the pair is (deterministically)
+    // missed, and the harness must REPORT that, not paper over it.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    // shares the first 15 tokens of c, then diverges
+    val dTxt = ((1 to 15).map(i => s"c$i") ++ (1 to 15).map(i => s"z$i"))
+      .mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, dTxt))
+      .toDF("doc_id", "text")
+    val (truth, run) = graft.ops.Staged.withStaged {
+      (Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.3)(docs)
+         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet,
+       Dedup.minhashLshPairsMd5("doc_id", "text", 3, 32, 4, 0.3)(docs)
+         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    }
+    assert(truth.contains((1L, 2L)) && truth.contains((3L, 4L)),
+      s"both pairs are true near-dups at 0.3: $truth")
+    assert(run.contains((1L, 2L)), "the extreme pair must be surfaced")
+    assert(!run.contains((3L, 4L)),
+      "the borderline pair slips the 8x4 banding — the recall the harness exists to measure")
+    val tp = (truth intersect run).size.toLong
+    assert(tp * 10000 / truth.size < 10000L,
+      "recall_bp < 10000 on this corpus: the harness discriminates")
+  }
+
   test("winnowFingerprints: fewer than w window-hashes emits nothing") {
     // 5 tokens, k=3 -> 3 window-hashes < w=4
     val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
