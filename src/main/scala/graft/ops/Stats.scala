@@ -297,4 +297,44 @@ object Stats {
           ELSE chi2_bp DIV (n * least(n_rows - 1, n_cols - 1)) END""")
           .as("v2_bp"))
   }
+
+  /** Robust per-group location/spread of an integer column: the exact
+    * LOWER median (order statistic ⌈n/2⌉ — no midpoint averaging, so
+    * the reading is always an observed value and always an integer)
+    * and the median absolute deviation around it, computed the same
+    * way. The outlier-immune reading beside the mean: one pathological
+    * document moves a mean arbitrarily; it moves the median by at most
+    * one order statistic — the robustness a length/quality audit needs
+    * when a crawl source occasionally emits megabyte blobs.
+    *
+    * Shape: one (group, value)-grain corpus aggregate with map-side
+    * partials, then per-group cumulative windows over the value-DOMAIN
+    * table to read the order statistic; the deviation pass reuses the
+    * SAME staged count table (|v − med| regroups values, never rows)
+    * — the corpus is touched once. Output:
+    * (group, n, median, mad). */
+  def robustStats(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val counts = Staged.stage(df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+    def lowerMedian(t: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy("g")
+      t.withColumn("__cum", sum("c").over(w))
+        .withColumn("__n", sum("c").over(tot))
+        .where(col("__cum") * 2L >= col("__n"))
+        .groupBy("g").agg(min("v").as(out), max("__n").as("__gn"))
+    }
+    val med = lowerMedian(counts, "median")
+    val devs = counts.join(med, "g")
+      .select(col("g"), abs(col("v") - col("median")).as("v"), col("c"))
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    lowerMedian(devs, "mad")
+      .select(col("g"), col("mad"))
+      .join(med, "g")
+      .select(col("g").as(groupCol), col("__gn").as("n"),
+        col("median"), col("mad"))
+  }
 }

@@ -4538,7 +4538,43 @@ object LlmQueries {
              |    ELSE n_tp * 10000 // n_run END AS BIGINT) AS precision_bp,
              |  CAST(CASE WHEN n_truth = 0 THEN NULL
              |    ELSE n_tp * 10000 // n_truth END AS BIGINT) AS recall_bp
-             |FROM ct""".stripMargin))
+             |FROM ct""".stripMargin)),
+
+    // Robust per-source length stats (q178): exact LOWER-median and
+    // MAD of n_chars per source — the outlier-immune audit beside the
+    // mean (one megabyte blob moves a mean arbitrarily, a median by at
+    // most one order statistic). Lower median = order statistic
+    // ⌈n/2⌉: always an observed value, always an integer, no midpoint
+    // averaging to float. One (source, value) corpus aggregate; both
+    // median passes window the value-domain table; the deviation pass
+    // regroups the SAME staged counts, never rows.
+    Q("q178_robust_length_stats",
+      (s, d) => Stats.robustStats(
+        Tables.documents(s, d), "source", "n_chars"),
+      Some("""WITH c AS (SELECT source AS g, n_chars AS v, count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |m0 AS (SELECT g, v, c,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(c) OVER (PARTITION BY g) AS n
+             |  FROM c),
+             |med AS (SELECT g, min(v) AS median, max(n) AS n FROM m0
+             |  WHERE cum * 2 >= n GROUP BY g),
+             |dv AS (SELECT c.g, abs(c.v - med.median) AS v,
+             |    sum(c.c) AS c
+             |  FROM c JOIN med USING (g) GROUP BY 1, 2),
+             |m1 AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(c) OVER (PARTITION BY g) AS n
+             |  FROM dv),
+             |mad AS (SELECT g, min(v) AS mad FROM m1
+             |  WHERE cum * 2 >= n GROUP BY g)
+             |SELECT med.g AS source, CAST(med.n AS BIGINT) AS n,
+             |  CAST(median AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad
+             |FROM med JOIN mad USING (g)""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -271,6 +271,43 @@ class StatsSpec extends SparkSpec {
     assert(o._4 === 0L && o._6 === None)
   }
 
+  private def refRobust(xs: Seq[Long]): (Long, Long) = {
+    def lowerMed(s: Seq[Long]): Long = s.sorted.apply((s.size - 1) / 2)
+    val m = lowerMed(xs)
+    (m, lowerMed(xs.map(x => math.abs(x - m))))
+  }
+
+  test("robustStats equals the sequential lower-median/MAD on arbitrary grouped values") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 40L)))
+    } yield xs
+    for (seed <- 1 to 6) {
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val got = graft.ops.Staged.withStaged {
+        Stats.robustStats(xs.toDF("g", "v").repartition(7), "g", "v")
+          .as[(String, Long, Long, Long)].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      }
+      val want = xs.groupBy(_._1).map { case (g, vs) =>
+        val (m, mad) = refRobust(vs.map(_._2))
+        g -> ((vs.size.toLong, m, mad))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("robustStats: the median shrugs off an outlier the mean cannot") {
+    val vals = Seq.fill(9)(100L) :+ 1000000L
+    val rows = vals.map(("src", _))
+    val got = graft.ops.Staged.withStaged {
+      Stats.robustStats(rows.toDF("g", "v"), "g", "v")
+        .as[(String, Long, Long, Long)].collect()(0)
+    }
+    assert(got === (("src", 10L, 100L, 0L)),
+      "median 100, MAD 0 — the blob is invisible to the robust reading")
+  }
+
   test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
     def run(xs: Seq[(Long, Long)]) =
       Stats.aucExact(xs.toDF("s", "y"), "s", "y")

@@ -689,6 +689,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q178 robust stats: one corpus aggregate; both median passes read the staged value counts") {
+    val p = graft.ops.Staged.withStaged { plan("q178_robust_length_stats") }
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    // every corpus scan sits inside the cached (source, value) counts
+    assert("documents.parquet".r.findAllIn(p).size === cachedRels, p)
+    // the windows partition by source — no single-partition sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
