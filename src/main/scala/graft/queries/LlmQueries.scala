@@ -4574,7 +4574,100 @@ object LlmQueries {
              |  WHERE cum * 2 >= n GROUP BY g)
              |SELECT med.g AS source, CAST(med.n AS BIGINT) AS n,
              |  CAST(median AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad
-             |FROM med JOIN mad USING (g)""".stripMargin))
+             |FROM med JOIN mad USING (g)""".stripMargin)),
+
+    // Gate attribution (q179): per source, how many documents each
+    // quality gate would drop — and crucially the SOLE-drop counts
+    // (failed exactly that gate), which is the number that says what
+    // loosening one gate actually buys back; total-drop columns
+    // double-count docs failing several gates and n_multi makes the
+    // overlap explicit. Gates reuse the live predicates: the
+    // pipeline's min-token cut, langIdFromTokens == 'und', the
+    // repetition cut as an integer cross-multiply (2·distinct <
+    // tokens — no rounded fraction in the decision), and the q78 PII
+    // detectors on the q78 injection corpus so the PII column is
+    // non-degenerate. One corpus pass, one aggregate.
+    Q("q179_gate_attribution",
+      (s, d) => {
+        val injected = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+        val flagged = injected
+          .withColumn("__w", TextFunctions.tokens(col("text")))
+          .select(col("source"),
+            when(size(col("__w")) < 5, 1L).otherwise(0L).as("g_short"),
+            when(TextFunctions.langIdFromTokens(col("__w")) === "und", 1L)
+              .otherwise(0L).as("g_lang"),
+            when(size(array_distinct(col("__w"))) * 2 < size(col("__w")), 1L)
+              .otherwise(0L).as("g_rep"),
+            when(TextFunctions.emailCount(col("text")) +
+              TextFunctions.phoneCount(col("text")) > 0, 1L)
+              .otherwise(0L).as("g_pii"))
+          .withColumn("__nf",
+            col("g_short") + col("g_lang") + col("g_rep") + col("g_pii"))
+        flagged.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("g_short").as("drop_short"),
+          sum("g_lang").as("drop_lang"),
+          sum("g_rep").as("drop_rep"),
+          sum("g_pii").as("drop_pii"),
+          sum(when(col("__nf") === 1L && col("g_short") === 1L, 1L)
+            .otherwise(0L)).as("sole_short"),
+          sum(when(col("__nf") === 1L && col("g_lang") === 1L, 1L)
+            .otherwise(0L)).as("sole_lang"),
+          sum(when(col("__nf") === 1L && col("g_rep") === 1L, 1L)
+            .otherwise(0L)).as("sole_rep"),
+          sum(when(col("__nf") === 1L && col("g_pii") === 1L, 1L)
+            .otherwise(0L)).as("sole_pii"),
+          sum(when(col("__nf") === 0L, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("__nf") >= 2L, 1L).otherwise(0L)).as("n_multi"))
+      },
+      Some("""WITH inj AS (SELECT source, doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+             |    || cast(doc_id AS VARCHAR) || '@example.com or call +1-555-'
+             |    || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+             |  ELSE text END AS text FROM documents),
+             |tk AS (SELECT source, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM inj),
+             |fl AS (SELECT source,
+             |  CASE WHEN len(w) < 5 THEN 1 ELSE 0 END AS g_short,
+             |  CASE WHEN greatest(
+             |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))),
+             |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))),
+             |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','una'], x))),
+             |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','est','une'], x)))) = 0
+             |    THEN 1 ELSE 0 END AS g_lang,
+             |  CASE WHEN len(list_distinct(w)) * 2 < len(w)
+             |    THEN 1 ELSE 0 END AS g_rep,
+             |  CASE WHEN len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    + len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))
+             |    > 0 THEN 1 ELSE 0 END AS g_pii
+             |  FROM tk),
+             |nf AS (SELECT *, g_short + g_lang + g_rep + g_pii AS k FROM fl)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(g_short) AS BIGINT) AS drop_short,
+             |  CAST(sum(g_lang) AS BIGINT) AS drop_lang,
+             |  CAST(sum(g_rep) AS BIGINT) AS drop_rep,
+             |  CAST(sum(g_pii) AS BIGINT) AS drop_pii,
+             |  CAST(sum(CASE WHEN k = 1 AND g_short = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sole_short,
+             |  CAST(sum(CASE WHEN k = 1 AND g_lang = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sole_lang,
+             |  CAST(sum(CASE WHEN k = 1 AND g_rep = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sole_rep,
+             |  CAST(sum(CASE WHEN k = 1 AND g_pii = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sole_pii,
+             |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clean,
+             |  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_multi
+             |FROM nf GROUP BY source""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
