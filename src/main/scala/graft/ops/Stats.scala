@@ -337,4 +337,46 @@ object Stats {
       .select(col("g").as(groupCol), col("__gn").as("n"),
         col("median"), col("mad"))
   }
+
+  /** Exact Gini coefficient of a non-negative integer column — the
+    * concentration audit ("how much of the corpus' mass sits in its
+    * biggest members"): 0 = perfectly even, →1 = one member holds
+    * everything. Computed from the VALUE HISTOGRAM, not per-row ranks:
+    * items sharing value v occupy a contiguous rank block, so their
+    * rank-weighted sum is v·(2·c·cum_prev + c·(c+1)) — summing that
+    * over the value domain gives 2·Σᵢ i·x₍ᵢ₎ exactly, ties handled by
+    * construction, and
+    *   gini_num = 2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx,   gini_den = n·Σx
+    * emitted as the exact rational plus ×10⁴ basis points. NULL when
+    * total mass is zero (Gini undefined).
+    *
+    * Shape: one value-grain corpus aggregate with map-side partials,
+    * a cumulative window over the value-DOMAIN table, one single-row
+    * aggregate — the [[ksDrift]] staging. DECIMAL(38,0) keeps
+    * rank·value products exact past the 64-bit ceiling. */
+  def giniExact(df: DataFrame, valueCol: String): DataFrame = {
+    val perValue = df
+      .select(col(valueCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perValue
+      .withColumn("__cp", coalesce(sum("c").over(w), lit(0L)))
+      .select(
+        col("c").cast("decimal(38,0)").as("__c"),
+        col("v").cast("decimal(38,0)").as("__v"),
+        col("__cp").cast("decimal(38,0)").as("__cp"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__v") * col("__c")).as("__t"),
+        sum(col("__v") * (col("__c") * col("__cp") * 2 +
+          col("__c") * (col("__c") + 1))).as("__s2"))
+      .select(col("__n").cast("long").as("n"),
+        col("__t").cast("long").as("total"),
+        (col("__s2") - (col("__n") + 1) * col("__t")).cast("long")
+          .as("gini_num"),
+        (col("__n") * col("__t")).cast("long").as("gini_den"),
+        expr("""CASE WHEN __t = 0 THEN NULL
+          ELSE CAST(((__s2 - (__n + 1) * __t) * 10000) DIV (__n * __t)
+            AS BIGINT) END""").as("gini_bp"))
+  }
 }

@@ -4667,7 +4667,36 @@ object LlmQueries {
              |    AS n_clean,
              |  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_multi
-             |FROM nf GROUP BY source""".stripMargin))
+             |FROM nf GROUP BY source""".stripMargin)),
+
+    // Corpus concentration (q180): exact Gini of character mass across
+    // documents — 0 = every document the same size, →1 = a few
+    // megadocs hold everything. The skew read that decides whether
+    // length-stratified sampling / packing is worth building before
+    // training. Computed from the value histogram (ties by rank-block
+    // construction, no per-row rank window): one corpus aggregate, a
+    // value-domain cumulative window, exact rational + basis points.
+    Q("q180_length_gini",
+      (s, d) => Stats.giniExact(Tables.documents(s, d), "n_chars"),
+      Some("""WITH c AS (SELECT n_chars AS v, count(*) AS c
+             |  FROM documents GROUP BY 1),
+             |cw AS (SELECT v, c,
+             |    coalesce(sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cp
+             |  FROM c),
+             |ag AS (SELECT sum(c)::HUGEINT AS n,
+             |    sum(v::HUGEINT * c)::HUGEINT AS t,
+             |    sum(v::HUGEINT * (c::HUGEINT * cp * 2 + c::HUGEINT * (c + 1)))
+             |      ::HUGEINT AS s2
+             |  FROM cw)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+             |  CAST(s2 - (n + 1) * t AS BIGINT) AS gini_num,
+             |  CAST(n * t AS BIGINT) AS gini_den,
+             |  CAST(CASE WHEN t = 0 THEN NULL
+             |    ELSE ((s2 - (n + 1) * t) * 10000) // (n * t) END
+             |    AS BIGINT) AS gini_bp
+             |FROM ag""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -308,6 +308,36 @@ class StatsSpec extends SparkSpec {
       "median 100, MAD 0 — the blob is invisible to the robust reading")
   }
 
+  test("giniExact equals the classic rank formula on arbitrary non-negative values") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield xs
+    for (seed <- 1 to 6) {
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val sorted = xs.sorted
+      val n = BigInt(xs.size); val t = sorted.map(BigInt(_)).sum
+      val s2 = sorted.zipWithIndex
+        .map { case (x, i) => BigInt(2) * (i + 1) * x }.sum
+      val want: Option[Long] =
+        if (t == 0) None else Some(((s2 - (n + 1) * t) * 10000 / (n * t)).toLong)
+      val got = Stats.giniExact(xs.toDF("v").repartition(7), "v")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+      assert((got._1, got._2) === ((n.toLong, t.toLong)), s"seed=$seed")
+      assert(got._3 === (s2 - (n + 1) * t).toLong, s"seed=$seed")
+      assert(got._5 === want, s"seed=$seed")
+    }
+  }
+
+  test("giniExact closed forms: uniform = 0; one-holder = (n-1)/n; zero mass = NULL") {
+    def run(xs: Seq[Long]) = Stats.giniExact(xs.toDF("v"), "v")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(run(Seq.fill(10)(7L))._5 === Some(0L))
+    // 9 zeros + one holder of everything: G = (n-1)/n = 0.9
+    assert(run(Seq.fill(9)(0L) :+ 100L)._5 === Some(9000L))
+    assert(run(Seq.fill(5)(0L))._5 === None, "zero total mass: undefined")
+  }
+
   test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
     def run(xs: Seq[(Long, Long)]) =
       Stats.aucExact(xs.toDF("s", "y"), "s", "y")
