@@ -23,6 +23,12 @@ case class SourceLengthQuantiles(source: String, n_docs: Long,
 case class SourceDistinctEstimate(source: String, sketch_n: Long,
                                   kmv_est: Double)
 
+/** One updated reading from [[CorpusStream.oovMonitor]]: the source's
+  * running token count, out-of-vocabulary count, and exact
+  * basis-point OOV rate against the FROZEN vocabulary. */
+case class SourceOovRate(source: String, n_tokens: Long, n_oov: Long,
+                         oov_bp: Long)
+
 /** One updated reading from [[CorpusStream.frequencyMonitor]]: the
   * source's token count so far and the Count–Min estimate for each
   * probe term (same cells, same min read-off as the batch q137). */
@@ -490,6 +496,43 @@ object CorpusStream {
         batch.write.mode("overwrite").parquet(s"$target/batch=$batchId")
       }
     }
+  }
+
+  /** Streaming OOV-rate monitor: per-source running token / out-of-
+    * vocabulary counters against a FROZEN vocabulary — the tokenizer-
+    * drift alarm (an OOV spike means a feed switched domain, language,
+    * or encoding; every OOV token costs extra subword pieces at
+    * training time). The live twin of the batch q105 coverage read:
+    * state is two longs per source, updated by pure addition, so after
+    * any exactly-once prefix the reading EQUALS the batch aggregate
+    * over (delivered rows, frozen vocab) — live ≡ batch by
+    * construction. oov_bp is an exact integer (n_oov·10⁴ DIV
+    * n_tokens). The vocab is frozen like the drift baseline and the
+    * ANN index: refresh by periodic batch rebuild (q105's top-k
+    * vocabulary), never in-stream. Not replay-absorbing (counters
+    * re-add on re-delivery) — run downstream of [[dedupedDocs]], the
+    * standard at-least-once wiring for the counter monitors. */
+  def oovMonitor(docs: DataFrame, vocab: Set[String])
+      : org.apache.spark.sql.Dataset[SourceOovRate] = {
+    require(vocab.nonEmpty, "the frozen vocabulary must be non-empty")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+        size(filter(TextFunctions.tokens(col("text")),
+          w => !w.isInCollection(vocab))).cast("long").as("no"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), SourceOovRate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val (t0, o0) = state.getOption.getOrElse((0L, 0L))
+          val (t, o) = rows.foldLeft((t0, o0)) {
+            case ((ta, oa), r) => (ta + r._2, oa + r._3)
+          }
+          state.update((t, o))
+          SourceOovRate(source, t, o, if (t == 0L) 0L else o * 10000L / t)
+      }
   }
 
   /** Streaming near-dup admission probe: every arriving document is

@@ -435,6 +435,43 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("oovMonitor: running OOV rate equals the batch aggregate per prefix; frozen vocab; per-source isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Set("the", "quick", "brown", "fox", "jumps")
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.oovMonitor(src.toDF(), vocab).writeStream
+      .format("memory").queryName("oov").outputMode("update").start()
+    def latest(): Map[String, (Long, Long, Long)] =
+      spark.sql("SELECT source, n_tokens, n_oov, oov_bp FROM oov")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (s, xs) =>
+          s -> xs.maxBy(_._2._1)._2 }
+    try {
+      // batch 0: feedA fully in-vocab (5 tokens), feedB half out
+      src.addData(
+        doc(1, t(1), "the quick brown fox jumps", source = "feedA"),
+        doc(2, t(1), "the quick zzz www", source = "feedB"))
+      q.processAllAvailable()
+      val r0 = latest()
+      assert(r0("feedA") === ((5L, 0L, 0L)))
+      assert(r0("feedB") === ((4L, 2L, 5000L)))
+      // batch 1: feedA drifts hard (all OOV); feedB untouched
+      src.addData(doc(3, t(2), "qqq rrr sss ttt uuu", source = "feedA"))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1("feedA") === ((10L, 5L, 5000L)),
+        "counters accumulate: 5 in-vocab + 5 OOV")
+      assert(r1("feedB") === ((4L, 2L, 5000L)), "other sources untouched")
+      // live ≡ batch: the reading equals the batch aggregate over all
+      // delivered feedA rows against the same frozen vocab
+      val delivered = Seq("the quick brown fox jumps", "qqq rrr sss ttt uuu")
+      val toks = delivered.flatMap(_.split(" "))
+      assert(r1("feedA")._1 === toks.size.toLong)
+      assert(r1("feedA")._2 === toks.count(w => !vocab(w)).toLong)
+    } finally q.stop()
+  }
+
   test("nearDupProbe: arriving docs probe the frozen base sketch; live = the batch operator; intra-batch pairs absent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ndprobe").toString
