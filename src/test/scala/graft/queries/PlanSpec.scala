@@ -699,6 +699,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q180 gini: one pruned corpus aggregate; the domain window is the only single partition") {
+    val p = plan("q180_length_gini")
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"), p)
+    assert("Exchange hashpartitioning\\(v#".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
