@@ -1453,4 +1453,55 @@ object Dedup {
         col("n_probe"), col("n_base"),
         expr("n_shared * 10000 DIV least(n_probe, n_base)").as("overlap_bp"))
   }
+
+  /** Split-contamination certificate: does the train/test partition of
+    * `docs` (a `splitCol` with 'train'/'test' among its values) leak? —
+    * every `n`-token window of every test document is checked for
+    * presence anywhere in train, reported as one audit row
+    * (n_train, n_test, n_test_contaminated, n_shared_fps,
+    * contamination_bp). [[decontaminate]]-family semantics applied to
+    * the INTERNAL split a release ships with: hash-random splits leak
+    * by construction whenever near-duplicates exist — the exact
+    * failure [[graft.ops.Sampling]]'s cluster-keyed split prevents —
+    * and this query proves or disproves it for a given corpus + split.
+    *
+    * Windows are md5-fingerprinted and per-doc deduped BEFORE the
+    * explode leaves the row; the df cap bounds the cross-split probe
+    * (a boilerplate gram in >maxDf docs is dropped — it would flag
+    * everything and explode the join). The staged fp table feeds the
+    * df cut, the train set, and the test probe. */
+  def splitContamination(splitCol: String, idCol: String, textCol: String,
+                         n: Int = 8, maxDf: Long = 1000L)
+                        (docs: DataFrame): DataFrame = {
+    require(n >= 1, s"window length must be positive: $n")
+    val staged = Staged.stage(docs)
+    val fps = Staged.stage(staged
+      .select(col(idCol), col(splitCol).as("__sp"),
+        tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(col(idCol), col("__sp"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(__w) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $n)))))")).as("fp")))
+    val keep = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val idx = fps.join(keep, "fp")
+    val trainFps = idx.where(col("__sp") === "train")
+      .select("fp").distinct()
+    val hits = idx.where(col("__sp") === "test")
+      .select(col("fp"), col(idCol))
+      .join(trainFps, "fp")
+    val contaminated = hits.agg(
+      countDistinct(col(idCol)).as("n_test_contaminated"),
+      countDistinct("fp").as("n_shared_fps"))
+    val totals = staged.agg(
+      sum(when(col(splitCol) === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col(splitCol) === "test", 1L).otherwise(0L)).as("n_test"))
+    totals.crossJoin(broadcast(contaminated))
+      .select(col("n_train"), col("n_test"),
+        col("n_test_contaminated"), col("n_shared_fps"),
+        expr("""CASE WHEN n_test = 0 THEN NULL
+          ELSE n_test_contaminated * 10000 DIV n_test END""")
+          .as("contamination_bp"))
+  }
 }

@@ -4696,7 +4696,61 @@ object LlmQueries {
              |  CAST(CASE WHEN t = 0 THEN NULL
              |    ELSE ((s2 - (n + 1) * t) * 10000) // (n * t) END
              |    AS BIGINT) AS gini_bp
-             |FROM ag""".stripMargin))
+             |FROM ag""".stripMargin)),
+
+    // Split-contamination certificate (q181): does the train/test
+    // split itself leak? — every 8-token window of every test doc
+    // checked for presence anywhere in train, reported as the count of
+    // contaminated test docs, shared fingerprints, and basis points.
+    // q63 decontaminates against an EXTERNAL eval suite; this audits
+    // the INTERNAL split a release ships with — hash-random splits
+    // leak by construction whenever near-dups exist (the q108
+    // cluster-split's whole reason to exist), and this is the query
+    // that proves or disproves it for a given corpus. Windows are
+    // md5-fingerprinted before any Exchange; the cross-split probe is
+    // fp-grain and df-capped.
+    Q("q181_split_contamination",
+      (s, d) => Sampling.splitByHash(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .transform(Dedup.splitContamination("split", "doc_id", "text", 8, 1000L)),
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd'
+             |    THEN 'train'
+             |  WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6'
+             |    THEN 'val' ELSE 'test' END AS split
+             |  FROM documents),
+             |tk AS (SELECT doc_id, split,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM sp),
+             |fp AS (SELECT doc_id, split,
+             |    unnest(list_distinct(list_transform(
+             |      range(greatest(len(w) - 7, 0)),
+             |      i -> md5(array_to_string(w[i+1 : i+8], ' '))))) AS fp
+             |  FROM tk WHERE len(w) >= 8),
+             |keep AS (SELECT fp FROM (SELECT fp,
+             |    count(DISTINCT doc_id) AS df FROM fp GROUP BY 1)
+             |  WHERE df <= 1000),
+             |idx AS (SELECT doc_id, split, fp.fp FROM fp
+             |  JOIN keep USING (fp)),
+             |tr AS (SELECT DISTINCT fp FROM idx WHERE split = 'train'),
+             |hits AS (SELECT idx.doc_id, idx.fp FROM idx
+             |  JOIN tr USING (fp) WHERE split = 'test'),
+             |ct AS (SELECT
+             |    (SELECT count(*) FROM sp WHERE split = 'train') AS n_train,
+             |    (SELECT count(*) FROM sp WHERE split = 'test') AS n_test,
+             |    (SELECT count(DISTINCT doc_id) FROM hits)
+             |      AS n_test_contaminated,
+             |    (SELECT count(DISTINCT fp) FROM hits) AS n_shared_fps)
+             |SELECT CAST(n_train AS BIGINT) AS n_train,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  CAST(n_test_contaminated AS BIGINT) AS n_test_contaminated,
+             |  CAST(n_shared_fps AS BIGINT) AS n_shared_fps,
+             |  CAST(CASE WHEN n_test = 0 THEN NULL
+             |    ELSE n_test_contaminated * 10000 // n_test END AS BIGINT)
+             |    AS contamination_bp
+             |FROM ct""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -930,6 +930,39 @@ class DedupSpec extends SparkSpec {
       "recall_bp < 10000 on this corpus: the harness discriminates")
   }
 
+  test("splitContamination: a near-dup straddling the hash split is flagged; the cluster split cures it") {
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // docs 1/2 share the paragraph (near-dups); 3/4 are clean singletons
+    val docs = Seq(
+      (1L, s"$para plus unique framing one"),
+      (2L, s"other opening then $para"),
+      (3L, "completely unrelated content number three with enough tokens here"),
+      (4L, "a different standalone document also long enough for windows"))
+      .toDF("doc_id", "text")
+    // hash split that strands the pair across the boundary
+    val straddling = docs.withColumn("split",
+      when(col("doc_id") === 2L, "test").otherwise("train"))
+    val bad = graft.ops.Staged.withStaged {
+      straddling.transform(
+          Dedup.splitContamination("split", "doc_id", "text", 8))
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    }
+    assert(bad._1 === 3L && bad._2 === 1L)
+    assert(bad._3 === 1L && bad._5 === Some(10000L),
+      "the stranded near-dup contaminates the whole 1-doc test split")
+    assert(bad._4 >= 1L, "the shared windows are reported")
+    // cluster-keyed split: the pair travels together -> zero leak
+    val clustered = docs.withColumn("split",
+      when(col("doc_id") <= 2L, "train").otherwise("test"))
+    val good = graft.ops.Staged.withStaged {
+      clustered.transform(
+          Dedup.splitContamination("split", "doc_id", "text", 8))
+        .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    }
+    assert(good === ((2L, 2L, 0L, 0L, Some(0L))),
+      "same corpus, cluster-aligned split: certificate reads clean")
+  }
+
   test("winnowFingerprints: fewer than w window-hashes emits nothing") {
     // 5 tokens, k=3 -> 3 window-hashes < w=4
     val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
