@@ -175,4 +175,39 @@ object LoomCsv {
       .withColumn("shift_date", to_date(substring_index(col("DataTurno"), ".", 1)))
       .withColumn("shift", substring_index(col("DataTurno"), ".", -1))
   }
+
+  /** Landing-zone export status — the reference's `get_export_status` /
+    * `verify_exported_files` (src/main_02.py:612-658, 409-438): the
+    * "did the export actually land, and when" inventory an operator
+    * checks BEFORE kicking the import. One row per (month, dataset
+    * type) plus a `forecast` row for the root-level forecast.csv the
+    * export's forecast flag produces: file count, total bytes, and the
+    * newest modification time in epoch µs (the reference reads
+    * forecast.csv's mtime as `last_export_time`).
+    *
+    * Distributed, metadata-only: the `binaryFile` source lists the
+    * tree recursively and `content` is never selected, so the scan
+    * reads file STATUS, not file bytes (column pruning verified in the
+    * spec's plan assert) — a million-file landing zone costs a listing,
+    * not a read. Non-CSV clutter (notes.txt…) is excluded the same way
+    * the readers exclude it. */
+  def exportStatus(spark: SparkSession, root: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length"), col("modificationTime"))
+      .where(lower(col("path")).endsWith(".csv"))
+    files
+      .withColumn("month",
+        regexp_extract(col("path"), "/(\\d{4}-\\d{2})/", 1))
+      .withColumn("dtype", when(col("month") === "",
+          when(lower(col("path")).endsWith("/forecast.csv"), "forecast")
+            .otherwise("unscoped"))
+        .otherwise(regexp_extract(col("path"),
+          "/\\d{4}-\\d{2}/([^/]+)/", 1)))
+      .groupBy("month", "dtype")
+      .agg(count(lit(1)).as("n_files"),
+        sum("length").as("total_bytes"),
+        unix_micros(max(col("modificationTime"))).as("last_modified_us"))
+  }
 }

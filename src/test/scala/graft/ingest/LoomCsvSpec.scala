@@ -137,4 +137,29 @@ class LoomCsvSpec extends SparkSpec {
     assert(ungated.filter(col("DataTurno") === "2026-08-01.C" && col("Tear") === "00042")
       .count() === 1) // main_05 semantics: plain upsert keeps it
   }
+
+  test("exportStatus: per-(month, type) file inventory incl. the root forecast.csv; metadata-only scan") {
+    val st = LoomCsv.exportStatus(spark, "fixtures/loom")
+    val rows = st.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    // 2024-01/daily: loom_a.csv + loom_b.CSV (case-insensitive match,
+    // notes.txt excluded); 2024-02/daily: one; 2024-03/daily: one;
+    // 2024-01/monthly: skip_me.csv is still a FILE in the inventory
+    // (the readers skip it; the status report must not lie about disk)
+    assert(byKey(("2024-01", "daily"))._3 === 2L)
+    assert(byKey(("2024-02", "daily"))._3 === 1L)
+    assert(byKey(("2024-03", "daily"))._3 === 1L)
+    assert(byKey(("2024-01", "monthly"))._3 === 1L)
+    // the root-level forecast.csv rides its own type row (the
+    // reference reads its mtime as last_export_time)
+    val f = byKey(("", "forecast"))
+    assert(f._3 === 1L && f._4 > 0L && f._5 > 0L)
+    rows.foreach { r =>
+      assert(r._4 > 0L && r._5 > 0L, s"bytes/mtime present: $r") }
+    // metadata-only: the binaryFile scan must prune `content`
+    val plan = LoomCsv.exportStatus(spark, "fixtures/loom")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("content"), plan)
+  }
 }
