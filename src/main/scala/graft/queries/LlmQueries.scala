@@ -4750,7 +4750,77 @@ object LlmQueries {
              |  CAST(CASE WHEN n_test = 0 THEN NULL
              |    ELSE n_test_contaminated * 10000 // n_test END AS BIGINT)
              |    AS contamination_bp
-             |FROM ct""".stripMargin))
+             |FROM ct""".stripMargin)),
+
+    // Duplicate-cluster size histogram (q182): the "what will dedup
+    // actually save" distribution — one row per cluster size k with
+    // the number of clusters, member docs, and removable docs (k−1
+    // each, keep-one-per-cluster), plus the global dup-mass audit
+    // (total_docs, total_removable, dup_mass_bp) broadcast onto every
+    // row. A corpus where savings sit in two giant clusters needs a
+    // different plan (hot-key handling, q107's best-keep) than one
+    // with a million pairs; this is the read that tells you which.
+    // Singleton documents (never in any pair) count as size-1 clusters
+    // so the mass accounting covers the WHOLE corpus.
+    Q("q182_cluster_size_histogram",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val clustered = Dedup.duplicateClusters(
+          Tables.documents(s, d)
+            .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+          "doc_a", "doc_b")
+        val full = docs
+          .join(clustered.withColumnRenamed("doc", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val sizes = full.groupBy("cluster")
+          .agg(count(lit(1)).as("k"))
+        val hist = sizes.groupBy("k")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("k"), col("n_clusters"),
+            (col("k") * col("n_clusters")).as("n_docs"),
+            ((col("k") - 1L) * col("n_clusters")).as("n_removable"))
+        val tot = hist.agg(sum("n_docs").as("total_docs"),
+          sum("n_removable").as("total_removable"))
+        hist.crossJoin(broadcast(tot))
+          .withColumn("dup_mass_bp",
+            expr("total_removable * 10000 DIV total_docs"))
+      },
+      Some("""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+             |lbl AS (SELECT src AS doc, min(dst) AS cluster FROM reach
+             |  GROUP BY 1),
+             |fl AS (SELECT d.doc_id,
+             |    coalesce(lbl.cluster, d.doc_id) AS cluster
+             |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc),
+             |cs AS (SELECT cluster, count(*) AS k FROM fl GROUP BY 1),
+             |hist AS (SELECT k, count(*) AS n_clusters FROM cs GROUP BY 1),
+             |tot AS (SELECT sum(k * n_clusters) AS total_docs,
+             |    sum((k - 1) * n_clusters) AS total_removable FROM hist)
+             |SELECT CAST(k AS BIGINT) AS k,
+             |  CAST(n_clusters AS BIGINT) AS n_clusters,
+             |  CAST(k * n_clusters AS BIGINT) AS n_docs,
+             |  CAST((k - 1) * n_clusters AS BIGINT) AS n_removable,
+             |  CAST(total_docs AS BIGINT) AS total_docs,
+             |  CAST(total_removable AS BIGINT) AS total_removable,
+             |  CAST(total_removable * 10000 // total_docs AS BIGINT)
+             |    AS dup_mass_bp
+             |FROM hist, tot""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -20,4 +20,25 @@ class SparkEntrySpec extends SparkSpec {
       assert(df.schema.nonEmpty, q.name)
     }
   }
+
+  test("q182 mass accounting covers the whole corpus: docs = clusters + removable, singletons included") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Staged.withStaged {
+      SparkEntry.queries("q182_cluster_size_histogram")(
+          spark, "/root/testdata/sf0.001")
+        .select("k", "n_clusters", "n_docs", "n_removable",
+          "total_docs", "total_removable")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._3).sum === corpus,
+      "every document lands in exactly one cluster (singletons included)")
+    rows.foreach { r =>
+      assert(r._3 === r._1 * r._2 && r._4 === (r._1 - 1) * r._2, s"row $r")
+    }
+    assert(rows.map(_._4).sum === rows.head._6)
+    assert(rows.head._5 === corpus)
+    assert(rows.exists(_._1 == 1L), "the singleton row exists on this corpus")
+  }
 }
