@@ -4820,7 +4820,41 @@ object LlmQueries {
              |  CAST(total_removable AS BIGINT) AS total_removable,
              |  CAST(total_removable * 10000 // total_docs AS BIGINT)
              |    AS dup_mass_bp
-             |FROM hist, tot""".stripMargin))
+             |FROM hist, tot""".stripMargin)),
+
+    // Split-balance certificate (q183): exact two-sample KS between
+    // the train and test length distributions under the q58 hash
+    // split — q181 certifies the split doesn't LEAK; this certifies
+    // the test side is REPRESENTATIVE (a test split that drifted long
+    // or short measures a different task). Same ksDrift machinery as
+    // q164, predicates = split membership; a hash split should read
+    // near 0 and a stratification bug reads as drift.
+    Q("q183_split_balance",
+      (s, d) => Stats.ksDrift(
+        Sampling.splitByHash(
+          Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        "n_chars", col("split") === "train", col("split") === "test"),
+      Some("""WITH sp AS (SELECT n_chars,
+             |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'cd'
+             |    THEN 'train'
+             |  WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6'
+             |    THEN 'val' ELSE 'test' END AS split
+             |  FROM documents),
+             |pv AS (SELECT n_chars AS v,
+             |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+             |  FROM sp WHERE split IN ('train', 'test')
+             |  GROUP BY 1),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+             |    sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+             |t AS (SELECT max(cuma) AS n_a, max(cumb) AS n_b FROM c)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+             |  CAST(n_a * n_b AS BIGINT) AS d_den,
+             |  CAST(max(abs(cuma * n_b - cumb * n_a)) * 10000
+             |    // (n_a * n_b) AS BIGINT) AS d_bp
+             |FROM c, t GROUP BY n_a, n_b""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

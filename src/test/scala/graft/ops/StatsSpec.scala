@@ -338,6 +338,23 @@ class StatsSpec extends SparkSpec {
     assert(run(Seq.fill(5)(0L))._5 === None, "zero total mass: undefined")
   }
 
+  test("split-balance certificate discriminates: a length-biased split reads max drift, a mirrored one reads 0") {
+    // deliberately biased: all short docs in train, all long in test
+    val biased = ((1L to 30L).map(v => (v, "train")) ++
+      (101L to 130L).map(v => (v, "test"))).toDF("n_chars", "split")
+    val b = Stats.ksDrift(biased, "n_chars",
+        col("split") === "train", col("split") === "test")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(b._5 === 10000L, "disjoint length supports = max imbalance")
+    // mirrored: identical length multiset in both splits
+    val fair = (1L to 30L).flatMap(v => Seq((v, "train"), (v, "test")))
+      .toDF("n_chars", "split")
+    val f = Stats.ksDrift(fair, "n_chars",
+        col("split") === "train", col("split") === "test")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(f._5 === 0L)
+  }
+
   test("aucExact closed forms: perfect separation 10000 bp, reversed 0, all-tied 5000") {
     def run(xs: Seq[(Long, Long)]) =
       Stats.aucExact(xs.toDF("s", "y"), "s", "y")
