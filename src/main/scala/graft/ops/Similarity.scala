@@ -1073,4 +1073,49 @@ object Similarity {
         expr("(n_vecs * 10000) div __t").as("share_bp"),
         expr("(n_vecs * __k * 10000) div __t").as("load_q"))
   }
+
+  /** Cluster-separation audit — the GEOMETRIC quality read behind
+    * [[indexBalanceAudit]]'s occupancy one: per cell, how tight are
+    * its members relative to how far the next-best centroid is?
+    * tightness_bp = Σ intra-dist² · 10⁴ DIV Σ nearest-other-dist² —
+    * low = compact well-separated cells (ANN probes and k-means labels
+    * you can trust), → 10⁴ = members sit as close to a neighboring
+    * centroid as their own (cell boundaries are noise, recall will
+    * suffer at nProbe=1). A Davies–Bouldin-shaped reading kept EXACT:
+    * coordinates quantize to ×10⁴ BIGINTs (the pc1 discipline) so
+    * every distance² is an exact integer and both engines agree to the
+    * bit; the final ratio is one sign-free integer division (NULL when
+    * the nearest-other sum is zero — all points at all centroids).
+    *
+    * Shape: one broadcast cross join against the ≤nCentroids centroid
+    * table (vectors never shuffle), a per-point sorted-struct pick of
+    * (own, second) distances, and a cell-grain aggregate. Output:
+    * (cell, n_points, sum_intra, sum_nearest_other, tightness_bp). */
+  def clusterSeparation(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val quant: Column => Column =
+      v => transform(v, x => round(x.cast("double") * 10000).cast("long"))
+    val e = corpus.select(col(idCol).as("__id"), quant(col(vecCol)).as("__q"))
+    val cent = centroids.select(col("centroid_id").as("__cid"),
+      quant(col("centv")).as("__cq"))
+    val d = e.crossJoin(broadcast(cent))
+      .select(col("__id"), col("__cid"),
+        expr("""aggregate(zip_with(__q, __cq, (x, y) -> (x - y) * (x - y)),
+          0L, (a, x) -> a + x)""").as("__d2"))
+    val picked = d.groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__d2"), col("__cid"))))
+        .as("__ds"))
+      .select(
+        col("__ds")(0).getField("__cid").as("cell"),
+        col("__ds")(0).getField("__d2").as("__intra"),
+        col("__ds")(1).getField("__d2").as("__other"))
+    picked.groupBy("cell")
+      .agg(count(lit(1)).as("n_points"),
+        sum("__intra").as("sum_intra"),
+        sum("__other").as("sum_nearest_other"))
+      .withColumn("tightness_bp", expr(
+        """CASE WHEN sum_nearest_other = 0 THEN NULL
+          ELSE CAST((CAST(sum_intra AS DECIMAL(38,0)) * 10000)
+            DIV CAST(sum_nearest_other AS DECIMAL(38,0)) AS BIGINT) END"""))
+  }
 }

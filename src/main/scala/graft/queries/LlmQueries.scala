@@ -4854,7 +4854,47 @@ object LlmQueries {
              |  CAST(n_a * n_b AS BIGINT) AS d_den,
              |  CAST(max(abs(cuma * n_b - cumb * n_a)) * 10000
              |    // (n_a * n_b) AS BIGINT) AS d_bp
-             |FROM c, t GROUP BY n_a, n_b""".stripMargin))
+             |FROM c, t GROUP BY n_a, n_b""".stripMargin)),
+
+    // Cluster-separation audit (q184): the geometric quality read
+    // behind q144's occupancy balance — per cell, Σ intra-dist² vs
+    // Σ nearest-OTHER-centroid-dist² in basis points (Davies–Bouldin
+    // shaped, kept exact: ×10⁴-quantized coordinates make every
+    // distance² an exact integer). Low = compact, well-separated cells
+    // (trustworthy ANN probes / k-means labels); →10⁴ = boundaries are
+    // noise and nProbe=1 recall will suffer. md5-seeded centroids, the
+    // q96 determinism contract.
+    Q("q184_cluster_separation",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.clusterSeparation(emb, "vec_id", "embedding",
+          Similarity.md5SeededCentroids(emb, "vec_id", "embedding", 16))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(round(x * 10000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, q AS cq FROM e
+             |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |d AS (SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(len(e.q)),
+             |      i -> (e.q[i+1] - c.cq[i+1]) * (e.q[i+1] - c.cq[i+1])))
+             |      AS d2
+             |  FROM e CROSS JOIN cent c),
+             |r AS (SELECT vec_id, cid, d2, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+             |pp AS (SELECT a.vec_id, a.cid AS cell, a.d2 AS intra,
+             |    b.d2 AS nearest_other
+             |  FROM r a JOIN r b
+             |  ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(count(*) AS BIGINT) AS n_points,
+             |  CAST(sum(intra) AS BIGINT) AS sum_intra,
+             |  CAST(sum(nearest_other) AS BIGINT) AS sum_nearest_other,
+             |  CAST(CASE WHEN sum(nearest_other) = 0 THEN NULL
+             |    ELSE (sum(intra)::HUGEINT * 10000) // sum(nearest_other)
+             |    END AS BIGINT) AS tightness_bp
+             |FROM pp GROUP BY 1""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

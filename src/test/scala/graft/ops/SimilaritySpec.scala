@@ -427,4 +427,71 @@ class SimilaritySpec extends SparkSpec {
       assert(fams.size === 1, rows.toSeq.toString)
     }
   }
+
+  test("clusterSeparation: separated blobs read tight, boundary points read near 10000") {
+    import spark.implicits._
+    // two blobs around (0,0) and (100,100); centroid seeds are the
+    // md5-smallest ids — fixed geometry regardless of which two win
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val blobs = Seq(
+      (1L, v(0, 0)), (2L, v(1, 0)), (3L, v(0, 1)),
+      (4L, v(100, 100)), (5L, v(101, 100)), (6L, v(100, 101)))
+      .toDF("vec_id", "embedding")
+    // one explicit centroid per blob (clusterSeparation takes ANY
+    // centroid table; md5 seeding can draw both seeds from one blob,
+    // which is a seeding property, not the audit's)
+    val cents = Seq((10L, v(0, 0)), (20L, v(100, 100)))
+      .toDF("centroid_id", "centv")
+    val sep = Similarity.clusterSeparation(blobs, "vec_id", "embedding", cents)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(sep.map(_._2).sum === 6L, "every point lands in a cell")
+    // whichever seeds were drawn, the two blobs are ~141 apart and
+    // ~1 wide: intra ≪ nearest-other everywhere
+    sep.foreach { c =>
+      assert(c._5.exists(_ < 2000L), s"blob cells must read tight: $c") }
+    // degenerate geometry: all points identical -> both distances 0,
+    // the nearest-other sum is 0 and the ratio is honestly NULL
+    val flat = (1L to 4L).map(i => (i, v(5, 5))).toDF("vec_id", "embedding")
+    val fc = Similarity.md5SeededCentroids(flat, "vec_id", "embedding", 2)
+    val f = Similarity.clusterSeparation(flat, "vec_id", "embedding", fc)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(f.forall(_._5.isEmpty), f.mkString(","))
+  }
+
+  test("clusterSeparation equals a plain-Scala quantized-L2 reference on generated vectors") {
+    import spark.implicits._
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(4, 30)
+      vs <- org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.listOfN(4,
+          org.scalacheck.Gen.choose(-100, 100).map(_ / 10.0f)))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- 1 to 4) {
+      val vs = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong))
+      val k = 3
+      val cents = vs.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k)
+      def q(a: Array[Float]) = a.map(x => math.round(x.toDouble * 10000))
+      def d2(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val per = vs.map { case (id, v) =>
+        val ds = cents.map { case (cid, cv) => (d2(q(v), q(cv)), cid) }.sorted
+        (ds.head._2, ds.head._1, ds(1)._1)
+      }
+      val want = per.groupBy(_._1).map { case (cell, xs) =>
+        val si = xs.map(_._2).sum; val so = xs.map(_._3).sum
+        cell -> ((xs.size.toLong, si, so,
+          if (so == 0) None else Some(si * 10000 / so)))
+      }
+      val got = Similarity.clusterSeparation(
+          vs.toDF("vec_id", "embedding").repartition(5), "vec_id", "embedding",
+          Similarity.md5SeededCentroids(
+            vs.toDF("vec_id", "embedding"), "vec_id", "embedding", k))
+        .as[(Long, Long, Long, Long, Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
