@@ -4894,7 +4894,74 @@ object LlmQueries {
              |  CAST(CASE WHEN sum(nearest_other) = 0 THEN NULL
              |    ELSE (sum(intra)::HUGEINT * 10000) // sum(nearest_other)
              |    END AS BIGINT) AS tightness_bp
-             |FROM pp GROUP BY 1""".stripMargin))
+             |FROM pp GROUP BY 1""".stripMargin)),
+
+    // Packing-efficiency audit (q185): per shard of the q76 packing,
+    // the two costs a sequence-packer trades: WASTE (the shard's final
+    // partial bin — contiguous concat-and-chop wastes nothing
+    // anywhere else) and STRADDLERS (documents split across a
+    // seqLen boundary, each one an attention-mask discontinuity at
+    // training time). A doc-aligned packer has zero straddlers and
+    // more waste; this measures where q76's layout actually sits so
+    // the trade is a number, not a belief. All exact integers off the
+    // same (offset, bin) arithmetic as q76.
+    Q("q185_pack_efficiency",
+      (s, d) => {
+        val packed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .transform(Sampling.packSequences("doc_id", "n_tokens", 512, 4, "epoch0"))
+        packed.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum(when(col("n_tokens") > 0L &&
+              expr("offset DIV 512") =!= expr("(offset + n_tokens - 1) DIV 512"),
+              1L).otherwise(0L)).as("n_straddlers"))
+          .select(col("shard").cast("long").as("shard"), col("n_docs"),
+            col("total_tokens"),
+            expr("(total_tokens + 511) DIV 512").as("n_bins"),
+            expr("((total_tokens + 511) DIV 512) * 512 - total_tokens")
+              .as("waste"),
+            expr("""(((total_tokens + 511) DIV 512) * 512 - total_tokens)
+              * 10000 DIV (((total_tokens + 511) DIV 512) * 512)""")
+              .as("waste_bp"),
+            col("n_straddlers"),
+            expr("n_straddlers * 10000 DIV n_docs").as("straddle_bp"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (SELECT doc_id, n_tokens,
+             |    row_number() OVER (ORDER BY
+             |      md5('epoch0' || cast(doc_id AS VARCHAR)), doc_id) - 1
+             |      AS pos
+             |  FROM t),
+             |s AS (SELECT doc_id, n_tokens, pos,
+             |    cast(pos % 4 AS INT) AS shard FROM p),
+             |o AS (SELECT shard, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+             |      - n_tokens AS off
+             |  FROM s),
+             |g AS (SELECT shard, count(*) AS n_docs,
+             |    sum(n_tokens) AS total_tokens,
+             |    sum(CASE WHEN n_tokens > 0
+             |      AND off // 512 <> (off + n_tokens - 1) // 512
+             |      THEN 1 ELSE 0 END) AS n_straddlers
+             |  FROM o GROUP BY 1)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_bins,
+             |  CAST((total_tokens + 511) // 512 * 512 - total_tokens
+             |    AS BIGINT) AS waste,
+             |  CAST(((total_tokens + 511) // 512 * 512 - total_tokens)
+             |    * 10000 // ((total_tokens + 511) // 512 * 512)
+             |    AS BIGINT) AS waste_bp,
+             |  CAST(n_straddlers AS BIGINT) AS n_straddlers,
+             |  CAST(n_straddlers * 10000 // n_docs AS BIGINT)
+             |    AS straddle_bp
+             |FROM g""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
