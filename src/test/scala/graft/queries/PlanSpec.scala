@@ -706,6 +706,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q181 split contamination: staged fp table feeds df cut, train set, and probe; no text past the gram hash") {
+    val p = graft.ops.Staged.withStaged { plan("q181_split_contamination") }
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q184 cluster separation: vectors never shuffle — the centroid table broadcasts") {
+    val p = plan("q184_cluster_separation")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // the only hash Exchanges are the per-point and cell aggregates
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q185 pack efficiency: the audit adds one shard-grain aggregate over the q76 layout") {
+    val p = plan("q185_pack_efficiency")
+    // q76's range exchange for pos + the shard hash exchange, then the
+    // audit's aggregate — no extra corpus shuffle appears
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
