@@ -4961,7 +4961,44 @@ object LlmQueries {
              |  CAST(n_straddlers AS BIGINT) AS n_straddlers,
              |  CAST(n_straddlers * 10000 // n_docs AS BIGINT)
              |    AS straddle_bp
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Hapax rate (q186): per source, the share of vocabulary seen
+    // exactly once — the corpus-noise read the Zipf fit (q148) and
+    // Heaps curve (q170) bracket from either side: a hapax-heavy
+    // source is OCR garbage / random identifiers (every token novel),
+    // a hapax-starved one is templated boilerplate. hapax_vocab_bp =
+    // singleton share of the source's vocabulary, hapax_mass_bp = of
+    // its token mass. One (source, token) aggregate; everything else
+    // is source-grain.
+    Q("q186_hapax_rate",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum("c").as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_vocab"), col("n_tokens"),
+          col("n_hapax"),
+          expr("n_hapax * 10000 DIV n_vocab").as("hapax_vocab_bp"),
+          expr("n_hapax * 10000 DIV n_tokens").as("hapax_mass_bp")),
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, count(*) AS c FROM tk
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hapax,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+             |    // count(*) AS BIGINT) AS hapax_vocab_bp,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+             |    // sum(c) AS BIGINT) AS hapax_mass_bp
+             |FROM c GROUP BY source""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -126,4 +126,25 @@ class VocabStatsSpec extends SparkSpec {
     }
     assert(got === Seq((0L, 2L, 2L, 2L), (1L, 4L, 4L, 3L)))
   }
+
+  test("hapax closed forms: all-churn reads 10000/10000; templated text reads 0") {
+    import org.apache.spark.sql.functions._
+    // churn: every token unique -> every vocab entry is a hapax and
+    // every token is one
+    val churn = (1L to 10L).map(i => ("a", s"u$i v$i w$i")).toDF("source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nv"), sum("c").as("nt"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("nh"))
+      .as[(String, Long, Long, Long)].collect()(0)
+    val ch = run(churn)
+    assert(ch._4 === ch._2 && ch._4 === ch._3,
+      "all 30 tokens distinct and single-occurrence")
+    // template: three tokens repeated forever -> zero hapaxes
+    val tmpl = (1L to 10L).map(_ => ("b", "same three words")).toDF("source", "text")
+    val tm = run(tmpl)
+    assert(tm._2 === 3L && tm._4 === 0L)
+  }
 }
