@@ -393,6 +393,78 @@ object Sampling {
     * aggregate broadcast back, then a pure projection over the fact
     * table — NO shuffle of the data itself; at any scale the split is
     * scan-speed. Emits (idCol, us, split ∈ train|embargo|test). */
+  /** Max-min fair (water-filling) allocation of one GLOBAL budget
+    * across groups — the mixture-design complement of
+    * [[tokenBudgetSample]]'s fixed per-source budgets: given "train on
+    * `budgetBp`/10⁴ of the corpus's total mass", how much of each
+    * source does a fair allocator take? Every source gets its full
+    * supply or the common water level `cap`, whichever is smaller —
+    * the unique allocation maximizing the minimum share (Bertsekas &
+    * Gallager 1992, §6.5.2's max-min fairness).
+    *
+    * Exact-integer closed form, no iteration: sort groups ascending by
+    * supply; a group is fully satisfiable iff even granting its supply
+    * to all remaining groups fits the remaining budget
+    * (`avail·m + prefix ≤ B`, monotone in the sort order, so the
+    * satisfied set is a prefix); the first unsatisfied row pins the
+    * water level `cap = (B − prefix) DIV m`, and the division's
+    * remainder goes to the `rem` largest-supply capped groups (+1
+    * each — exactly the greedy `min(avail, R DIV m)` loop's result),
+    * so `Σ alloc = min(B, Σ avail)` holds EXACTLY. All comparisons
+    * ride DECIMAL(38,0): at 100 TB `avail·m` outgrows 64 bits long
+    * before any emitted column does.
+    *
+    * Shape: one group-grain aggregate with map-side partials, then
+    * windows over the GROUP-DOMAIN-sized table (the ksDrift staging
+    * discipline — #groups rows, never corpus grain) and two broadcast
+    * single-row joins. Emits one row per group:
+    * (source, avail, alloc, capped, water_cap, budget, leftover) —
+    * `water_cap`/`leftover` are the global water level (NULL when
+    * nothing is capped) and unspent budget (0 unless supply ran out).
+    */
+  def waterfillBudget(df: DataFrame, groupCol: String, sizeCol: String,
+                      budgetBp: Long): DataFrame = {
+    require(budgetBp >= 0, s"budgetBp must be >= 0: $budgetBp")
+    val w = org.apache.spark.sql.expressions.Window
+    // staged: three plan branches (the rows, the totals, the pivot) read
+    // this group-grain table — without the pin each would re-scan the
+    // corpus for a #groups-row aggregate
+    val avail = Staged.stage(df.groupBy(col(groupCol).as("source"))
+      .agg(sum(col(sizeCol).cast("long")).as("avail")))
+    val totals = avail.agg(count(lit(1)).as("__n"),
+      sum(col("avail").cast("decimal(38,0)")).as("__tot"))
+    val asc = w.orderBy(col("avail"), col("source"))
+    val st = avail.crossJoin(broadcast(totals))
+      .withColumn("__b", expr(s"cast(__tot * $budgetBp DIV 10000 as decimal(38,0))"))
+      .withColumn("__rn", row_number().over(asc).cast("long"))
+      .withColumn("__p",
+        coalesce(sum(col("avail").cast("decimal(38,0)"))
+          .over(asc.rowsBetween(w.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,0)")))
+      .withColumn("__m", col("__n") - col("__rn") + lit(1L))
+      .withColumn("__sat",
+        col("avail").cast("decimal(38,0)") * col("__m") + col("__p") <= col("__b"))
+    // the first unsatisfied row pins the water level; min(struct) keyed
+    // on __rn extracts it without an order-dependent limit. Empty set
+    // (everything satisfiable) → NULL fields → the uncapped branch.
+    val pivot = st.filter(!col("__sat"))
+      .agg(min(struct(col("__rn"), col("__p"), col("__m"))).as("__pv"))
+      .select(col("__pv.__p").as("__pp"), col("__pv.__m").as("__pm"))
+    st.crossJoin(broadcast(pivot))
+      .withColumn("__cap", expr("cast((__b - __pp) DIV __pm as bigint)"))
+      .withColumn("__rem", expr("cast((__b - __pp) % __pm as bigint)"))
+      .select(col("source"), col("avail"),
+        when(col("__sat"), col("avail"))
+          .otherwise(col("__cap") +
+            when(col("__m") <= col("__rem"), 1L).otherwise(0L))
+          .as("alloc"),
+        (!col("__sat")).as("capped"),
+        col("__cap").as("water_cap"),
+        col("__b").cast("long").as("budget"),
+        when(col("__pp").isNull, (col("__b") - col("__tot")).cast("long"))
+          .otherwise(0L).as("leftover"))
+  }
+
   def temporalEmbargoSplit(df: DataFrame, idCol: String, tsCol: String,
                            trainNum: Int = 8, trainDen: Int = 10,
                            embargoDen: Int = 50): DataFrame = {

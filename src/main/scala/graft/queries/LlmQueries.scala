@@ -4998,7 +4998,48 @@ object LlmQueries {
              |    // count(*) AS BIGINT) AS hapax_vocab_bp,
              |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
              |    // sum(c) AS BIGINT) AS hapax_mass_bp
-             |FROM c GROUP BY source""".stripMargin))
+             |FROM c GROUP BY source""".stripMargin)),
+
+    // Water-filling budget allocation (q187): one GLOBAL budget (95% of
+    // total corpus chars) split max-min fair across sources — the
+    // mixture-design complement of q67's fixed per-source budgets:
+    // small sources keep everything, large ones are clipped to a common
+    // water level, Σalloc = min(budget, supply) EXACTLY (the integer
+    // remainder goes to the largest capped sources, +1 each). Closed
+    // form over the source-domain table; no iteration.
+    Q("q187_budget_waterfill",
+      (s, d) => Sampling.waterfillBudget(
+        Tables.documents(s, d), "source", "n_chars", 9500L),
+      Some("""WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+             |  FROM a),
+             |s AS (SELECT source, avail,
+             |    row_number() OVER (ORDER BY avail, source) AS rn,
+             |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS HUGEINT) AS p
+             |  FROM a),
+             |s2 AS (SELECT s.source, s.avail, s.rn, s.p,
+             |    t.tot * 9500 // 10000 AS b, t.tot AS tot,
+             |    t.n - s.rn + 1 AS m,
+             |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
+             |      <= t.tot * 9500 // 10000) AS sat
+             |  FROM s, t),
+             |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+             |  ORDER BY rn LIMIT 1),
+             |f AS (SELECT s2.*, pv.pp, pv.pm FROM s2 LEFT JOIN pv ON TRUE)
+             |SELECT source, avail,
+             |  CAST(CASE WHEN sat THEN avail
+             |    ELSE (b - pp) // pm +
+             |      (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+             |    END AS BIGINT) AS alloc,
+             |  NOT sat AS capped,
+             |  CAST((b - pp) // pm AS BIGINT) AS water_cap,
+             |  CAST(b AS BIGINT) AS budget,
+             |  CAST(CASE WHEN pp IS NULL THEN b - tot ELSE 0 END
+             |    AS BIGINT) AS leftover
+             |FROM f""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -426,4 +426,100 @@ class SamplingSpec extends SparkSpec {
     }
     assert(straddlers === expectStraddle)
   }
+
+  // ---- waterfillBudget: max-min fair global-budget allocation ----
+
+  /** Independent greedy reference: ascending by (avail, name), each
+    * group takes min(avail, remaining DIV groupsLeft) — the textbook
+    * progressive-filling loop the closed form must reproduce. */
+  private def refWaterfill(avails: Seq[(String, Long)], bp: Long): Map[String, Long] = {
+    val budget = (avails.map(a => BigInt(a._2)).sum * bp / 10000).toLong
+    var r = budget
+    var m = avails.size
+    avails.sortBy { case (s, a) => (a, s) }.map { case (s, a) =>
+      val give = math.min(a, r / m)
+      r -= give; m -= 1
+      s -> give
+    }.toMap
+  }
+
+  private def runWaterfill(avails: Seq[(String, Long)], bp: Long): Map[String, Long] = {
+    // expand each group's supply into unit-ish rows so the operator's
+    // group-by actually aggregates (3 rows per group, sizes summing to avail)
+    val rows = avails.flatMap { case (s, a) =>
+      val p = a / 3
+      Seq((s, p), (s, p), (s, a - 2 * p))
+    }.toDF("source", "n")
+    Staged.withStaged {
+      Sampling.waterfillBudget(rows, "source", "n", bp)
+        .select("source", "alloc").as[(String, Long)].collect()
+    }.toMap
+  }
+
+  test("waterfill equals the progressive-filling reference on generated supplies") {
+    val seeds = Seq(1, 7, 13, 29, 41, 97)
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(12)
+      val avails = (0 until n).map(i => (f"s$i%02d", rnd.nextInt(10000).toLong * 3))
+      Seq(0L, 1000L, 5000L, 9500L, 10000L).foreach { bp =>
+        val got = runWaterfill(avails, bp)
+        val want = refWaterfill(avails, bp)
+        assert(got === want, s"seed=$seed bp=$bp avails=$avails")
+      }
+    }
+  }
+
+  test("waterfill conserves the budget exactly and never over-allocates a source") {
+    val avails = Seq(("a", 300L), ("b", 3000L), ("c", 30000L), ("d", 9L))
+    val out = Staged.withStaged {
+      Sampling.waterfillBudget(
+          avails.toDF("source", "n"), "source", "n", 4000L)
+        .select("source", "avail", "alloc", "capped", "water_cap", "leftover")
+        .as[(String, Long, Long, Boolean, Option[Long], Long)].collect()
+    }
+    val tot = avails.map(_._2).sum
+    val budget = tot * 4000L / 10000L
+    assert(out.map(_._3).sum === math.min(budget, tot), "Σalloc = min(B, supply)")
+    out.foreach { case (s, avail, alloc, capped, cap, leftover) =>
+      assert(alloc <= avail, s"$s over-allocated")
+      assert(capped === (alloc < avail), s"$s capped flag")
+      assert(leftover === 0L)
+      // the water level separates full from capped: full supplies sit
+      // at or below cap, capped allocations are cap or cap+1
+      cap.foreach { c =>
+        if (!capped) assert(avail <= c, s"$s full above water level")
+        else assert(alloc === c || alloc === c + 1, s"$s alloc off level")
+      }
+    }
+  }
+
+  test("waterfill remainder goes to the largest capped sources, +1 each") {
+    // three equal supplies of 10, budget 8 → cap 2 rem 2: ascending
+    // (avail, name) order a,b,c has m = 3,2,1; m <= rem picks b and c
+    val out = Staged.withStaged {
+      Sampling.waterfillBudget(
+          Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("source", "n"),
+          "source", "n", 2667L)
+        .select("source", "alloc").as[(String, Long)].collect()
+    }.toMap
+    assert(out === Map("a" -> 2L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("waterfill at full budget keeps everything; surplus shows as leftover") {
+    val df = Seq(("a", 7L), ("b", 11L)).toDF("source", "n")
+    val full = Staged.withStaged {
+      Sampling.waterfillBudget(df, "source", "n", 10000L)
+        .select("source", "avail", "alloc", "capped", "water_cap", "leftover")
+        .as[(String, Long, Long, Boolean, Option[Long], Long)].collect()
+    }
+    full.foreach { case (_, avail, alloc, capped, cap, leftover) =>
+      assert(alloc === avail && !capped && cap.isEmpty && leftover === 0L)
+    }
+    val surplus = Staged.withStaged {
+      Sampling.waterfillBudget(df, "source", "n", 20000L)
+        .select("leftover").as[Long].collect()
+    }
+    assert(surplus.forall(_ === 18L), "200% budget over 18 supply leaves 18")
+  }
 }

@@ -728,6 +728,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q187 waterfill: one cached pruned corpus aggregate; domain windows and broadcasts only") {
+    val p = graft.ops.Staged.withStaged { plan("q187_budget_waterfill") }
+    // the rows, totals, and pivot branches all read the staged
+    // source-grain table — the corpus is scanned once, pruned to
+    // (source, n_chars)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p)
+    // totals and pivot broadcast; nothing sort-merges or range-shuffles
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
