@@ -68,6 +68,69 @@ object VocabStats {
           .as("slope_q4"))
   }
 
+  /** Pairwise source-distribution similarity: for every unordered pair
+    * of groups, the HISTOGRAM INTERSECTION of their unigram
+    * distributions — Σ_t min(p_a(t), p_b(t)), the total probability
+    * mass the two sources agree on (Swain & Ballard 1991's measure;
+    * 10⁴ bp = identical distributions, 0 = disjoint vocabularies) —
+    * plus the vocabulary-set Jaccard. This is the mixture-redundancy
+    * read beside q75's source-vs-corpus KL and q116's document-level
+    * overlap: two sources that read ≥9000 bp here are near-duplicate
+    * FEEDS (two crawls of the same site, two dumps of the same wiki),
+    * and the mixture designer should merge or down-weight one before
+    * q187 allocates budget to both.
+    *
+    * Exact end to end: with common denominators the intersection is
+    *   Σ_t min(c_at·T_b, c_bt·T_a) · 10⁴ DIV (T_a·T_b)
+    * — every term an exact integer product on DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB): at 100 TB c·T reaches ~10²⁵, far past 64 bits,
+    * and the divisor T_a·T_b ~10²⁶ still fits 38 digits. No floats,
+    * no per-engine division order.
+    *
+    * Shape: ONE corpus-grain (group, token) aggregate, staged — it
+    * feeds the per-group totals, both sides of the token-grain pair
+    * join, and nothing re-touches the corpus. The pair join fans out
+    * ≤ #groups per token per side (bounded #groups² rows per token),
+    * then aggregates to the pair grain; the #groups-row totals
+    * broadcast onto it and the full pair GRID (so disjoint pairs
+    * still emit a 0-bp row) is a broadcast of the group-domain table
+    * against itself. Emits one row per pair a < b:
+    * (source_a, source_b, vocab_a, vocab_b, n_shared_vocab,
+    *  overlap_bp, jaccard_bp). */
+  def profileOverlap(groupCol: String, textCol: String)
+                    (docs: DataFrame): DataFrame = {
+    val counts = Staged.stage(docs
+      .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("src").agg(
+      sum(col("c").cast("decimal(38,0)")).as("t"),
+      count(lit(1)).as("vocab"))
+    val pairs = counts.select(col("src").as("src_a"), col("tok"),
+        col("c").cast("decimal(38,0)").as("ca"))
+      .join(counts.select(col("src").as("src_b"), col("tok"),
+        col("c").cast("decimal(38,0)").as("cb")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(totals.select(col("src").as("src_a"), col("t").as("ta"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"), col("t").as("tb"))), Seq("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(least(col("ca") * col("tb"), col("cb") * col("ta"))).as("inter"))
+    val grid = totals.select(col("src").as("src_a"), col("t").as("ta"),
+        col("vocab").as("vocab_a"))
+      .crossJoin(broadcast(totals.select(col("src").as("src_b"),
+        col("t").as("tb"), col("vocab").as("vocab_b"))))
+      .filter(col("src_a") < col("src_b"))
+    grid.join(broadcast(pairs), Seq("src_a", "src_b"), "left")
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        col("vocab_a"), col("vocab_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_vocab"),
+        expr("cast(coalesce(inter, 0) * 10000 DIV (ta * tb) as bigint)")
+          .as("overlap_bp"),
+        expr("""cast(coalesce(n_shared, 0) * 10000
+          DIV (vocab_a + vocab_b - coalesce(n_shared, 0)) as bigint)""")
+          .as("jaccard_bp"))
+  }
+
   /** Vocabulary growth curve (Heaps' law, Heaps 1978): cumulative
     * distinct-token count as the corpus grows in ingestion order
     * (`idCol` ascending), read off at `bucketSize`-document

@@ -5039,7 +5039,47 @@ object LlmQueries {
              |  CAST(b AS BIGINT) AS budget,
              |  CAST(CASE WHEN pp IS NULL THEN b - tot ELSE 0 END
              |    AS BIGINT) AS leftover
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // Source-profile similarity matrix (q188): exact histogram
+    // intersection of per-source unigram distributions + vocab Jaccard
+    // for every source pair — the mixture-redundancy read beside q75's
+    // source-vs-corpus KL: two sources at >= 9000 bp are near-duplicate
+    // FEEDS and should be merged/down-weighted before q187 hands both a
+    // budget. Full pair grid (disjoint pairs emit 0 bp rows).
+    Q("q188_source_profile_overlap",
+      (s, d) => VocabStats.profileOverlap("source", "text")(
+        Tables.documents(s, d)),
+      Some("""WITH tk AS (SELECT source AS src,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (SELECT src, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |t AS (SELECT src, CAST(sum(c) AS HUGEINT) AS t,
+             |    count(*) AS vocab FROM c GROUP BY 1),
+             |p AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    count(*) AS n_shared,
+             |    sum(least(CAST(a.c AS HUGEINT) * tb.t,
+             |              CAST(b.c AS HUGEINT) * ta.t)) AS inter
+             |  FROM c a JOIN c b ON a.tok = b.tok AND a.src < b.src
+             |  JOIN t ta ON ta.src = a.src
+             |  JOIN t tb ON tb.src = b.src
+             |  GROUP BY 1, 2),
+             |g AS (SELECT ta.src AS src_a, tb.src AS src_b,
+             |    ta.t AS ta, tb.t AS tb,
+             |    ta.vocab AS vocab_a, tb.vocab AS vocab_b
+             |  FROM t ta, t tb WHERE ta.src < tb.src)
+             |SELECT g.src_a AS source_a, g.src_b AS source_b,
+             |  CAST(vocab_a AS BIGINT) AS vocab_a,
+             |  CAST(vocab_b AS BIGINT) AS vocab_b,
+             |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_vocab,
+             |  CAST(coalesce(inter, 0) * 10000 // (g.ta * g.tb)
+             |    AS BIGINT) AS overlap_bp,
+             |  CAST(coalesce(n_shared, 0) * 10000
+             |    // (vocab_a + vocab_b - coalesce(n_shared, 0))
+             |    AS BIGINT) AS jaccard_bp
+             |FROM g LEFT JOIN p
+             |  ON g.src_a = p.src_a AND g.src_b = p.src_b""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

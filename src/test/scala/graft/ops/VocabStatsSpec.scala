@@ -147,4 +147,64 @@ class VocabStatsSpec extends SparkSpec {
     val tm = run(tmpl)
     assert(tm._2 === 3L && tm._4 === 0L)
   }
+
+  // ---- profileOverlap: pairwise histogram intersection ----
+
+  private def runOverlap(docs: Seq[(String, String)]) =
+    graft.ops.Staged.withStaged {
+      VocabStats.profileOverlap("source", "text")(docs.toDF("source", "text"))
+        .as[(String, String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    }
+
+  /** Plain-Scala reference: whitespace-tokenize, count, then the exact
+    * cross-multiplied intersection and vocab jaccard in BigInt. */
+  private def refOverlap(docs: Seq[(String, String)]) = {
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> BigInt(xs.size) }
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = bySrc(srcs(i)); b = bySrc(srcs(j))
+      ta = a.values.sum; tb = b.values.sum
+    } yield {
+      val shared = a.keySet.intersect(b.keySet)
+      val inter = shared.toSeq.map(t => (a(t) * tb).min(b(t) * ta)).sum
+      (srcs(i), srcs(j)) -> (a.size.toLong, b.size.toLong, shared.size.toLong,
+        (inter * 10000 / (ta * tb)).toLong,
+        (BigInt(shared.size) * 10000 / (a.size + b.size - shared.size)).toLong)
+    }).toMap
+  }
+
+  test("profileOverlap equals the BigInt reference on generated corpora") {
+    Seq(3, 11, 23, 47, 61, 89).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 2 + rnd.nextInt(4)
+      val docs = (0 until 30).map { _ =>
+        val src = s"s${rnd.nextInt(nSrc)}"
+        val words = (0 until 1 + rnd.nextInt(12))
+          .map(_ => s"w${rnd.nextInt(15)}")
+        (src, words.mkString(" "))
+      }
+      assert(runOverlap(docs) === refOverlap(docs), s"seed=$seed")
+    }
+  }
+
+  test("profileOverlap closed forms: identical, fractional, disjoint — and the grid keeps disjoint pairs") {
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x z z"), // intersection exactly 1/3
+      ("c", "x x y"),                 // identical to a
+      ("d", "p q"))                   // disjoint from everything
+    val got = runOverlap(docs)
+    assert(got.size === 6, "full pair grid: C(4,2) rows")
+    // identical distributions: full mass, full vocab jaccard
+    assert(got(("a", "c")) === (2L, 2L, 2L, 10000L, 10000L))
+    // min(2/3,1/3) on x = 1/3 of the mass; 1 of 3 union vocab
+    assert(got(("a", "b")) === (2L, 2L, 1L, 3333L, 3333L))
+    // disjoint: zero everything, but the row EXISTS
+    assert(got(("a", "d")) === (2L, 2L, 0L, 0L, 0L))
+    assert(got(("b", "d")) === (2L, 2L, 0L, 0L, 0L))
+  }
 }

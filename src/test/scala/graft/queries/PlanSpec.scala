@@ -740,6 +740,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q188 profile overlap: one staged (source,token) table feeds totals and both join sides; tiny sides broadcast") {
+    val p = graft.ops.Staged.withStaged { plan("q188_source_profile_overlap") }
+    // corpus tokenized once — totals, pair-join left, pair-join right
+    // all read the cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    // per-source totals (×2) and the pair aggregate broadcast; the
+    // grid is a broadcast cross of the group-domain table
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
