@@ -148,6 +148,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         Num.roundz(col("__c"), 4).as("containment"))
 
+  /** Dedup-threshold sensitivity sweep — q171's operating-point
+    * discipline applied to the near-dup family: one row per OBSERVED
+    * Jaccard level with the cumulative cost of cutting there
+    * (n_pairs ≥ t, n_docs touched by ≥1 such pair, docs_bp of the
+    * corpus). A Jaccard threshold is the dedup pipeline's main tuning
+    * knob and is usually copied from a paper; this makes the choice an
+    * empirical read on THIS corpus — where the pair count explodes is
+    * where boilerplate starts, and the docs curve is the removable
+    * upper bound keep-one-per-cluster can reach at each cut.
+    *
+    * Exact integers throughout: jac_bp = inter·10⁴ DIV union (the
+    * UNROUNDED rational — no float threshold surface); "docs touched
+    * at ≥ t" does not decompose over thresholds, but max-attribution
+    * does (the q170 first-occurrence trick, mirrored): each doc counts
+    * exactly at its MAX incident jac_bp, so both curves are descending
+    * cumulative sums over the value-domain grid.
+    *
+    * Shape: the q26 inverted-index pair join (df-capped, never
+    * all-pairs) feeds a staged (pair, jac_bp) table read three ways
+    * (pair counts, both doc-attribution sides); the cumulative window
+    * runs on the DISTINCT-jac_bp grid — value-domain-sized, the
+    * ksDrift discipline. Output:
+    * (jac_bp, n_pairs, n_docs, docs_bp), one row per observed level. */
+  def jaccardThresholdSweep(idCol: String, textCol: String, n: Int,
+                            maxDf: Long = 1000L,
+                            tokensCol: Option[String] = None)
+                           (df: DataFrame): DataFrame = {
+    val pairs = Staged.stage(
+      shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
+        .select(col("doc_a"), col("doc_b"),
+          expr("inter * 10000 DIV (sz_a + sz_b - inter)").as("jac_bp")))
+    val total = df.agg(count(lit(1)).as("__total"))
+    val pairCnt = pairs.groupBy("jac_bp").agg(count(lit(1)).as("__pc"))
+    val docMax = pairs.select(col("doc_a").as("__doc"), col("jac_bp"))
+      .union(pairs.select(col("doc_b").as("__doc"), col("jac_bp")))
+      .groupBy("__doc").agg(max("jac_bp").as("jac_bp"))
+      .groupBy("jac_bp").agg(count(lit(1)).as("__dc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("jac_bp").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pairCnt.join(broadcast(docMax), Seq("jac_bp"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("jac_bp"),
+        sum("__pc").over(w).as("n_pairs"),
+        sum(coalesce(col("__dc"), lit(0L))).over(w).as("n_docs"),
+        col("__total"))
+      .withColumn("docs_bp", expr("n_docs * 10000 DIV __total"))
+      .drop("__total")
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles whose FIRST occurrence (min doc id = ingest order) is in
     * that document — the "is this recombined already-seen content?"

@@ -5079,7 +5079,47 @@ object LlmQueries {
              |    // (vocab_a + vocab_b - coalesce(n_shared, 0))
              |    AS BIGINT) AS jaccard_bp
              |FROM g LEFT JOIN p
-             |  ON g.src_a = p.src_a AND g.src_b = p.src_b""".stripMargin))
+             |  ON g.src_a = p.src_a AND g.src_b = p.src_b""".stripMargin)),
+
+    // Dedup-threshold sensitivity sweep (q189): for every OBSERVED
+    // 3-gram Jaccard level, the cumulative cost of cutting there —
+    // pairs >= t, documents touched by >= 1 such pair, and their share
+    // of the corpus. The q26 threshold (0.03) stops being a copied
+    // constant and becomes a read off this table: where n_pairs
+    // explodes is where boilerplate starts. Docs-touched decomposes by
+    // max-attribution (each doc counts at its MAX incident jac_bp);
+    // both curves are descending cumulative sums on the value grid.
+    Q("q189_jaccard_threshold_sweep",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.jaccardThresholdSweep("doc_id", "text", 3)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pr AS (SELECT doc_a, doc_b,
+             |    inter * 10000 // (sa.sz + sb.sz - inter) AS jac_bp
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc
+             |  JOIN sizes sb ON doc_b = sb.doc),
+             |tot AS (SELECT count(*) AS total FROM documents),
+             |pc AS (SELECT jac_bp, count(*) AS pc FROM pr GROUP BY 1),
+             |dm AS (SELECT doc, max(jac_bp) AS jac_bp FROM (
+             |    SELECT doc_a AS doc, jac_bp FROM pr
+             |    UNION ALL SELECT doc_b, jac_bp FROM pr) GROUP BY 1),
+             |dc AS (SELECT jac_bp, count(*) AS dc FROM dm GROUP BY 1)
+             |SELECT pc.jac_bp,
+             |  CAST(sum(pc.pc) OVER w AS BIGINT) AS n_pairs,
+             |  CAST(sum(coalesce(dc.dc, 0)) OVER w AS BIGINT) AS n_docs,
+             |  CAST(sum(coalesce(dc.dc, 0)) OVER w * 10000 // tot.total
+             |    AS BIGINT) AS docs_bp
+             |FROM pc LEFT JOIN dc ON pc.jac_bp = dc.jac_bp, tot
+             |WINDOW w AS (ORDER BY pc.jac_bp DESC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -678,7 +678,63 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
-  // plain-Scala dupSpans reference: gram occurrence counts over the whole
+  // plain-Scala jaccardThresholdSweep reference: brute-force pair
+  // jaccards in BigInt-free long arithmetic, then per-threshold counts
+  // with docs attributed at their max incident level
+  private def refSweep(docs: Seq[(Long, String)], n: Int): Seq[(Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      id -> (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val pairs = for {
+      i <- sets.indices
+      j <- (i + 1) until sets.length
+      inter = sets(i)._2.intersect(sets(j)._2).size if inter > 0
+    } yield {
+      val (a, sa) = sets(i); val (b, sb) = sets(j)
+      inter.toLong * 10000 / (sa.size + sb.size - inter)
+    }
+    val docMax = (for {
+      i <- sets.indices
+      j <- (i + 1) until sets.length
+      inter = sets(i)._2.intersect(sets(j)._2).size if inter > 0
+      jac = inter.toLong * 10000 / (sets(i)._2.size + sets(j)._2.size - inter)
+      d <- Seq(sets(i)._1, sets(j)._1)
+    } yield d -> jac).groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+    val grid = pairs.distinct.sorted(Ordering[Long].reverse)
+    grid.map { t =>
+      val nd = docMax.values.count(_ >= t).toLong
+      (t, pairs.count(_ >= t).toLong, nd, nd * 10000 / docs.size)
+    }
+  }
+
+  test("jaccardThresholdSweep equals the brute-force reference on generated corpora") {
+    Seq(5, 17, 31, 53, 71, 101).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 25L).map { id =>
+        val words = (0 until 4 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(8)}")
+        (id, words.mkString(" "))
+      }
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text")
+          .transform(Dedup.jaccardThresholdSweep("doc_id", "text", 3))
+          .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(-_._1)
+      }
+      assert(got === refSweep(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("jaccardThresholdSweep closed form: exact pair at 10000, curves cumulative, short docs in the denominator") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "p q r s t"), (4L, "xx")) // doc 4: no 3-shingles, still in total
+    val out = graft.ops.Staged.withStaged {
+      docs.toDF("doc_id", "text")
+        .transform(Dedup.jaccardThresholdSweep("doc_id", "text", 3))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    // only the identical pair shares any shingle: one grid row
+    assert(out === Seq((10000L, 1L, 2L, 5000L)))
+  }
   // corpus, then per-doc islands of consecutive duplicated window starts
   private def refDupSpans(docs: Seq[(Long, String)],
                           n: Int): Set[(Long, Long, Long)] = {

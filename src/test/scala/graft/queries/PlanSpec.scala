@@ -752,6 +752,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q189 threshold sweep: staged pair table read three ways; the cumulative window runs on the value grid") {
+    val p = graft.ops.Staged.withStaged { plan("q189_jaccard_threshold_sweep") }
+    // pair counts + both doc-attribution sides read the staged
+    // (pair, jac_bp) table — the inverted-index join runs once
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only SinglePartition sort is the value-domain cumulative
+    // window (plus the corpus-count broadcast's aggregate)
+    assert(p.contains("TakeOrderedAndProject") ||
+      "Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
