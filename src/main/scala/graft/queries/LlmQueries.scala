@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, Coverage, Dedup, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -5119,7 +5119,33 @@ object LlmQueries {
              |    AS BIGINT) AS docs_bp
              |FROM pc LEFT JOIN dc ON pc.jac_bp = dc.jac_bp, tot
              |WINDOW w AS (ORDER BY pc.jac_bp DESC
-             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Release manifest (q190): Merkle-style content-addressed rollup —
+    // md5(id:text) per doc, ordered-concat md5 per id-range shard, one
+    // root over the shard hashes broadcast onto every row. Two
+    // snapshots are identical iff roots match; a mismatch localizes to
+    // shardSize docs (then q66 snapshotDiff runs on just those). Range
+    // sharding keeps sealed shards byte-stable under append-only
+    // growth, so releases re-verify a delta, not the world.
+    Q("q190_release_manifest",
+      (s, d) => CorpusManifest.releaseManifest("doc_id", "text", 100L)(
+        Tables.documents(s, d)),
+      Some("""WITH h AS (SELECT doc_id // 100 AS shard, doc_id,
+             |    md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''))
+             |      AS h,
+             |    len(coalesce(text, '')) AS nc
+             |  FROM documents),
+             |s AS (SELECT shard, count(*) AS n_docs,
+             |    CAST(sum(nc) AS BIGINT) AS n_chars,
+             |    md5(string_agg(h, '' ORDER BY doc_id)) AS shard_hash
+             |  FROM h GROUP BY 1),
+             |r AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard))
+             |    AS root_hash FROM s)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+             |  shard_hash, root_hash
+             |FROM s, r""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -764,6 +764,19 @@ class PlanSpec extends SparkSpec {
       "Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q190 manifest: doc hashes computed scan-side, one shard Exchange, root broadcast back") {
+    val p = graft.ops.Staged.withStaged { plan("q190_release_manifest") }
+    // text never shuffles: the doc hash is computed in the Project
+    // directly over the FileScan, and the only corpus-grain Exchange is
+    // the shard aggregate's (cached — the textual repeat is the
+    // InMemoryRelation definition printing under both readers)
+    assert("md5\\(cast\\(concat".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange hashpartitioning\\(shard#".r.findAllIn(p).size ===
+      "InMemoryRelation".r.findAllIn(p).size, p)
+    assert(p.contains("partial_collect_list") && p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
