@@ -5145,7 +5145,50 @@ object LlmQueries {
              |SELECT CAST(shard AS BIGINT) AS shard,
              |  CAST(n_docs AS BIGINT) AS n_docs, n_chars,
              |  shard_hash, root_hash
-             |FROM s, r""".stripMargin))
+             |FROM s, r""".stripMargin)),
+
+    // Truncation-loss audit (q191): per source, what a truncating
+    // dataloader costs — the OTHER side of q185's packing trade: q185
+    // prices concat-and-chop (tiny waste, ~10% straddlers), this
+    // prices truncation (zero straddlers, every over-length doc loses
+    // its tail). loss_bp = token mass dropped; truncated_bp = docs
+    // cut. The pair of numbers IS the layout decision. seqLen 64 here
+    // (this corpus tops out at 100 tokens, so 512 reads a degenerate
+    // all-zero audit — 64 sits at the ~60th percentile and produces
+    // the non-trivial read; production runs the same query at its
+    // real seqLen). NULL guards on empty-token sources mirror
+    // cross-engine (DuckDB //0 errors where Spark DIV yields null).
+    Q("q191_truncation_loss",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__nt") > 64L, 1L).otherwise(0L)).as("n_truncated"),
+          sum("__nt").as("n_tokens"),
+          sum(when(col("__nt") > 64L, col("__nt") - 64L).otherwise(0L))
+            .as("tokens_lost"))
+        .select(col("source"), col("n_docs"), col("n_truncated"),
+          col("n_tokens"), col("tokens_lost"),
+          expr("""CASE WHEN n_tokens = 0 THEN NULL
+            ELSE tokens_lost * 10000 DIV n_tokens END""").as("loss_bp"),
+          expr("n_truncated * 10000 DIV n_docs").as("truncated_bp")),
+      Some("""WITH t AS (SELECT source,
+             |    cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS nt
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_truncated,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END)
+             |    AS BIGINT) AS tokens_lost,
+             |  CAST(CASE WHEN sum(nt) = 0 THEN NULL
+             |    ELSE sum(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END)
+             |      * 10000 // sum(nt) END AS BIGINT) AS loss_bp,
+             |  CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) * 10000
+             |    // count(*) AS BIGINT) AS truncated_bp
+             |FROM t GROUP BY source""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

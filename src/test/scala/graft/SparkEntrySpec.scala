@@ -41,4 +41,28 @@ class SparkEntrySpec extends SparkSpec {
     assert(rows.head._5 === corpus)
     assert(rows.exists(_._1 == 1L), "the singleton row exists on this corpus")
   }
+
+  test("q191 truncation audit reconciles with q76's token accounting and its own ratios") {
+    val rows = SparkEntry.queries("q191_truncation_loss")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // per-row arithmetic identities hold exactly
+    rows.foreach { case (src, nDocs, nTrunc, nTok, lost, lossBp, truncBp) =>
+      assert(nTrunc <= nDocs && lost < nTok, src)
+      assert(lossBp === lost * 10000 / nTok, src)
+      assert(truncBp === nTrunc * 10000 / nDocs, src)
+      // every truncated doc loses at least one token and at most all
+      // but 64 of its own
+      if (nTrunc == 0) assert(lost === 0L, src)
+      else assert(lost >= nTrunc, src)
+    }
+    // the corpus-wide token mass equals the q76 packing's conserved
+    // total — two independent paths to the same tokenizer count
+    val packed = graft.ops.Staged.withStaged {
+      SparkEntry.queries("q76_seq_pack")(spark, "/root/testdata/sf0.001")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    }
+    assert(rows.map(_._4).sum === packed)
+  }
 }

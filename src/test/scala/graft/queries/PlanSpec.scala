@@ -777,6 +777,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q191 truncation audit: one pruned corpus aggregate with map-side partials, nothing else") {
+    val p = plan("q191_truncation_loss")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
