@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Content-addressed release manifest — the integrity surface a corpus
@@ -61,6 +61,48 @@ object CorpusManifest {
       md5(concat_ws("",
         transform(array_sort(collect_list(struct(col("shard"), col("shard_hash")))),
           x => x.getField("shard_hash")))).as("root_hash"))
+    shards.crossJoin(broadcast(root))
+  }
+
+  /** Per-document 60-bit digest: the top 15 hex chars of md5(id:text)
+    * as a positive long — portable (DuckDB parses the identical
+    * prefix) and XOR-composable. */
+  def docDigest(idCol: Column, textCol: Column): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(":"),
+      coalesce(textCol, lit("")))), 1, 15), 16, 10).cast("long")
+
+  /** Order-free ADDITIVE manifest — the incrementally-maintainable
+    * twin of [[releaseManifest]]: per shard, the XOR of member doc
+    * digests (plus the doc count, which XOR alone can't carry —
+    * without it a vanished pair of identical digests would go
+    * unseen), and a root XOR over all documents broadcast back.
+    *
+    * XOR is commutative, associative, and self-inverse, so the digest
+    * is independent of arrival order AND maintainable under both
+    * insert and delete at O(1) per row — the set-digest trade
+    * (Bellare–Micciancio 1997's XHASH): what it gives up is
+    * adversarial collision resistance (a crafted QUADRUPLE of docs
+    * can cancel), which release signing keeps [[releaseManifest]]
+    * for; what it buys is a digest a STREAM can keep as two longs of
+    * state per shard and that replay/compaction cannot perturb.
+    * `CorpusStream.manifestMonitor` maintains exactly this reading
+    * live; after any exactly-once prefix the monitor's row equals
+    * this operator over the delivered rows — live ≡ batch by
+    * construction.
+    *
+    * Shape: scan-side digest projection, one shard-grain aggregate
+    * (two longs of state per group — no collect_list here), a
+    * #shards-row root broadcast back. */
+  def additiveManifest(idCol: String, textCol: String, shardSize: Long = 1000L)
+                      (docs: DataFrame): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be positive: $shardSize")
+    val h = docs.select(
+      expr(s"CAST(`$idCol` DIV $shardSize AS BIGINT)").as("shard"),
+      docDigest(col(idCol), col(textCol)).as("__h"))
+    val shards = Staged.stage(h.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      expr("bit_xor(__h)").as("xor_digest")))
+    val root = shards.agg(expr("bit_xor(xor_digest)").as("root_digest"))
     shards.crossJoin(broadcast(root))
   }
 }

@@ -5188,7 +5188,32 @@ object LlmQueries {
              |      * 10000 // sum(nt) END AS BIGINT) AS loss_bp,
              |  CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) * 10000
              |    // count(*) AS BIGINT) AS truncated_bp
-             |FROM t GROUP BY source""".stripMargin))
+             |FROM t GROUP BY source""".stripMargin)),
+
+    // Additive manifest (q192): q190's order-free twin — per shard the
+    // XOR of 60-bit doc digests plus the count (XOR alone can't see a
+    // vanished identical pair), root XOR broadcast back. Commutative,
+    // self-inverse: a stream maintains it as two longs per shard
+    // (CorpusStream.manifestMonitor IS this reading live), and insert/
+    // delete are O(1) re-XORs. The trade vs q190's ordered md5 chain:
+    // no adversarial collision resistance — release signing keeps
+    // q190, intake integrity uses this.
+    Q("q192_additive_manifest",
+      (s, d) => CorpusManifest.additiveManifest("doc_id", "text", 100L)(
+        Tables.documents(s, d)),
+      Some("""WITH h AS (SELECT doc_id // 100 AS shard,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+             |      || coalesce(text, '')), 1, 15))::BIGINT AS h
+             |  FROM documents),
+             |s AS (SELECT shard, count(*) AS n_docs,
+             |    bit_xor(h) AS xor_digest
+             |  FROM h GROUP BY 1),
+             |r AS (SELECT bit_xor(xor_digest) AS root_digest FROM s)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(xor_digest AS BIGINT) AS xor_digest,
+             |  CAST(root_digest AS BIGINT) AS root_digest
+             |FROM s, r""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -29,6 +29,12 @@ case class SourceDistinctEstimate(source: String, sketch_n: Long,
 case class SourceOovRate(source: String, n_tokens: Long, n_oov: Long,
                          oov_bp: Long)
 
+/** One updated reading from [[CorpusStream.manifestMonitor]]: a
+  * shard's running doc count and XOR digest — equal, after any
+  * exactly-once prefix, to `CorpusManifest.additiveManifest`'s row
+  * over the delivered documents. */
+case class ShardDigest(shard: Long, n_docs: Long, xor_digest: Long)
+
 /** One updated reading from [[CorpusStream.frequencyMonitor]]: the
   * source's token count so far and the Count–Min estimate for each
   * probe term (same cells, same min read-off as the batch q137). */
@@ -532,6 +538,40 @@ object CorpusStream {
           }
           state.update((t, o))
           SourceOovRate(source, t, o, if (t == 0L) 0L else o * 10000L / t)
+      }
+  }
+
+  /** Live release manifest: per id-range shard, the running doc count
+    * and XOR digest of [[graft.ops.CorpusManifest.docDigest]] — two
+    * longs of keyed state updated by pure `+1` / `^`, so after any
+    * exactly-once prefix the reading EQUALS the batch
+    * `additiveManifest` over the delivered rows (live ≡ batch by
+    * shared digest code and XOR's order-freedom; replay, micro-batch
+    * boundaries, and partition layout cannot perturb it). This is the
+    * intake-integrity axis of the monitor suite: a nightly batch
+    * manifest of the landed corpus that DISAGREES with the live
+    * digest means rows were lost, duplicated, or mutated between
+    * intake and storage — and the first mismatching shard says where.
+    * Sealed shards (id ranges that stopped arriving) freeze; only
+    * growing shards' rows keep updating. */
+  def manifestMonitor(docs: DataFrame, shardSize: Long = 1000L)
+      : org.apache.spark.sql.Dataset[ShardDigest] = {
+    require(shardSize >= 1, s"shardSize must be positive: $shardSize")
+    import docs.sparkSession.implicits._
+    docs
+      .select(expr(s"CAST(doc_id DIV $shardSize AS BIGINT)").as("shard"),
+        graft.ops.CorpusManifest.docDigest(col("doc_id"), col("text")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), ShardDigest](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state) =>
+          val (n0, x0) = state.getOption.getOrElse((0L, 0L))
+          val (n, x) = rows.foldLeft((n0, x0)) {
+            case ((na, xa), r) => (na + 1L, xa ^ r._2)
+          }
+          state.update((n, x))
+          ShardDigest(shard, n, x)
       }
   }
 

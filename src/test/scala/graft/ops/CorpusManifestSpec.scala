@@ -62,6 +62,54 @@ class CorpusManifestSpec extends SparkSpec {
     assert(run(a, 4L).map(_._4) !== run(b, 4L).map(_._4))
   }
 
+  // ---- additiveManifest: order-free XOR digest ----
+
+  private def digest60(id: Long, text: String): Long =
+    java.lang.Long.parseLong(md5hex(s"$id:$text").take(15), 16)
+
+  private def runAdd(docs: Seq[(Long, String)], shardSize: Long = 4L) =
+    Staged.withStaged {
+      CorpusManifest.additiveManifest("doc_id", "text", shardSize)(
+          docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+
+  test("additiveManifest equals the plain-JVM XOR chain; root = XOR of all docs") {
+    val docs = (0L until 11L).map(i => (i, s"doc $i payload"))
+    val want = docs.groupBy(_._1 / 4).toSeq.sortBy(_._1).map { case (s, ds) =>
+      (s, ds.size.toLong, ds.map(d => digest60(d._1, d._2)).reduce(_ ^ _))
+    }
+    val root = docs.map(d => digest60(d._1, d._2)).reduce(_ ^ _)
+    assert(runAdd(docs) === want.map { case (s, n, x) => (s, n, x, root) })
+    // partition layout can never reach the digest
+    val repart = Staged.withStaged {
+      CorpusManifest.additiveManifest("doc_id", "text", 4L)(
+          docs.toDF("doc_id", "text").repartition(7))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(repart === runAdd(docs))
+  }
+
+  test("additiveManifest is delete-composable: removing a doc re-XORs its digest out") {
+    val docs = (0L until 8L).map(i => (i, s"v$i"))
+    val full = runAdd(docs)
+    val without5 = runAdd(docs.filterNot(_._1 == 5L))
+    // shard 1 (ids 4..7) loses exactly digest60(5); shard 0's digest
+    // is untouched (only the root moves)
+    assert((without5.head._1, without5.head._2, without5.head._3) ===
+      (full.head._1, full.head._2, full.head._3))
+    assert(without5.head._4 !== full.head._4, "root sees the delete")
+    val s1Full = full(1); val s1Cut = without5(1)
+    assert(s1Cut._2 === s1Full._2 - 1)
+    assert(s1Cut._3 === (s1Full._3 ^ digest60(5L, "v5")))
+    // and the count catches what XOR alone cannot: delivering a doc
+    // TWICE cancels its own digest (xor of two copies = 0) but bumps
+    // n_docs — the duplicate is visible
+    val dup = runAdd(docs ++ Seq((5L, "v5")))
+    assert(dup(1)._3 === (s1Full._3 ^ digest60(5L, "v5")))
+    assert(dup(1)._2 === s1Full._2 + 1, "count exposes the duplicate")
+  }
+
   test("append-only growth: sealed shards stay byte-stable, new shards appear, root moves") {
     val base = (0L until 8L).map(i => (i, s"d$i"))
     val grown = base ++ (8L until 12L).map(i => (i, s"d$i"))

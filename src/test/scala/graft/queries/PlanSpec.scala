@@ -785,6 +785,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q192 additive manifest: two-long aggregate state, digest scan-side, no collect_list") {
+    val p = graft.ops.Staged.withStaged { plan("q192_additive_manifest") }
+    // unlike q190 there is no per-shard list: the aggregate is
+    // count + bit_xor — constant state per group
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_bit_xor") || p.contains("bit_xor"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column

@@ -472,6 +472,49 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifestMonitor: live XOR digest equals the batch additiveManifest per prefix; sealed shards freeze") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StreamDoc]
+    val q = CorpusStream.manifestMonitor(src.toDF(), 4L).writeStream
+      .format("memory").queryName("manifest").outputMode("update").start()
+    def latest(): Map[Long, (Long, Long)] =
+      spark.sql("SELECT shard, n_docs, xor_digest FROM manifest")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (s, xs) => s -> xs.maxBy(_._2._1)._2 }
+    def batchOver(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+      graft.ops.Staged.withStaged {
+        graft.ops.CorpusManifest.additiveManifest("doc_id", "text", 4L)(
+            docs.toDF("doc_id", "text"))
+          .select("shard", "n_docs", "xor_digest")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      }
+    try {
+      val b0 = Seq((0L, "alpha"), (1L, "beta"), (5L, "gamma"))
+      src.addData(b0.map { case (i, x) => doc(i, t(1), x) }: _*)
+      q.processAllAvailable()
+      assert(latest() === batchOver(b0), "prefix 0: live ≡ batch")
+      // batch 1: shard 0 grows, shard 1 is untouched (sealed reading
+      // frozen), shard 2 appears
+      val b1 = Seq((2L, "delta"), (9L, "epsilon"))
+      src.addData(b1.map { case (i, x) => doc(i, t(2), x) }: _*)
+      q.processAllAvailable()
+      val all = b0 ++ b1
+      assert(latest() === batchOver(all), "prefix 1: live ≡ batch")
+      // a REPOSTED document cancels its own digest but bumps the
+      // count — exactly how a dup shows up in the integrity check
+      src.addData(doc(1, t(3), "beta"))
+      q.processAllAvailable()
+      val r = latest()(0L)
+      val clean = batchOver(all)(0L)
+      val d1 = spark.range(1)
+        .select(graft.ops.CorpusManifest.docDigest(lit(1L), lit("beta")))
+        .as[Long].collect()(0)
+      assert(r._1 === clean._1 + 1, "count exposes the duplicate")
+      assert(r._2 === (clean._2 ^ d1), "the dup's digest cancels itself")
+    } finally q.stop()
+  }
+
   test("nearDupProbe: arriving docs probe the frozen base sketch; live = the batch operator; intra-batch pairs absent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ndprobe").toString
