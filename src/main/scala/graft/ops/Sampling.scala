@@ -465,6 +465,37 @@ object Sampling {
           .otherwise(0L).as("leftover"))
   }
 
+  /** Materialize [[waterfillBudget]]'s allocation as a document
+    * keep-list: within each source, documents are taken in
+    * deterministic md5-hash order (prefix "wf:", the [[hashBucket]]
+    * portability discipline) until the next one would overshoot the
+    * source's allocation — a greedy maximal prefix, so the kept mass
+    * is ≤ alloc and within one document of it. Because both the
+    * allocation (max-min fairness is monotone in the budget) and the
+    * hash order (fixed) are stable, RAISING the budget only ever ADDS
+    * documents — the nested-samples property every other sampler in
+    * this file guarantees, now for the global-budget case.
+    *
+    * Shape: the q187 allocation (group-domain) broadcasts onto the
+    * corpus; the only corpus-grain work is one per-SOURCE cumulative
+    * window (never a global sort) and the scan-side hash. Emits the
+    * kept (idCol, source, sizeCol) rows. */
+  def waterfillSample(df: DataFrame, idCol: String, groupCol: String,
+                      sizeCol: String, budgetBp: Long): DataFrame = {
+    val alloc = waterfillBudget(df, groupCol, sizeCol, budgetBp)
+      .select(col("source"), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit("wf:"), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(groupCol).as("source"),
+        col(sizeCol).cast("long").as(sizeCol))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .filter(col("__cum") <= col("alloc"))
+      .select(col(idCol), col("source"), col(sizeCol))
+  }
+
   def temporalEmbargoSplit(df: DataFrame, idCol: String, tsCol: String,
                            trainNum: Int = 8, trainDen: Int = 10,
                            embargoDen: Int = 50): DataFrame = {

@@ -5213,7 +5213,53 @@ object LlmQueries {
              |  CAST(n_docs AS BIGINT) AS n_docs,
              |  CAST(xor_digest AS BIGINT) AS xor_digest,
              |  CAST(root_digest AS BIGINT) AS root_digest
-             |FROM s, r""".stripMargin))
+             |FROM s, r""".stripMargin)),
+
+    // Waterfill sample (q193): q187's allocation MATERIALIZED — per
+    // source, keep documents in deterministic md5 order until the next
+    // would overshoot the source's max-min-fair share of the 95%
+    // global budget. Greedy maximal prefix (kept mass within one doc
+    // of alloc); allocation monotonicity + fixed hash order make the
+    // sample NESTED in the budget like every sampler here.
+    Q("q193_waterfill_sample",
+      (s, d) => Sampling.waterfillSample(
+        Tables.documents(s, d), "doc_id", "source", "n_chars", 9500L)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
+      Some("""WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+             |  FROM a),
+             |s AS (SELECT source, avail,
+             |    row_number() OVER (ORDER BY avail, source) AS rn,
+             |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS HUGEINT) AS p
+             |  FROM a),
+             |s2 AS (SELECT s.source, s.avail, s.rn, s.p,
+             |    t.tot * 9500 // 10000 AS b,
+             |    t.n - s.rn + 1 AS m,
+             |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
+             |      <= t.tot * 9500 // 10000) AS sat
+             |  FROM s, t),
+             |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+             |  ORDER BY rn LIMIT 1),
+             |al AS (SELECT s2.source,
+             |    CAST(CASE WHEN sat THEN avail
+             |      ELSE (b - pp) // pm +
+             |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+             |      END AS BIGINT) AS alloc
+             |  FROM s2 LEFT JOIN pv ON TRUE),
+             |r AS (SELECT doc_id, source,
+             |    CAST(n_chars AS BIGINT) AS n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY md5('wf:' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM documents)
+             |SELECT r.doc_id, r.source, r.n_chars
+             |FROM r JOIN al ON r.source = al.source
+             |WHERE r.cum <= al.alloc""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

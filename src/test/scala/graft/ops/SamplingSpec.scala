@@ -506,6 +506,53 @@ class SamplingSpec extends SparkSpec {
     assert(out === Map("a" -> 2L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("waterfillSample: per-source kept mass is a maximal prefix under its allocation") {
+    val rnd = new scala.util.Random(19)
+    val docs = (0L until 120L).map { i =>
+      (i, s"g${i % 4}", 1L + rnd.nextInt(40).toLong)
+    }
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val allocs = Staged.withStaged {
+      Sampling.waterfillBudget(df, "source", "n_chars", 6000L)
+        .select("source", "alloc").as[(String, Long)].collect().toMap
+    }
+    val kept = Staged.withStaged {
+      Sampling.waterfillSample(df, "doc_id", "source", "n_chars", 6000L)
+        .as[(Long, String, Long)].collect().toSeq
+    }
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      d
+    }
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val keptSrc = kept.filter(_._2 == src).map(_._1).toSet
+      val mass = ds.filter(d => keptSrc(d._1)).map(_._3).sum
+      assert(mass <= allocs(src), s"$src over allocation")
+      // maximality: kept is exactly the hash-order prefix whose next
+      // element would overshoot
+      val order = ds.sortBy(d => (h(d._1), d._1))
+      var cum = 0L
+      val expect = order.takeWhile { d => cum += d._3; cum <= allocs(src) }
+      assert(keptSrc === expect.map(_._1).toSet, src)
+    }
+  }
+
+  test("waterfillSample is nested in the budget: raising it only adds documents") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 90L).map(i => (i, s"g${i % 3}", 1L + rnd.nextInt(25).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val sets = Seq(2000L, 5000L, 8000L, 10000L).map { bp =>
+      Staged.withStaged {
+        Sampling.waterfillSample(docs, "doc_id", "source", "n_chars", bp)
+          .select("doc_id").as[Long].collect().toSet
+      }
+    }
+    sets.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)) }
+    assert(sets.last.size === 90, "full budget keeps every document")
+    assert(sets.head.nonEmpty && sets.head.size < sets.last.size)
+  }
+
   test("waterfill at full budget keeps everything; surplus shows as leftover") {
     val df = Seq(("a", 7L), ("b", 11L)).toDF("source", "n")
     val full = Staged.withStaged {

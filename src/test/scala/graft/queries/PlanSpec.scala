@@ -794,6 +794,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q193 waterfill sample: allocation broadcasts onto the corpus; the window is per-source, never global") {
+    val p = graft.ops.Staged.withStaged { plan("q193_waterfill_sample") }
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-grain window partitions by source — its Exchange is a
+    // hashpartitioning, and the only SinglePartition work is the
+    // group-domain allocation math
+    assert("Exchange hashpartitioning\\(source#".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
