@@ -1361,6 +1361,64 @@ object Dedup {
         col("span_ntokens").cast("long").as("span_ntokens"))
   }
 
+  /** Duplicate-span MASKING — the removal twin of [[dupSpans]] (which
+    * reports): every token covered by a corpus-duplicated `n`-token
+    * window is dropped from the document, and the survivors are
+    * rejoined in order. This is substring-level dedup at token grain
+    * (Lee et al. 2022's ExactSubstr removal applied symmetrically:
+    * ALL copies of a duplicated run go — the keep-one-copy variants
+    * live at chunk grain in q72/q93). Emits
+    * (id, clean_text, n_tokens, n_removed); `clean_text` is
+    * whitespace-normalized by construction (token rejoin), fully
+    * masked documents survive as empty strings — removal must never
+    * silently drop the ROW, that's the retention pipeline's call.
+    *
+    * Exactness: windows are md5-fingerprinted; flagged positions,
+    * the anti join, and the ordered rejoin are pure integer/string
+    * ops — both engines rebuild byte-identical text.
+    *
+    * Shape: the (id, token-array) projection stages once and feeds
+    * the gram side and the rebuild side; the gram table stages once
+    * and feeds the duplication count and the flag explode (n× fanout
+    * on DUPLICATED windows only); the anti join runs at (id, pos)
+    * grain with ids co-partitioned; per-doc rebuild state is bounded
+    * by document length. Text crosses an Exchange exactly once — as
+    * tokens into the rebuild aggregate. */
+  def maskDupSpans(idCol: String, textCol: String, n: Int = 5)
+                  (docs: DataFrame): DataFrame = {
+    require(n >= 1, s"window length must be positive: $n")
+    val arr = Staged.stage(docs
+      .select(col(idCol), tokens(col(textCol)).as("__w")))
+    val grams = Staged.stage(arr.where(size(col("__w")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $n))))")))
+      .select(col(idCol), col("pos").cast("long").as("ws"),
+        col("col").as("__h")))
+    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L).select("__h")
+    val flagged = grams.join(dup, "__h")
+      .select(col(idCol),
+        explode(expr(s"sequence(ws, ws + ${n - 1})")).as("pos"))
+      .distinct()
+    val kept = arr
+      .select(col(idCol), posexplode(col("__w")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("__t"))
+      .join(flagged, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("__t")))),
+            x => x.getField("__t"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    arr.select(col(idCol), size(col("__w")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     * — the MOSS scheme): hash every `k`-token window, then in each run
     * of `w` consecutive window hashes select the minimum — the

@@ -5259,7 +5259,47 @@ object LlmQueries {
              |  FROM documents)
              |SELECT r.doc_id, r.source, r.n_chars
              |FROM r JOIN al ON r.source = al.source
-             |WHERE r.cum <= al.alloc""".stripMargin))
+             |WHERE r.cum <= al.alloc""".stripMargin)),
+
+    // Duplicate-span masking (q194): the REMOVAL twin of q169 — every
+    // token covered by a corpus-duplicated 5-token window is dropped
+    // and the survivors rejoin in order (Lee et al. ExactSubstr
+    // removal at token grain, all copies go; keep-one variants are
+    // q72/q93 at chunk grain). Fully masked docs survive as empty
+    // strings: removal never silently drops the row.
+    Q("q194_mask_dup_spans",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.maskDupSpans("doc_id", "text", 5)),
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id, u.ws AS ws, u.h AS h FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      range(greatest(len(w) - 4, 0)),
+             |      i -> struct_pack(ws := i,
+             |        h := md5(array_to_string(w[i+1:i+5], ' '))))) AS u
+             |    FROM w)),
+             |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+             |f AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(5), k -> ws + k)) AS pos
+             |  FROM g JOIN dup USING (h)),
+             |t AS (SELECT doc_id, u.pos AS pos, u.t AS tok FROM (
+             |    SELECT doc_id, unnest(list_transform(range(len(w)),
+             |      i -> struct_pack(pos := i, t := w[i+1]))) AS u
+             |    FROM w)),
+             |k AS (SELECT t.doc_id, t.pos, t.tok FROM t
+             |  LEFT JOIN f ON t.doc_id = f.doc_id AND t.pos = f.pos
+             |  WHERE f.pos IS NULL),
+             |r AS (SELECT doc_id,
+             |    string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             |    count(*) AS n_kept
+             |  FROM k GROUP BY 1)
+             |SELECT w.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  CAST(len(w.w) AS BIGINT) AS n_tokens,
+             |  CAST(len(w.w) - coalesce(r.n_kept, 0) AS BIGINT)
+             |    AS n_removed
+             |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -736,6 +736,66 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((10000L, 1L, 2L, 5000L)))
   }
   // corpus, then per-doc islands of consecutive duplicated window starts
+  // plain-Scala maskDupSpans reference: flag every position covered by
+  // a >1-occurrence n-window anywhere in the corpus, rejoin survivors
+  private def refMask(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val grams = docs.flatMap { case (id, _) =>
+      val w = toks(id)
+      (0 to w.length - n).map(i => (id, i, w.slice(i, i + n).mkString(" ")))
+    }
+    val dupG = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    val flagged = grams.filter(g => dupG(g._3))
+      .flatMap { case (id, ws, _) => (ws until ws + n).map(id -> _) }.toSet
+    docs.map { case (id, _) =>
+      val w = toks(id)
+      val kept = w.zipWithIndex.collect {
+        case (t, i) if !flagged((id, i)) => t }
+      id -> (kept.mkString(" "), w.size.toLong, (w.size - kept.size).toLong)
+    }.toMap
+  }
+
+  test("maskDupSpans equals the brute-force reference on generated corpora") {
+    Seq(7, 19, 37, 59, 83, 107).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 20L).map { id =>
+        val words = (0 until 6 + rnd.nextInt(14)).map(_ => s"w${rnd.nextInt(6)}")
+        (id, words.mkString(" "))
+      }
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text")
+          .transform(Dedup.maskDupSpans("doc_id", "text", 3))
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      }
+      assert(got === refMask(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("maskDupSpans closed forms: copied paragraph vanishes from both, unique text untouched, full dup empties but keeps the row") {
+    val para = "p1 p2 p3 p4 p5 p6 p7"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 $para"),        // unique head + the paragraph
+      (2L, s"$para v1 v2 v3 v4"),        // the paragraph + unique tail
+      (3L, "fresh f2 f3 f4 f5 f6"),      // untouched
+      (4L, "dup dup2 dup3 dup4 dup5"),   // exact pair with doc 5
+      (5L, "dup dup2 dup3 dup4 dup5"),
+      (6L, "tiny doc"))                  // < n tokens: no windows
+    val out = graft.ops.Staged.withStaged {
+      docs.toDF("doc_id", "text")
+        .transform(Dedup.maskDupSpans("doc_id", "text", 5))
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    }
+    assert(out(1L) === (("u1 u2 u3 u4", 11L, 7L)), "paragraph masked, head kept")
+    assert(out(2L) === (("v1 v2 v3 v4", 11L, 7L)), "paragraph masked, tail kept")
+    assert(out(3L) === (("fresh f2 f3 f4 f5 f6", 6L, 0L)))
+    assert(out(4L) === (("", 5L, 5L)), "full dup masks to empty — row kept")
+    assert(out(5L) === (("", 5L, 5L)))
+    assert(out(6L) === (("tiny doc", 2L, 0L)), "sub-window doc untouched")
+  }
+
   private def refDupSpans(docs: Seq[(Long, String)],
                           n: Int): Set[(Long, Long, Long)] = {
     val grams = docs.flatMap { case (id, t) =>

@@ -804,6 +804,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q194 span masking: staged token-array and gram tables; text shuffles once into the rebuild") {
+    val p = graft.ops.Staged.withStaged { plan("q194_mask_dup_spans") }
+    // the (id, tokens) projection feeds gram + rebuild sides; the gram
+    // table feeds count + flag sides — both staged
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
