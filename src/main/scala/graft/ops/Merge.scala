@@ -61,4 +61,48 @@ object Merge {
       .unionByName(incoming.withColumn("__src", lit(1)))
     lastWriterWins(keys, col("__src").desc +: version)(tagged).drop("__src")
   }
+
+  /** Three-way snapshot merge — the reconciliation member of the
+    * versioning suite (q66 diffs two snapshots, q190/q192 certify one,
+    * this merges two lines of edits off a common BASE, the VCS rule
+    * applied to corpus rows): per key, whoever changed wins; both
+    * changing identically agrees; both changing differently is a
+    * CONFLICT surfaced as a row, never silently resolved (that is
+    * [[upsert]]'s one-side-wins job, not this one's).
+    *
+    * Change detection is null-safe equality against base (`<=>`), so
+    * adds (absent base) and deletes (absent side) fall out of the same
+    * rule — delete-vs-edit is a conflict, agreeing deletes merge.
+    * `resolution` ∈ base|ours|theirs|both|conflict; `merged` is the
+    * winning value, NULL for deletes and conflicts (resolution
+    * disambiguates which).
+    *
+    * Shape: two co-partitioned full-outer equi-joins on the key — the
+    * one shuffle per side any keyed reconciliation needs; everything
+    * after is a projection. For an audit-only pass at 100 TB, hand the
+    * operator hashed values (e.g. md5(text)) and only the 32-hex
+    * digests ride the shuffles; the materializing pass carries the
+    * real column. */
+  def threeWayMerge(idCol: String, valCol: String)
+                   (base: DataFrame, ours: DataFrame,
+                    theirs: DataFrame): DataFrame = {
+    val b = base.select(col(idCol), col(valCol).as("__b"))
+    val o = ours.select(col(idCol), col(valCol).as("__o"))
+    val t = theirs.select(col(idCol), col(valCol).as("__t"))
+    val oc = !(col("__o") <=> col("__b"))
+    val tc = !(col("__t") <=> col("__b"))
+    b.join(o, Seq(idCol), "full_outer")
+      .join(t, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(!oc && !tc, "base")
+          .when(oc && !tc, "ours")
+          .when(!oc && tc, "theirs")
+          .when(col("__o") <=> col("__t"), "both")
+          .otherwise("conflict").as("resolution"),
+        when(!oc && !tc, col("__b"))
+          .when(oc && !tc, col("__o"))
+          .when(!oc && tc, col("__t"))
+          .when(col("__o") <=> col("__t"), col("__o"))
+          .otherwise(lit(null)).as("merged"))
+  }
 }

@@ -5299,7 +5299,60 @@ object LlmQueries {
              |  CAST(len(w.w) AS BIGINT) AS n_tokens,
              |  CAST(len(w.w) - coalesce(r.n_kept, 0) AS BIGINT)
              |    AS n_removed
-             |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin))
+             |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin)),
+
+    // Three-way snapshot merge (q195): two lines of edits off a common
+    // base reconciled per doc — whoever changed wins, agreeing changes
+    // merge, disagreeing ones surface as 'conflict' rows (never
+    // silently resolved — that's upsert's one-side-wins job). Ours
+    // drops %11 and prefixes 'A ' on %6; theirs drops %13 and prefixes
+    // 'B ' on %15 — so the corpus exercises every cell: clean keeps,
+    // one-side edits/deletes, agreeing deletes (%143), edit-vs-edit
+    // conflicts (%30), and delete-vs-edit conflicts (%165).
+    Q("q195_three_way_merge",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val ours = base.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 0, concat(lit("A "), col("text")))
+              .otherwise(col("text")).as("text"))
+        val theirs = base.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 15 === 0, concat(lit("B "), col("text")))
+              .otherwise(col("text")).as("text"))
+        graft.ops.Merge.threeWayMerge("doc_id", "text")(base, ours, theirs)
+      },
+      Some("""WITH b AS (SELECT doc_id, text FROM documents),
+             |o AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+             |      THEN 'A ' || text ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |t AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0
+             |      THEN 'B ' || text ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |j AS (SELECT coalesce(b.doc_id, o.doc_id) AS doc_id,
+             |    b.text AS bt, o.text AS ot
+             |  FROM b FULL JOIN o ON b.doc_id = o.doc_id),
+             |j2 AS (SELECT coalesce(j.doc_id, t.doc_id) AS doc_id,
+             |    j.bt, j.ot, t.text AS tt
+             |  FROM j FULL JOIN t ON j.doc_id = t.doc_id)
+             |SELECT doc_id,
+             |  CASE
+             |    WHEN ot IS NOT DISTINCT FROM bt
+             |     AND tt IS NOT DISTINCT FROM bt THEN 'base'
+             |    WHEN NOT (ot IS NOT DISTINCT FROM bt)
+             |     AND tt IS NOT DISTINCT FROM bt THEN 'ours'
+             |    WHEN ot IS NOT DISTINCT FROM bt THEN 'theirs'
+             |    WHEN ot IS NOT DISTINCT FROM tt THEN 'both'
+             |    ELSE 'conflict' END AS resolution,
+             |  CASE
+             |    WHEN ot IS NOT DISTINCT FROM bt
+             |     AND tt IS NOT DISTINCT FROM bt THEN bt
+             |    WHEN NOT (ot IS NOT DISTINCT FROM bt)
+             |     AND tt IS NOT DISTINCT FROM bt THEN ot
+             |    WHEN ot IS NOT DISTINCT FROM bt THEN tt
+             |    WHEN ot IS NOT DISTINCT FROM tt THEN ot
+             |    ELSE NULL END AS merged
+             |FROM j2""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

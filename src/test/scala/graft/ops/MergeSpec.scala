@@ -63,4 +63,52 @@ class MergeSpec extends SparkSpec {
     assert(m((3L, "view")) === ((1L, 5.0)))   // existing-only key kept
     assert(m.size === 4)
   }
+
+  test("threeWayMerge covers the full reconciliation matrix") {
+    // one id per cell of the matrix
+    val base = Seq(
+      1L -> "same", 2L -> "oe", 3L -> "te", 4L -> "bs", 5L -> "bd",
+      6L -> "od", 7L -> "td", 8L -> "bothdel", 9L -> "delVedit",
+      10L -> "editVdel").toDF("id", "v")
+    val ours = Seq(
+      1L -> "same", 2L -> "oe2", 3L -> "te", 4L -> "agree", 5L -> "X",
+      /* 6 deleted */ 7L -> "td", /* 8 deleted */ /* 9 deleted */
+      10L -> "edited", 11L -> "oadd", 13L -> "sameadd", 14L -> "addA")
+      .toDF("id", "v")
+    val theirs = Seq(
+      1L -> "same", 2L -> "oe", 3L -> "te2", 4L -> "agree", 5L -> "Y",
+      6L -> "od", /* 7 deleted */ /* 8 deleted */ 9L -> "edited",
+      /* 10 deleted */ 12L -> "tadd", 13L -> "sameadd", 14L -> "addB")
+      .toDF("id", "v")
+    val out = Merge.threeWayMerge("id", "v")(base, ours, theirs)
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("base", Some("same"))))
+    assert(out(2L) === (("ours", Some("oe2"))))
+    assert(out(3L) === (("theirs", Some("te2"))))
+    assert(out(4L) === (("both", Some("agree"))), "agreeing edits merge")
+    assert(out(5L) === (("conflict", None)), "edit vs edit, different")
+    assert(out(6L) === (("ours", None)), "clean delete taken (merged null)")
+    assert(out(7L) === (("theirs", None)))
+    assert(out(8L) === (("both", None)), "agreeing deletes merge")
+    assert(out(9L) === (("conflict", None)), "delete vs edit is a conflict")
+    assert(out(10L) === (("conflict", None)), "edit vs delete is a conflict")
+    assert(out(11L) === (("ours", Some("oadd"))), "one-side add")
+    assert(out(12L) === (("theirs", Some("tadd"))))
+    assert(out(13L) === (("both", Some("sameadd"))), "agreeing adds merge")
+    assert(out(14L) === (("conflict", None)), "add-add collision conflicts")
+    assert(out.size === 14)
+    // swapping ours/theirs swaps those labels and nothing else
+    val swapped = Merge.threeWayMerge("id", "v")(base, theirs, ours)
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (id, (res, merged)) =>
+      val want = res match {
+        case "ours" => "theirs"
+        case "theirs" => "ours"
+        case other => other
+      }
+      assert(swapped(id) === ((want, merged)), s"id=$id")
+    }
+  }
 }

@@ -813,6 +813,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q195 three-way merge: two co-partitioned full-outer joins, no extra shuffle after") {
+    val p = plan("q195_three_way_merge")
+    assert("SortMergeJoin.*FullOuter".r.findAllIn(p).size === 2, p)
+    // the three sides share the id partitioning — no Exchange between
+    // the two joins, and nothing after them but the projection
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cross"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
