@@ -52,4 +52,46 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Shuffle-skew audit for a prospective join/group key — the
+    * MEASUREMENT half of this file (salting is the remedy; this says
+    * whether and how much to apply): the top `topK` heaviest key
+    * values with their corpus share, plus the global read broadcast
+    * onto every row — `max_over_avg_x100` (how many times the average
+    * key mass the heaviest key carries, ×100) and `salt_buckets`, the
+    * fan-out [[salted]] / `Merge.lastWriterWins(saltBuckets)` would
+    * need so the hot key's rows fit one average task at `parts`
+    * shuffle partitions: ceil(max_cnt · parts / n_rows), which reads
+    * 1 exactly when no key exceeds an average partition — "don't
+    * salt" is a first-class answer.
+    *
+    * NULL keys are audited as the literal `__null__` bucket — in real
+    * data null is routinely THE hot key, so the audit must rank it,
+    * not drop it. Exact integers; `max·n_keys` rides DECIMAL(38,0)
+    * (both factors grow with the corpus).
+    *
+    * Shape: one key-grain count aggregate (staged — the totals and
+    * top-k branches share it), a TakeOrderedAndProject for the top-k,
+    * and a single-row broadcast. */
+  def skewAudit(keyCol: String, topK: Int = 20, parts: Int = 32)
+               (df: DataFrame): DataFrame = {
+    require(topK >= 1 && parts >= 1, s"topK=$topK parts=$parts")
+    val counts = Staged.stage(df
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("__null__")).as("key"))
+      .agg(count(lit(1)).as("cnt")))
+    val totals = counts.agg(sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 10000 DIV n_rows").as("share_bp"),
+        col("rank"), col("n_rows"), col("n_keys"),
+        expr("cast(max_cnt as decimal(38,0)) * n_keys * 100 DIV n_rows")
+          .as("max_over_avg_x100"),
+        expr(s"(max_cnt * $parts + n_rows - 1) DIV n_rows")
+          .as("salt_buckets"))
+  }
 }

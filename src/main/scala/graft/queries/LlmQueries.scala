@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
+import graft.ops.{Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, Skew, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -5352,7 +5352,37 @@ object LlmQueries {
              |    WHEN ot IS NOT DISTINCT FROM bt THEN tt
              |    WHEN ot IS NOT DISTINCT FROM tt THEN ot
              |    ELSE NULL END AS merged
-             |FROM j2""".stripMargin))
+             |FROM j2""".stripMargin)),
+
+    // Shuffle-skew audit (q196): the measurement half of the salting
+    // machinery (Skew.salted / Merge.lastWriterWins(saltBuckets) are
+    // the remedy) applied to events.user_id as a prospective join key:
+    // top-20 heaviest keys + the global read — max_over_avg_x100 and
+    // the salt fan-out needed at 32 partitions. This synthetic table
+    // honestly reads ~149 (1.5x average) and salt_buckets = 1: "don't
+    // salt" is a first-class answer. Null keys audit as '__null__' —
+    // in real data null is routinely THE hot key.
+    Q("q196_skew_audit",
+      (s, d) => Skew.skewAudit("user_id", 20, 32)(Tables.events(s, d)
+        .select("user_id")),
+      Some("""WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR),
+             |      '__null__') AS key, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+             |    max(cnt) AS max_cnt FROM c),
+             |k AS (SELECT key, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, key) AS rank
+             |  FROM c ORDER BY cnt DESC, key LIMIT 20)
+             |SELECT k.key, CAST(k.cnt AS BIGINT) AS cnt,
+             |  CAST(k.cnt * 10000 // t.n_rows AS BIGINT) AS share_bp,
+             |  CAST(k.rank AS BIGINT) AS rank,
+             |  CAST(t.n_rows AS BIGINT) AS n_rows,
+             |  CAST(t.n_keys AS BIGINT) AS n_keys,
+             |  CAST(CAST(t.max_cnt AS HUGEINT) * t.n_keys * 100
+             |    // t.n_rows AS BIGINT) AS max_over_avg_x100,
+             |  CAST((t.max_cnt * 32 + t.n_rows - 1) // t.n_rows
+             |    AS BIGINT) AS salt_buckets
+             |FROM k, t""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -61,4 +61,36 @@ class SkewSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold"
     ).foreach(spark.conf.unset)
   }
+
+  test("skewAudit: a constructed hot key reads its exact share and salt fan-out; null keys ranked") {
+    import spark.implicits._
+    // 1 key carrying 900 rows, 99 singleton keys, 1 null-key row
+    val rows = (Seq.fill(900)(Option("hot")) ++
+      (1 to 99).map(i => Option(s"k$i")) ++ Seq(Option.empty[String]))
+      .toDF("k")
+    val out = graft.ops.Staged.withStaged {
+      Skew.skewAudit("k", topK = 3, parts = 8)(rows)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._4)
+    }
+    assert(out.length === 3)
+    val hot = out.head
+    assert(hot._1 === "hot" && hot._2 === 900L && hot._4 === 1L)
+    assert(hot._3 === 9000L, "share_bp = 900/1000")
+    assert(hot._5 === 1000L && hot._6 === 101L)
+    // max/avg = 900·101/1000 = 90.9x -> 9090 at x100
+    assert(hot._7 === 9090L)
+    // ceil(900·8/1000) = 8 buckets to fit one average task
+    assert(hot._8 === 8L)
+    // the null bucket is audited under its literal name, not dropped
+    val uniform = (1 to 64).flatMap(i => Seq.fill(4)(Option(s"u$i"))) ++
+      Seq.fill(8)(Option.empty[String])
+    val u = graft.ops.Staged.withStaged {
+      Skew.skewAudit("k", topK = 1, parts = 8)(uniform.toDF("k"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    }
+    assert(u.head._1 === "__null__" && u.head._2 === 8L,
+      "null is the heaviest key and must rank first")
+    assert(u.head._8 === 1L, "near-uniform table: don't salt")
+  }
 }

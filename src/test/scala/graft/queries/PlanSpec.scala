@@ -821,6 +821,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cross"), p)
   }
 
+  test("q196 skew audit: staged key counts feed totals and top-k; the cut is TakeOrderedAndProject") {
+    val p = graft.ops.Staged.withStaged { plan("q196_skew_audit") }
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
