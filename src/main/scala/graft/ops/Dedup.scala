@@ -148,6 +148,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         Num.roundz(col("__c"), 4).as("containment"))
 
+  /** Prefix-filtered exact Jaccard pairs (the All-Pairs/PPJoin prefix
+    * principle — Bayardo et al. WWW'07, Xiao et al. WWW'08): at
+    * threshold t, only each document's FIRST `|s| − ⌈t·|s|⌉ + 1`
+    * shingles under one global order need indexing — if J(A,B) ≥ t
+    * and the prefixes were disjoint, the intersection would be capped
+    * at ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|, a contradiction — so the
+    * prefix-to-prefix join is a COMPLETE candidate generator and the
+    * full sets are consulted only to verify candidates. With the
+    * canonical rarest-first order (df ascending) the indexed volume
+    * drops to ~(1−t) of the shingle table and hot boilerplate
+    * shingles sort LAST, out of every prefix: this replaces
+    * [[ngramJaccardPairs]]'s maxDf cap (an approximation knob) with a
+    * LOSSLESS reduction — the DuckDB oracle for q197 is the plain
+    * brute-force pair join with no prefix logic, so the hash gate
+    * itself certifies, at every fixture scale, that prefix filtering
+    * loses nothing.
+    *
+    * Exact integers: the keep decision is the cross-multiplied
+    * `inter·10⁴ ≥ t_bp·union` (never a float threshold) and the
+    * output is `jac_bp = inter·10⁴ DIV union`, the q189 rational.
+    *
+    * Shape: staged (doc, shingle) table read three ways (df counts,
+    * prefix build, verification); prefix length comes from one
+    * doc-partitioned window (row_number + per-doc count ride the same
+    * Exchange); candidates from the prefix self-join (fan-out bounded
+    * by rare-shingle df, not corpus df); verification re-joins the
+    * full sets on the candidate pairs only. */
+  def prefixJaccardPairs(idCol: String, textCol: String, n: Int,
+                         thresholdBp: Long,
+                         tokensCol: Option[String] = None)
+                        (df: DataFrame): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000]: $thresholdBp")
+    val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    val wOrd = wDoc.orderBy(col("__df"), col("shingle"))
+    val pre = Staged.stage(sh.join(dfc, "shingle")
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+      .filter(col("__rn") <=
+        col("__sz") - expr(s"($thresholdBp * __sz + 9999) DIV 10000") + 1L)
+      .select("doc", "shingle"))
+    val cand = pre.select(col("doc").as("doc_a"), col("shingle"))
+      .join(pre.select(col("doc").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("doc").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc").as("doc_b"), col("shingle"))
+    cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("__sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("__szb")), Seq("doc_b"))
+      .withColumn("__un", col("__sza") + col("__szb") - col("__inter"))
+      .filter(col("__inter") * 10000L >= lit(thresholdBp) * col("__un"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("__inter * 10000 DIV __un").as("jac_bp"))
+  }
+
   /** Dedup-threshold sensitivity sweep — q171's operating-point
     * discipline applied to the near-dup family: one row per OBSERVED
     * Jaccard level with the cumulative cost of cutting there

@@ -5382,7 +5382,36 @@ object LlmQueries {
              |    // t.n_rows AS BIGINT) AS max_over_avg_x100,
              |  CAST((t.max_cnt * 32 + t.n_rows - 1) // t.n_rows
              |    AS BIGINT) AS salt_buckets
-             |FROM k, t""".stripMargin))
+             |FROM k, t""".stripMargin)),
+
+    // Prefix-filtered Jaccard pairs (q197): the PPJoin/All-Pairs prefix
+    // principle at t = 0.3 — only each doc's rarest |s|-ceil(t|s|)+1
+    // shingles are indexed, provably losing NO pair at the threshold.
+    // The oracle is the plain brute-force pair join with no prefix
+    // logic: the hash gate itself certifies the optimization is
+    // lossless at every fixture scale. Replaces the maxDf
+    // approximation knob with an exact reduction; hot shingles sort
+    // last and fall out of every prefix.
+    Q("q197_prefix_jaccard_pairs",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.prefixJaccardPairs("doc_id", "text", 3, 3000L)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |p AS (SELECT doc_a, doc_b, inter,
+             |    sa.sz + sb.sz - inter AS un
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc
+             |  JOIN sizes sb ON doc_b = sb.doc)
+             |SELECT doc_a, doc_b,
+             |  CAST(inter * 10000 // un AS BIGINT) AS jac_bp
+             |FROM p WHERE inter * 10000 >= 3000 * un""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -736,6 +736,59 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((10000L, 1L, 2L, 5000L)))
   }
   // corpus, then per-doc islands of consecutive duplicated window starts
+  // brute-force threshold pairs: distinct 3-shingle sets, all pairs,
+  // exact cross-multiplied keep decision — no prefix logic anywhere
+  private def brutePairs(docs: Seq[(Long, String)], n: Int,
+                         tBp: Long): Set[(Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      id -> (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      inter = sets(i)._2.intersect(sets(j)._2).size if inter > 0
+      un = sets(i)._2.size + sets(j)._2.size - inter
+      if inter.toLong * 10000 >= tBp * un
+    } yield (sets(i)._1 min sets(j)._1, sets(i)._1 max sets(j)._1,
+      inter.toLong * 10000 / un)).toSet
+  }
+
+  test("prefixJaccardPairs equals the unfiltered brute force at every threshold — the prefix loses nothing") {
+    Seq(13, 29, 43, 67, 97, 113).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 24L).map { id =>
+        val words = (0 until 5 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(7)}")
+        (id, words.mkString(" "))
+      }
+      Seq(2000L, 3000L, 5000L, 8000L).foreach { t =>
+        val got = graft.ops.Staged.withStaged {
+          docs.toDF("doc_id", "text")
+            .transform(Dedup.prefixJaccardPairs("doc_id", "text", 3, t))
+            .as[(Long, Long, Long)].collect().toSet
+        }
+        assert(got === brutePairs(docs, 3, t), s"seed=$seed t=$t")
+      }
+    }
+  }
+
+  test("prefixJaccardPairs keeps the exactly-at-threshold pair and drops just-below") {
+    // doc 1: 6 shingles, doc 2: 7 shingles, sharing exactly the 3
+    // shingles of the common 5-token run -> J = 3/10 = 0.3000 exactly
+    val docs = Seq(
+      (1L, "a1 a2 a3 C1 C2 C3 C4 C5"),
+      (2L, "C1 C2 C3 C4 C5 b1 b2 b3 b4"),
+      // doc 3 shares only a 4-token run with doc 1 -> 2 shingles,
+      // J = 2/(6+7-2) = 2/11 < 0.3
+      (3L, "a1 a2 a3 C1 z1 z2 z3 z4 z5"))
+    val out = graft.ops.Staged.withStaged {
+      docs.toDF("doc_id", "text")
+        .transform(Dedup.prefixJaccardPairs("doc_id", "text", 3, 3000L))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(out.contains((1L, 2L, 3000L)), s"boundary pair must survive: $out")
+    assert(!out.exists(p => p._1 == 1L && p._2 == 3L), "below-threshold excluded")
+  }
+
   // plain-Scala maskDupSpans reference: flag every position covered by
   // a >1-occurrence n-window anywhere in the corpus, rejoin survivors
   private def refMask(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Long, Long)] = {

@@ -828,6 +828,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q197 prefix pairs: staged shingle table read three ways; prefix window rides one doc Exchange") {
+    val p = graft.ops.Staged.withStaged { plan("q197_prefix_jaccard_pairs") }
+    // df counts, prefix build, and verification all read the staged
+    // (doc, shingle) table; the prefix itself is staged for both join
+    // sides
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
