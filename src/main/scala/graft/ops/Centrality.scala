@@ -131,4 +131,59 @@ object Centrality {
           expr("(2 * coalesce(n_tri, 0L) * 10000L) div (degree * (degree - 1))"))
           .as("closure_bp"))
   }
+
+  /** Newman modularity (Newman & Girvan 2004) of a GIVEN node
+    * partition over an undirected edge set, in exact rational
+    * arithmetic:
+    *   Q = Σ_c (m_c/m − (D_c/2m)²) = Σ_c (4m·m_c − D_c²) / (4m²)
+    * where m_c = intra-partition edges and D_c = endpoint count of
+    * part c (every edge contributes one endpoint to each side's
+    * part — no separate degree table is ever built). Emitted as one
+    * row (n_edges, intra_edges, n_parts, q_bp) with q_bp the
+    * ×10⁴ reading via sign-extracted positive-operand DIV (Q is
+    * negative when a partition does WORSE than the degree-preserving
+    * null model); NULL on an empty edge set. The numerator and
+    * denominator ride DECIMAL(38,0)/HUGEINT — 4m² outgrows 64 bits
+    * at ~1.5 B edges.
+    *
+    * The LLM-pipeline read (q198): partition = SOURCE, edges = the
+    * near-dup pair graph. Q near 1 = duplication is source-INTERNAL
+    * (dedup can shard per source — each source's pair join runs
+    * independently, a 100 TB plan simplification); Q near 0 or
+    * negative = copying crosses feeds and only GLOBAL dedup is
+    * sound. The labeled edge table stages once and feeds m, m_c, and
+    * both endpoint-count sides; label attachment is two equi-joins. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, idCol: String, labelCol: String)
+      : DataFrame = {
+    val la = labels.select(col(idCol).as("__a"), col(labelCol).as("__ca"))
+    val lb = labels.select(col(idCol).as("__b"), col(labelCol).as("__cb"))
+    val le = Staged.stage(edges
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(la, Seq("__a")).join(lb, Seq("__b"))
+      .select("__ca", "__cb"))
+    val m = le.agg(count(lit(1)).as("__m"))
+    val mc = le.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__mc"))
+    val dc = le.select(col("__ca").as("__c"))
+      .union(le.select(col("__cb").as("__c")))
+      .groupBy("__c").agg(count(lit(1)).as("__d"))
+    dc.join(mc, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(coalesce(col("__mc"), lit(0L))).as("intra_edges"),
+        sum(lit(4).cast("decimal(38,0)") * col("__m") *
+            coalesce(col("__mc"), lit(0L)) -
+          col("__d").cast("decimal(38,0)") * col("__d")).as("__num"),
+        max(col("__m")).as("n_edges"))
+      .select(coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("n_parts"),
+        expr("""CASE WHEN n_edges IS NULL OR n_edges = 0 THEN NULL
+          WHEN __num >= 0 THEN
+            CAST((__num * 10000) DIV (4 * cast(n_edges as decimal(38,0)) * n_edges) AS BIGINT)
+          ELSE
+            -CAST(((-__num) * 10000) DIV (4 * cast(n_edges as decimal(38,0)) * n_edges) AS BIGINT)
+          END""").as("q_bp"))
+  }
 }

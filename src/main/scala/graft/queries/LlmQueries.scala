@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, Skew, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
+import graft.ops.{Centrality, Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, Skew, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -5411,7 +5411,59 @@ object LlmQueries {
              |  JOIN sizes sb ON doc_b = sb.doc)
              |SELECT doc_a, doc_b,
              |  CAST(inter * 10000 // un AS BIGINT) AS jac_bp
-             |FROM p WHERE inter * 10000 >= 3000 * un""".stripMargin))
+             |FROM p WHERE inter * 10000 >= 3000 * un""".stripMargin)),
+
+    // Source modularity of the near-dup graph (q198): Newman Q of the
+    // SOURCE partition over q26's pair edges — the one-number answer
+    // to "can dedup shard per source?": Q near 1 = duplication is
+    // source-internal (each source's pair join runs independently at
+    // 100 TB), Q near 0/negative = copying crosses feeds and only
+    // global dedup is sound. Exact rationals, sign-extracted DIV.
+    Q("q198_source_modularity",
+      (s, d) => Centrality.modularity(
+        Tables.documents(s, d)
+          .transform(Dedup.ngramJaccardPairs("doc_id", "text", 3, 0.03)),
+        "doc_a", "doc_b",
+        Tables.documents(s, d), "doc_id", "source"),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+             |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.03),
+             |le AS (SELECT da.source AS ca, db.source AS cb FROM pairs
+             |  JOIN documents da ON pairs.doc_a = da.doc_id
+             |  JOIN documents db ON pairs.doc_b = db.doc_id),
+             |m AS (SELECT count(*) AS m FROM le),
+             |mc AS (SELECT ca AS c, count(*) AS mc FROM le
+             |  WHERE ca = cb GROUP BY 1),
+             |dc AS (SELECT c, count(*) AS d FROM (
+             |    SELECT ca AS c FROM le UNION ALL SELECT cb FROM le)
+             |  GROUP BY 1),
+             |terms AS (SELECT dc.c, coalesce(mc.mc, 0) AS mc, dc.d
+             |  FROM dc LEFT JOIN mc ON dc.c = mc.c),
+             |agg AS (SELECT count(*) AS n_parts, sum(mc) AS intra,
+             |    sum(CAST(4 AS HUGEINT) * m.m * mc
+             |      - CAST(d AS HUGEINT) * d) AS num,
+             |    max(m.m) AS n_edges
+             |  FROM terms, m)
+             |SELECT CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+             |  CAST(coalesce(intra, 0) AS BIGINT) AS intra_edges,
+             |  CAST(n_parts AS BIGINT) AS n_parts,
+             |  CAST(CASE WHEN n_edges IS NULL OR n_edges = 0 THEN NULL
+             |    WHEN num >= 0 THEN (num * 10000)
+             |      // (4 * CAST(n_edges AS HUGEINT) * n_edges)
+             |    ELSE -(((-num) * 10000)
+             |      // (4 * CAST(n_edges AS HUGEINT) * n_edges))
+             |    END AS BIGINT) AS q_bp
+             |FROM agg""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

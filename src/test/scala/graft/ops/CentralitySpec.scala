@@ -129,4 +129,58 @@ class CentralitySpec extends SparkSpec {
     assert(runTri(pairs) === expected)
     assert(runTri(pairs, parts = 7) === expected)
   }
+
+  // ---- modularity of a given partition ----
+
+  private def runQ(edges: Seq[(Long, Long)], labels: Seq[(Long, String)]) =
+    graft.ops.Staged.withStaged {
+      Centrality.modularity(edges.toDF("a", "b"), "a", "b",
+          labels.toDF("id", "part"), "id", "part")
+        .as[(Long, Long, Long, Option[Long])].collect()(0)
+    }
+
+  /** BigInt rational reference: Q·10⁴ truncated toward zero. */
+  private def refQ(edges: Seq[(Long, Long)], labels: Map[Long, String]): Option[Long] = {
+    if (edges.isEmpty) return None
+    val m = BigInt(edges.size)
+    val parts = labels.values.toSet
+    val num = parts.toSeq.map { p =>
+      val mc = BigInt(edges.count(e => labels(e._1) == p && labels(e._2) == p))
+      val d = BigInt(edges.count(e => labels(e._1) == p) +
+        edges.count(e => labels(e._2) == p))
+      4 * m * mc - d * d
+    }.sum
+    val den = 4 * m * m
+    Some((if (num >= 0) num * 10000 / den else -((-num) * 10000 / den)).toLong)
+  }
+
+  test("modularity closed forms: two clean communities 5000, one blob 0, pure cross-cut -5000") {
+    // two disjoint triangles, each its own part
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val own = Seq(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 5L -> "y", 6L -> "y")
+    assert(runQ(tri2, own) === ((6L, 6L, 2L, Some(5000L))))
+    // the same graph, everything in one part: Q = 0 exactly
+    val blob = own.map { case (id, _) => id -> "all" }
+    assert(runQ(tri2, blob) === ((6L, 6L, 1L, Some(0L))))
+    // a perfect bipartite cut labeled by side: every edge crosses
+    val cross = Seq((1L, 4L), (2L, 5L), (3L, 6L))
+    assert(runQ(cross, own) === ((3L, 0L, 2L, Some(-5000L))))
+    // empty edge set: zeros and NULL Q
+    assert(runQ(Seq.empty, own) === ((0L, 0L, 0L, None)))
+  }
+
+  test("modularity equals the BigInt rational reference on generated graphs and labelings") {
+    Seq(3, 17, 41, 71, 89, 131).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 12
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val labels = (0L until n).map(i => i -> s"p${rnd.nextInt(3)}")
+      val got = runQ(edges, labels)
+      assert((got._1, got._4) === ((edges.size.toLong,
+        refQ(edges, labels.toMap))), s"seed=$seed")
+    }
+  }
 }

@@ -838,6 +838,12 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q198 modularity: labeled edge table staged, read by m/mc/degree sides; one-row output") {
+    val p = graft.ops.Staged.withStaged { plan("q198_source_modularity") }
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
