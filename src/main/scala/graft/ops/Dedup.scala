@@ -208,6 +208,66 @@ object Dedup {
         expr("__inter * 10000 DIV __un").as("jac_bp"))
   }
 
+  /** LSH parameter planner: for each candidate (bands b, rows r)
+    * banding of a b·r-hash MinHash signature, the EXPECTED cost of
+    * running it on THIS corpus — missed true pairs and spurious
+    * candidates — computed from the observed exact-Jaccard pair
+    * distribution rather than the folklore S-curve sketch. The
+    * MinHash property makes this principled: P[one hash collides] is
+    * EXACTLY J, so P[a band matches] = J^r and
+    * P[no band fires] = (1 − J^r)^b; summing those over the real
+    * pairs ≥/< the threshold prices each banding in expected pairs,
+    * and pairs sharing no shingle contribute exactly zero (J = 0), so
+    * restricting to the inverted-index pairs is not an approximation.
+    *
+    * Determinism: J^r rides exact integer powers
+    * (inter^r·10⁴ DIV union^r on DECIMAL(38,0) — union^4 ≈ 10²⁰ at
+    * 100 TB-sized shingle sets), and (1 − J^r)^b is a REPEATED
+    * SQUARING chain in the ×10⁴ domain (m ← m² DIV 10⁴, log₂ b
+    * steps, every intermediate < 10⁸) — truncating at most
+    * log₂(b)·10⁻⁴ below the real probability, identically on both
+    * engines. Configs must therefore have power-of-two b.
+    *
+    * Output one row per config: (n_bands, rows_per_band, n_true,
+    * exp_missed_x10k, n_below, exp_extra_x10k) — divide the _x10k
+    * columns by 10⁴ to read expected pair counts. */
+  def lshPlanner(idCol: String, textCol: String, n: Int, thresholdBp: Long,
+                 configs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4)),
+                 maxDf: Long = 1000L, tokensCol: Option[String] = None)
+                (df: DataFrame): DataFrame = {
+    require(configs.nonEmpty &&
+      configs.forall { case (b, _) => b > 0 && (b & (b - 1)) == 0 },
+      s"bands must be powers of two: $configs")
+    val pairs = Staged.stage(
+      shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
+        .select(col("inter").cast("decimal(38,0)").as("__i"),
+          (col("sz_a") + col("sz_b") - col("inter"))
+            .cast("decimal(38,0)").as("__u")))
+    def planFor(b: Int, r: Int): DataFrame = {
+      val iPow = (1 until r).foldLeft(col("__i")) { (acc, _) => acc * col("__i") }
+      val uPow = (1 until r).foldLeft(col("__u")) { (acc, _) => acc * col("__u") }
+      val squarings = Integer.numberOfTrailingZeros(b)
+      val chained = (0 until squarings).foldLeft(
+        pairs.withColumn("__ip", iPow).withColumn("__up", uPow)
+          .withColumn("__m",
+            lit(10000L) - expr("cast((__ip * 10000) DIV __up as bigint)"))
+      ) { (d, _) => d.withColumn("__m", expr("(__m * __m) DIV 10000")) }
+      val missAll = col("__m")
+      val isTrue = col("__i") * 10000 >= lit(thresholdBp) * col("__u")
+      chained.agg(
+        sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+        sum(when(isTrue, missAll).otherwise(0L)).as("exp_missed_x10k"),
+        sum(when(!isTrue, 1L).otherwise(0L)).as("n_below"),
+        sum(when(!isTrue, lit(10000L) - missAll).otherwise(0L))
+          .as("exp_extra_x10k"))
+        .select(lit(b).cast("long").as("n_bands"),
+          lit(r).cast("long").as("rows_per_band"),
+          col("n_true"), col("exp_missed_x10k"),
+          col("n_below"), col("exp_extra_x10k"))
+    }
+    configs.map { case (b, r) => planFor(b, r) }.reduce(_ unionByName _)
+  }
+
   /** Dedup-threshold sensitivity sweep — q171's operating-point
     * discipline applied to the near-dup family: one row per OBSERVED
     * Jaccard level with the cumulative cost of cutting there

@@ -5463,7 +5463,83 @@ object LlmQueries {
              |    ELSE -(((-num) * 10000)
              |      // (4 * CAST(n_edges AS HUGEINT) * n_edges))
              |    END AS BIGINT) AS q_bp
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // LSH parameter planner (q199): price each (bands, rows) MinHash
+    // banding on THIS corpus — expected missed true pairs and spurious
+    // candidates at t=0.3, from the observed exact-Jaccard pair
+    // distribution (P[band]=J^r exactly by the MinHash property;
+    // (1-J^r)^b via the quantized squaring chain, identical on both
+    // engines). The q91 choice (8x4) stops being folklore: the table
+    // says what it misses and what (32,1)/(16,2) would cost instead.
+    Q("q199_lsh_planner",
+      (s, d) => Tables.documents(s, d)
+        .transform(Dedup.lshPlanner("doc_id", "text", 3, 3000L)),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+             |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+             |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents))),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |    count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+             |  GROUP BY 1, 2),
+             |p AS (SELECT CAST(inter AS HUGEINT) AS i,
+             |    CAST(sa.sz + sb.sz - inter AS HUGEINT) AS u
+             |  FROM inter JOIN sizes sa ON doc_a = sa.doc
+             |  JOIN sizes sb ON doc_b = sb.doc),
+             |a0 AS (SELECT i, u, 10000 - (i * 10000 // u) AS m FROM p),
+             |a1 AS (SELECT i, u, (m * m) // 10000 AS m FROM a0),
+             |a2 AS (SELECT i, u, (m * m) // 10000 AS m FROM a1),
+             |a3 AS (SELECT i, u, (m * m) // 10000 AS m FROM a2),
+             |a4 AS (SELECT i, u, (m * m) // 10000 AS m FROM a3),
+             |a5 AS (SELECT i, u, (m * m) // 10000 AS m FROM a4),
+             |b0 AS (SELECT i, u,
+             |    10000 - (i * i * 10000 // (u * u)) AS m FROM p),
+             |b1 AS (SELECT i, u, (m * m) // 10000 AS m FROM b0),
+             |b2 AS (SELECT i, u, (m * m) // 10000 AS m FROM b1),
+             |b3 AS (SELECT i, u, (m * m) // 10000 AS m FROM b2),
+             |b4 AS (SELECT i, u, (m * m) // 10000 AS m FROM b3),
+             |c0 AS (SELECT i, u,
+             |    10000 - (i * i * i * i * 10000 // (u * u * u * u)) AS m
+             |  FROM p),
+             |c1 AS (SELECT i, u, (m * m) // 10000 AS m FROM c0),
+             |c2 AS (SELECT i, u, (m * m) // 10000 AS m FROM c1),
+             |c3 AS (SELECT i, u, (m * m) // 10000 AS m FROM c2)
+             |SELECT CAST(32 AS BIGINT) AS n_bands,
+             |  CAST(1 AS BIGINT) AS rows_per_band,
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |    AS BIGINT) AS exp_missed_x10k,
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_below,
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |    ELSE 0 END) AS BIGINT) AS exp_extra_x10k
+             |FROM a5
+             |UNION ALL
+             |SELECT CAST(16 AS BIGINT), CAST(2 AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |    ELSE 0 END) AS BIGINT)
+             |FROM b4
+             |UNION ALL
+             |SELECT CAST(8 AS BIGINT), CAST(4 AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |    ELSE 0 END) AS BIGINT)
+             |FROM c3""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

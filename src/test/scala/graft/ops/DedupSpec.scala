@@ -789,6 +789,82 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 1L && p._2 == 3L), "below-threshold excluded")
   }
 
+  // BigInt reference for the LSH planner's quantized probability chain
+  private def refPlan(docs: Seq[(Long, String)], n: Int, tBp: Long,
+                      b: Int, r: Int): (Long, Long, Long, Long) = {
+    val sets = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      id -> (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val stats = for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      inter = sets(i)._2.intersect(sets(j)._2).size if inter > 0
+    } yield (BigInt(inter), BigInt(sets(i)._2.size + sets(j)._2.size - inter))
+    var (nT, missed, nB, extra) = (0L, 0L, 0L, 0L)
+    stats.foreach { case (i, u) =>
+      val jr = i.pow(r) * 10000 / u.pow(r)
+      var m = 10000 - jr
+      (0 until Integer.numberOfTrailingZeros(b)).foreach(_ => m = m * m / 10000)
+      if (i * 10000 >= tBp * u) { nT += 1; missed += m.toLong }
+      else { nB += 1; extra += 10000L - m.toLong }
+    }
+    (nT, missed, nB, extra)
+  }
+
+  test("lshPlanner equals the BigInt quantized chain; probabilities near the analytic S-curve") {
+    Seq(11, 31, 47, 73, 101, 127).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 22L).map { id =>
+        val words = (0 until 5 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(6)}")
+        (id, words.mkString(" "))
+      }
+      val got = graft.ops.Staged.withStaged {
+        docs.toDF("doc_id", "text")
+          .transform(Dedup.lshPlanner("doc_id", "text", 3, 3000L))
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+          .map(x => (x._1.toInt, x._2.toInt) -> (x._3, x._4, x._5, x._6)).toMap
+      }
+      Seq((32, 1), (16, 2), (8, 4)).foreach { case (b, r) =>
+        assert(got((b, r)) === refPlan(docs, 3, 3000L, b, r),
+          s"seed=$seed b=$b r=$r")
+      }
+    }
+    // quantization sanity: the chain sits within log2(b) squarings'
+    // compounded truncation of the analytic (1 - j^r)^b
+    def chain(jBp: Long, b: Int, r: Int): Double = {
+      val jr = BigInt(jBp).pow(r) * 10000 / BigInt(10000).pow(r)
+      var m = BigInt(10000) - jr
+      (0 until Integer.numberOfTrailingZeros(b)).foreach(_ => m = m * m / 10000)
+      m.toDouble / 10000
+    }
+    for (jBp <- Seq(1000L, 3000L, 5000L, 8000L); (b, r) <- Seq((32, 1), (16, 2), (8, 4))) {
+      val exact = math.pow(1 - math.pow(jBp / 10000.0, r), b)
+      assert(math.abs(chain(jBp, b, r) - exact) < 0.02,
+        s"j=$jBp b=$b r=$r chain=${chain(jBp, b, r)} exact=$exact")
+    }
+  }
+
+  test("lshPlanner closed forms: exact duplicates are never missed; banding trades extras for misses") {
+    val docs = Seq(
+      (1L, "d1 d2 d3 d4 d5 d6"), (2L, "d1 d2 d3 d4 d5 d6"), // J = 1
+      (3L, "d1 d2 d3 x1 x2 x3 x4 x5 x6 x7"))                // low-J neighbor
+    val out = graft.ops.Staged.withStaged {
+      docs.toDF("doc_id", "text")
+        .transform(Dedup.lshPlanner("doc_id", "text", 3, 3000L))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(x => (x._1.toInt, x._2.toInt) -> (x._3, x._4, x._5, x._6)).toMap
+    }
+    Seq((32, 1), (16, 2), (8, 4)).foreach { case (b, r) =>
+      val (nT, missed, nB, _) = out((b, r))
+      assert(nT === 1L && missed === 0L, s"J=1 pair immune at ($b,$r)")
+      assert(nB === 2L)
+    }
+    // more rows per band = stricter bands = fewer spurious candidates
+    val extras = Seq((32, 1), (16, 2), (8, 4)).map(c => out(c)._4)
+    assert(extras === extras.sorted.reverse && extras.head > extras.last,
+      s"extra candidates must fall as r rises: $extras")
+  }
+
   // plain-Scala maskDupSpans reference: flag every position covered by
   // a >1-occurrence n-window anywhere in the corpus, rejoin survivors
   private def refMask(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Long, Long)] = {

@@ -844,6 +844,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q199 LSH planner: one staged pair-stats table feeds all three config aggregates") {
+    val p = graft.ops.Staged.withStaged { plan("q199_lsh_planner") }
+    // the pair join runs once; each (b, r) config is an aggregate over
+    // the cache, unioned
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert("Union".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
