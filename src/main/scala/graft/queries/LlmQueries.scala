@@ -5539,7 +5539,111 @@ object LlmQueries {
              |    AS BIGINT),
              |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
              |    ELSE 0 END) AS BIGINT)
-             |FROM c3""".stripMargin))
+             |FROM c3""".stripMargin)),
+
+    // Release pipeline (q200): the sixth-session operators composed
+    // end to end — duplicate-span masking (q194, empty hulls dropped)
+    // → exact dedup on the CLEANED text (masking makes near-dups
+    // byte-identical, so exact dedup now catches them) → max-min-fair
+    // 80% budget cut (q187/q193) → Merkle manifest of the release
+    // (q190). The output IS the release certificate: shard hashes +
+    // root. One hash-oracled query proving the whole chain is
+    // cross-engine byte-deterministic.
+    Q("q200_release_pipeline",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val deduped = docs
+          .transform(Dedup.maskDupSpans("doc_id", "text", 5))
+          .filter(col("clean_text") =!= "")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .withColumn("__keep",
+            min("doc_id").over(w.partitionBy(md5(col("clean_text")))))
+          .filter(col("doc_id") === col("__keep"))
+          .withColumn("n_clean", length(col("clean_text")).cast("long"))
+        val kept = Sampling.waterfillSample(
+            deduped, "doc_id", "source", "n_clean", 8000L)
+          .select("doc_id")
+        CorpusManifest.releaseManifest("doc_id", "clean_text", 100L)(
+          deduped.join(kept, Seq("doc_id")))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id, u.ws AS ws, u.h AS h FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      range(greatest(len(w) - 4, 0)),
+             |      i -> struct_pack(ws := i,
+             |        h := md5(array_to_string(w[i+1:i+5], ' '))))) AS u
+             |    FROM w)),
+             |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+             |f AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(5), k -> ws + k)) AS pos
+             |  FROM g JOIN dup USING (h)),
+             |t AS (SELECT doc_id, u.pos AS pos, u.t AS tok FROM (
+             |    SELECT doc_id, unnest(list_transform(range(len(w)),
+             |      i -> struct_pack(pos := i, t := w[i+1]))) AS u
+             |    FROM w)),
+             |k AS (SELECT t.doc_id, t.pos, t.tok FROM t
+             |  LEFT JOIN f ON t.doc_id = f.doc_id AND t.pos = f.pos
+             |  WHERE f.pos IS NULL),
+             |cl AS (SELECT k.doc_id,
+             |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |  FROM k GROUP BY 1),
+             |ms AS (SELECT cl.doc_id, cl.clean_text, d.source
+             |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+             |  WHERE cl.clean_text <> ''),
+             |dd AS (SELECT doc_id, clean_text, source FROM (
+             |    SELECT ms.*, min(doc_id) OVER (
+             |      PARTITION BY md5(clean_text)) AS keep FROM ms)
+             |  WHERE doc_id = keep),
+             |sz AS (SELECT doc_id, clean_text, source,
+             |    CAST(len(clean_text) AS BIGINT) AS n_clean FROM dd),
+             |a AS (SELECT source, CAST(sum(n_clean) AS BIGINT) AS avail
+             |  FROM sz GROUP BY 1),
+             |tt AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+             |  FROM a),
+             |s AS (SELECT source, avail,
+             |    row_number() OVER (ORDER BY avail, source) AS rn,
+             |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS HUGEINT) AS p
+             |  FROM a),
+             |s2 AS (SELECT s.source, s.avail, s.rn, s.p,
+             |    tt.tot * 8000 // 10000 AS b, tt.n - s.rn + 1 AS m,
+             |    (CAST(s.avail AS HUGEINT) * (tt.n - s.rn + 1) + s.p
+             |      <= tt.tot * 8000 // 10000) AS sat
+             |  FROM s, tt),
+             |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+             |  ORDER BY rn LIMIT 1),
+             |al AS (SELECT s2.source,
+             |    CAST(CASE WHEN sat THEN avail
+             |      ELSE (b - pp) // pm +
+             |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+             |      END AS BIGINT) AS alloc
+             |  FROM s2 LEFT JOIN pv ON TRUE),
+             |rr AS (SELECT doc_id, clean_text, sz.source, n_clean,
+             |    sum(n_clean) OVER (PARTITION BY sz.source
+             |      ORDER BY md5('wf:' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM sz),
+             |kept AS (SELECT rr.doc_id, rr.clean_text FROM rr
+             |  JOIN al ON rr.source = al.source WHERE rr.cum <= al.alloc),
+             |hh AS (SELECT doc_id // 100 AS shard, doc_id,
+             |    md5(CAST(doc_id AS VARCHAR) || ':' || clean_text) AS h,
+             |    len(clean_text) AS nc
+             |  FROM kept),
+             |ss AS (SELECT shard, count(*) AS n_docs,
+             |    CAST(sum(nc) AS BIGINT) AS n_chars,
+             |    md5(string_agg(h, '' ORDER BY doc_id)) AS shard_hash
+             |  FROM hh GROUP BY 1),
+             |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard))
+             |    AS root_hash FROM ss)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+             |  shard_hash, root_hash
+             |FROM ss, rt""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

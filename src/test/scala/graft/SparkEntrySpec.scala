@@ -65,4 +65,34 @@ class SparkEntrySpec extends SparkSpec {
     }
     assert(rows.map(_._4).sum === packed)
   }
+
+  test("q200 release pipeline: stage accounting reconciles and the root hash is deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def run() = graft.ops.Staged.withStaged {
+      SparkEntry.queries("q200_release_pipeline")(spark, sf)
+        .as[(Long, Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    }
+    val m1 = run()
+    assert(m1 === run(), "the whole chain is run-to-run deterministic")
+    // stage accounting: released docs = masked-nonempty, deduped,
+    // budget-kept — recompute the first two stages independently
+    val docs = graft.Tables.documents(spark, sf)
+    val stage = graft.ops.Staged.withStaged {
+      val masked = docs.transform(graft.ops.Dedup.maskDupSpans("doc_id", "text", 5))
+        .filter(col("clean_text") =!= "")
+      val nMasked = masked.count()
+      val nDeduped = masked.select(md5(col("clean_text"))).distinct().count()
+      (nMasked, nDeduped)
+    }
+    val released = m1.map(_._2).sum
+    assert(released <= stage._2 && stage._2 <= stage._1,
+      s"released=$released deduped=${stage._2} masked=${stage._1}")
+    // the 80% budget genuinely cuts, but never below 60% of the
+    // deduped mass (max-min fairness wastes nothing)
+    assert(released > stage._2 * 6 / 10 && released < stage._2)
+    // every shard's id range respects the manifest grain
+    assert(m1.forall(r => r._1 >= 0 && r._2 <= 100))
+  }
 }

@@ -853,6 +853,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q200 release pipeline: the chain keeps every stage's plan shape — no SMJ, no cartesian") {
+    val p = graft.ops.Staged.withStaged { plan("q200_release_pipeline") }
+    assert(!p.contains("CartesianProduct"), p)
+    // masking's staged tables + the manifest aggregate both present
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("partial_collect_list"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
