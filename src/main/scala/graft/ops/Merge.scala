@@ -62,6 +62,45 @@ object Merge {
     lastWriterWins(keys, col("__src").desc +: version)(tagged).drop("__src")
   }
 
+  /** SCD Type-2 history builder — the auditable upgrade of the
+    * reference's destructive upsert (src/main_01.py:255-305 UPDATEs in
+    * place and forgets): from a stack of keyed snapshot VERSIONS,
+    * build validity intervals — one row per (key, contiguous run of
+    * an unchanged value), `(id, val, valid_from, valid_to)` with
+    * `valid_to` NULL while current. Deletions close the open interval
+    * (an absent version is a real state, not a gap to paper over) and
+    * re-appearances open a new one — the delete/re-add lifecycle a
+    * plain change-log loses.
+    *
+    * Mechanics: the (key × version) grid (versions are few and
+    * broadcast; the grid is |keys|·|versions| rows) left-joins the
+    * observations so absence is an explicit NULL state; change points
+    * fall out of one null-safe `lag` comparison, intervals from one
+    * `lead` over the change points — two window passes on the same
+    * per-key Exchange, never a self-join per version pair. All
+    * set/compare logic is null-safe equality: no sentinel values, no
+    * special-cased first version. */
+  def scd2History(df: DataFrame, versionCol: String, idCol: String,
+                  valCol: String): DataFrame = {
+    val vals = df.select(col(versionCol).cast("long").as("__v"),
+      col(idCol).as("__id"), col(valCol).as("__val"))
+    val versions = vals.select("__v").distinct()
+    val grid = vals.select("__id").distinct()
+      .crossJoin(broadcast(versions))
+    val w = Window.partitionBy("__id").orderBy("__v")
+    grid.join(vals, Seq("__id", "__v"), "left")
+      .withColumn("__prev", lag(col("__val"), 1).over(w))
+      // a change point: value differs null-safely from the previous
+      // version's state (lag = NULL before v0 ≡ absent, so appearing
+      // at v0 is itself a change — no special-cased first version)
+      .filter(!(col("__val") <=> col("__prev")))
+      .withColumn("__to", lead(col("__v"), 1).over(w) - 1L)
+      // presence intervals only; absence rows exist to CLOSE them
+      .filter(col("__val").isNotNull)
+      .select(col("__id").as(idCol), col("__val").as(valCol),
+        col("__v").as("valid_from"), col("__to").as("valid_to"))
+  }
+
   /** Three-way snapshot merge — the reconciliation member of the
     * versioning suite (q66 diffs two snapshots, q190/q192 certify one,
     * this merges two lines of edits off a common BASE, the VCS rule

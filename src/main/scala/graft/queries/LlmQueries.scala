@@ -5643,7 +5643,56 @@ object LlmQueries {
              |SELECT CAST(shard AS BIGINT) AS shard,
              |  CAST(n_docs AS BIGINT) AS n_docs, n_chars,
              |  shard_hash, root_hash
-             |FROM ss, rt""".stripMargin))
+             |FROM ss, rt""".stripMargin)),
+
+    // SCD Type-2 history (q201): the auditable upgrade of the
+    // reference's destructive upsert — three snapshot versions
+    // (v0 base; v1 drops %11, edits %6; v2 drops %5, edits %9,
+    // rebuilt FROM BASE so %11-not-%5 docs delete-then-REAPPEAR)
+    // become validity intervals (valid_to NULL while current).
+    // Deletions close intervals; re-appearances open new ones.
+    Q("q201_scd2_history",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val snaps = base.select(lit(0L).as("version"), col("doc_id"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 11 =!= 0)
+            .select(lit(1L).as("version"), col("doc_id"),
+              when(col("doc_id") % 6 === 0, concat(lit("A "), col("text")))
+                .otherwise(col("text")).as("text")))
+          .unionByName(base.filter(col("doc_id") % 5 =!= 0)
+            .select(lit(2L).as("version"), col("doc_id"),
+              when(col("doc_id") % 9 === 0, concat(lit("B "), col("text")))
+                .otherwise(col("text")).as("text")))
+        graft.ops.Merge.scd2History(snaps, "version", "doc_id", "text")
+      },
+      Some("""WITH sn AS (
+             |  SELECT 0 AS v, doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 1, doc_id, CASE WHEN doc_id % 6 = 0
+             |    THEN 'A ' || text ELSE text END
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT 2, doc_id, CASE WHEN doc_id % 9 = 0
+             |    THEN 'B ' || text ELSE text END
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |ids AS (SELECT DISTINCT doc_id FROM sn),
+             |vs AS (SELECT DISTINCT v FROM sn),
+             |grid AS (SELECT ids.doc_id, vs.v FROM ids, vs),
+             |st AS (SELECT g.doc_id, g.v, x.text FROM grid g
+             |  LEFT JOIN sn x ON g.doc_id = x.doc_id AND g.v = x.v),
+             |ch AS (SELECT * FROM (
+             |    SELECT doc_id, v, text,
+             |      lag(text) OVER (PARTITION BY doc_id ORDER BY v) AS prev
+             |    FROM st)
+             |  WHERE NOT (text IS NOT DISTINCT FROM prev)),
+             |iv AS (SELECT doc_id, text, v AS valid_from,
+             |    lead(v) OVER (PARTITION BY doc_id ORDER BY v) - 1
+             |      AS valid_to
+             |  FROM ch)
+             |SELECT doc_id, text,
+             |  CAST(valid_from AS BIGINT) AS valid_from,
+             |  CAST(valid_to AS BIGINT) AS valid_to
+             |FROM iv WHERE text IS NOT NULL""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

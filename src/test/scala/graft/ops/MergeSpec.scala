@@ -64,6 +64,59 @@ class MergeSpec extends SparkSpec {
     assert(m.size === 4)
   }
 
+  test("scd2History lifecycle matrix: stable, edit, delete, reappear, late add, revert") {
+    val snaps = Seq(
+      // (version, id, value)
+      (0L, 1L, "stable"), (1L, 1L, "stable"), (2L, 1L, "stable"),
+      (0L, 2L, "v0"), (1L, 2L, "v1"), (2L, 2L, "v1"),        // edit at v1
+      (0L, 3L, "gone"),                                       // deleted at v1
+      (0L, 4L, "x"), (2L, 4L, "x"),                           // delete + reappear
+      (1L, 5L, "late"), (2L, 5L, "late"),                     // appears at v1
+      (0L, 6L, "a"), (1L, 6L, "b"), (2L, 6L, "a"))            // revert at v2
+      .toDF("version", "doc_id", "text")
+    val out = Merge.scd2History(snaps, "version", "doc_id", "text")
+      .as[(Long, String, Long, Option[Long])].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._2).toSeq }
+    assert(out(1L) === Seq(("stable", 0L, None)))
+    assert(out(2L) === Seq(("v0", 0L, Some(0L)), ("v1", 1L, None)))
+    assert(out(3L) === Seq(("gone", 0L, Some(0L))))
+    assert(out(4L) === Seq(("x", 0L, Some(0L)), ("x", 2L, None)),
+      "reappearance opens a NEW interval — the gap is real history")
+    assert(out(5L) === Seq(("late", 1L, None)))
+    assert(out(6L) === Seq(("a", 0L, Some(0L)), ("b", 1L, Some(1L)),
+      ("a", 2L, None)), "a revert is a third interval, not a merge")
+  }
+
+  test("scd2History inverts: every snapshot reconstructs exactly from the intervals") {
+    Seq(5, 23, 47, 79, 103, 131).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = for {
+        v <- 0L to 3L; id <- 0L until 15L
+        if rnd.nextDouble() < 0.7 // presence is random per version
+      } yield (v, id, s"val${rnd.nextInt(3)}")
+      val out = Merge.scd2History(rows.toDF("version", "doc_id", "text"),
+          "version", "doc_id", "text")
+        .as[(Long, String, Long, Option[Long])].collect()
+      // intervals per doc never overlap
+      out.groupBy(_._1).values.foreach { ivs =>
+        val sorted = ivs.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.isDefined && a._4.get < b._3, s"overlap: $a $b")
+          case _ =>
+        }
+      }
+      // reconstruction: state at every version == the input snapshot
+      (0L to 3L).foreach { v =>
+        val rebuilt = out.filter(r => r._3 <= v && r._4.forall(_ >= v))
+          .map(r => r._1 -> r._2).toMap
+        val want = rows.filter(_._1 == v).map(r => r._2 -> r._3).toMap
+        assert(rebuilt === want, s"seed=$seed version=$v")
+      }
+    }
+  }
+
   test("threeWayMerge covers the full reconciliation matrix") {
     // one id per cell of the matrix
     val base = Seq(

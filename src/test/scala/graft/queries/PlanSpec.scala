@@ -861,6 +861,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p)
   }
 
+  test("q201 SCD2: the grid's version side broadcasts; both windows share the per-key Exchange") {
+    val p = plan("q201_scd2_history")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // lag + lead both ride hashpartitioning(__id) — exactly one
+    // corpus-grain window Exchange
+    assert("Exchange hashpartitioning\\(__id#".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
