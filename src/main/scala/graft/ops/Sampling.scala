@@ -481,15 +481,33 @@ object Sampling {
     * window (never a global sort) and the scan-side hash. Emits the
     * kept (idCol, source, sizeCol) rows. */
   def waterfillSample(df: DataFrame, idCol: String, groupCol: String,
-                      sizeCol: String, budgetBp: Long): DataFrame = {
+                      sizeCol: String, budgetBp: Long): DataFrame =
+    waterfillSampleBy(df, idCol, groupCol, sizeCol, budgetBp,
+      Seq(md5(concat(lit("wf:"), col(idCol).cast("string")))))
+
+  /** [[waterfillSample]] with an explicit intra-source PRIORITY: the
+    * cut keeps documents in `orderCols` order (ties broken by id)
+    * until the source's allocation is exhausted — the production form
+    * of a budget cut, which should shed the WORST documents, not
+    * hash-random ones (pass a quality score descending). The
+    * nested-samples property survives any fixed ordering: the order
+    * doesn't depend on the budget, so raising the budget still only
+    * extends each source's kept prefix. */
+  def waterfillSampleBy(df: DataFrame, idCol: String, groupCol: String,
+                        sizeCol: String, budgetBp: Long,
+                        orderCols: Seq[Column]): DataFrame = {
     val alloc = waterfillBudget(df, groupCol, sizeCol, budgetBp)
       .select(col("source"), col("alloc"))
+    // materialize the priority expressions scan-side so the pruned
+    // projection can still order by them (they may read columns —
+    // text, scores — the output doesn't carry)
+    val ord = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
-      .orderBy(md5(concat(lit("wf:"), col(idCol).cast("string"))), col(idCol))
+      .orderBy(orderCols.indices.map(i => col(s"__ord$i")) :+ col(idCol): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.select(col(idCol), col(groupCol).as("source"),
-        col(sizeCol).cast("long").as(sizeCol))
+    df.select(Seq(col(idCol), col(groupCol).as("source"),
+        col(sizeCol).cast("long").as(sizeCol)) ++ ord: _*)
       .join(broadcast(alloc), Seq("source"))
       .withColumn("__cum", sum(col(sizeCol)).over(w))
       .filter(col("__cum") <= col("alloc"))

@@ -5692,7 +5692,67 @@ object LlmQueries {
              |SELECT doc_id, text,
              |  CAST(valid_from AS BIGINT) AS valid_from,
              |  CAST(valid_to AS BIGINT) AS valid_to
-             |FROM iv WHERE text IS NOT NULL""".stripMargin))
+             |FROM iv WHERE text IS NOT NULL""".stripMargin)),
+
+    // Quality-aware waterfill (q202): q193's budget cut with the keep
+    // order a production pipeline actually wants — shed the WORST
+    // documents first, not hash-random ones. Priority = distinct-token
+    // density (10^4 − uniq_bp ascending: most-unique kept first,
+    // templated spam cut first); the nested-in-budget property
+    // survives any fixed ordering. Same 95% budget as q193 — the diff
+    // between the two kept sets is exactly "what quality-awareness
+    // buys".
+    Q("q202_quality_waterfill",
+      (s, d) => Sampling.waterfillSampleBy(
+        Tables.documents(s, d), "doc_id", "source", "n_chars", 9500L,
+        Seq(expr("""10000 - coalesce(
+          cast((size(array_distinct(filter(split(trim(text), '\\s+'),
+            x -> x != ''))) * 10000L) DIV
+            size(filter(split(trim(text), '\\s+'), x -> x != ''))
+            as bigint), 0)""")))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
+      Some("""WITH a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+             |  FROM a),
+             |s AS (SELECT source, avail,
+             |    row_number() OVER (ORDER BY avail, source) AS rn,
+             |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS HUGEINT) AS p
+             |  FROM a),
+             |s2 AS (SELECT s.source, s.avail, s.rn, s.p,
+             |    t.tot * 9500 // 10000 AS b,
+             |    t.n - s.rn + 1 AS m,
+             |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
+             |      <= t.tot * 9500 // 10000) AS sat
+             |  FROM s, t),
+             |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+             |  ORDER BY rn LIMIT 1),
+             |al AS (SELECT s2.source,
+             |    CAST(CASE WHEN sat THEN avail
+             |      ELSE (b - pp) // pm +
+             |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+             |      END AS BIGINT) AS alloc
+             |  FROM s2 LEFT JOIN pv ON TRUE),
+             |pr AS (SELECT doc_id, source,
+             |    CAST(n_chars AS BIGINT) AS n_chars,
+             |    10000 - coalesce(CAST(len(list_distinct(
+             |        list_filter(string_split_regex(trim(text), '\s+'),
+             |          x -> x <> ''))) * 10000
+             |      // len(list_filter(string_split_regex(trim(text), '\s+'),
+             |          x -> x <> '')) AS BIGINT), 0) AS ord0
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY ord0, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM pr)
+             |SELECT r.doc_id, r.source, r.n_chars
+             |FROM r JOIN al ON r.source = al.source
+             |WHERE r.cum <= al.alloc""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

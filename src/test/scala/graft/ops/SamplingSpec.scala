@@ -553,6 +553,36 @@ class SamplingSpec extends SparkSpec {
     assert(sets.head.nonEmpty && sets.head.size < sets.last.size)
   }
 
+  test("waterfillSampleBy sheds the worst documents first and stays nested in the budget") {
+    // one source, five docs of 10 chars each: three unique-rich, two
+    // templated (all-repeated tokens -> uniq_bp low -> ord key high)
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma", 10L),
+      (2L, "s", "spam spam spam spam", 10L),
+      (3L, "s", "delta epsilon zeta", 10L),
+      (4L, "s", "dup dup dup dup dup", 10L),
+      (5L, "s", "eta theta iota", 10L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val pri = Seq(org.apache.spark.sql.functions.expr(
+      """10000 - coalesce(
+        cast((size(array_distinct(filter(split(trim(text), '\\s+'),
+          x -> x != ''))) * 10000L) DIV
+          size(filter(split(trim(text), '\\s+'), x -> x != ''))
+          as bigint), 0)"""))
+    // budget 60% of 50 = 30 chars = exactly the three unique-rich docs
+    val kept = Staged.withStaged {
+      Sampling.waterfillSampleBy(docs, "doc_id", "source", "n_chars", 6000L, pri)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(kept === Set(1L, 3L, 5L), s"templated docs must be cut first: $kept")
+    // nested: the 80% budget (40 chars) adds a templated doc, drops none
+    val wider = Staged.withStaged {
+      Sampling.waterfillSampleBy(docs, "doc_id", "source", "n_chars", 8000L, pri)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(kept.subsetOf(wider) && wider.size === 4)
+  }
+
   test("waterfill at full budget keeps everything; surplus shows as leftover") {
     val df = Seq(("a", 7L), ("b", 11L)).toDF("source", "n")
     val full = Staged.withStaged {
