@@ -252,6 +252,45 @@ object EventAnalytics {
     * the batch query's `is_current = 1` row (status + valid_from) plus
     * the user's interval COUNT, over whatever prefix has been
     * delivered. Input tuples are (epoch-µs, event id, status). */
+  /** Watermark planner: for each candidate watermark delay W, the
+    * events a Structured-Streaming job would DROP as too-late —
+    * measured on the micro-batch model the engine actually runs:
+    * arrival is bucketed (a bucket ≈ one micro-batch; intra-batch
+    * order is invisible to watermarking, which is exactly Spark's
+    * semantics), the watermark is the running max event time over
+    * PRIOR buckets, and an event drops iff its time sits more than W
+    * behind that. The output table prices the latency/completeness
+    * trade the `withWatermark` duration hard-codes: pick the W where
+    * dropped_bp meets the pipeline's loss budget instead of copying
+    * "10 minutes" from the docs (the q196/q199 measure-then-configure
+    * discipline, applied to streaming).
+    *
+    * Exact integers end to end. Shape: one bucket-grain max aggregate
+    * with map-side partials, the cumulative-max/lag window on the
+    * BUCKET-domain table (ksDrift discipline), a co-partitioned join
+    * back, and one aggregate per grid point over the staged joined
+    * table — the corpus is touched once however long the grid. */
+  def watermarkPlanner(events: DataFrame, bucketCol: Column, tsUsCol: Column,
+                       gridSeconds: Seq[Long]): DataFrame = {
+    require(gridSeconds.nonEmpty, "need at least one watermark candidate")
+    val e = Staged.stage(events.select(bucketCol.as("__b"), tsUsCol.as("__us")))
+    val wOrd = Window.orderBy("__b")
+    val cm = e.groupBy("__b").agg(max("__us").as("__mx"))
+      .withColumn("__cm",
+        max("__mx").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__pm", lag(col("__cm"), 1).over(wOrd))
+      .select("__b", "__pm")
+    val joined = Staged.stage(e.join(cm, Seq("__b")))
+    gridSeconds.map { w =>
+      joined.agg(count(lit(1)).as("n_events"),
+          sum(when(col("__us") < col("__pm") - lit(w * 1000000L), 1L)
+            .otherwise(0L)).as("n_dropped"))
+        .select(lit(w).cast("long").as("watermark_s"),
+          col("n_events"), col("n_dropped"),
+          expr("n_dropped * 10000 DIV n_events").as("dropped_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   def currentStatusFromLog(log: Iterable[(Long, Long, String)])
       : (String, Long, Long) = {
     val s = log.toIndexedSeq.sortBy(e => (e._1, e._2))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{KmvSketchAgg, Num, TextFunctions, VectorFunctions}
-import graft.ops.{Centrality, Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, Skew, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
+import graft.ops.{Centrality, Collocations, Constraints, Coreset, CorpusManifest, Coverage, Dedup, EventAnalytics, Skew, IncrementalDedup, LinearModel, Privacy, Retrieval, Sampling, Similarity, Sketches, Skyline, Spectral, Stats, VocabStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -5752,7 +5752,42 @@ object LlmQueries {
              |  FROM pr)
              |SELECT r.doc_id, r.source, r.n_chars
              |FROM r JOIN al ON r.source = al.source
-             |WHERE r.cum <= al.alloc""".stripMargin))
+             |WHERE r.cum <= al.alloc""".stripMargin)),
+
+    // Watermark planner (q203): at watermark delay W, how many events
+    // would a streaming job drop? Measured on the micro-batch model
+    // (bucket = one batch; watermark = running max over PRIOR
+    // buckets). This event table arrives perfectly ordered, so the
+    // query feeds the operator a SIMULATED client-upload schedule —
+    // user_id % 3 hours of batching delay, the q58/q66 derived-
+    // scenario discipline — and the curve reads the injected delays
+    // back: heavy drops at W=0, zero at W >= 2h. Pick W off this
+    // table, not from the docs.
+    Q("q203_watermark_planner",
+      (s, d) => EventAnalytics.watermarkPlanner(
+        Tables.events(s, d),
+        expr("unix_micros(ts) DIV 3600000000") + col("user_id") % 3,
+        expr("unix_micros(ts)"),
+        Seq(0L, 1800L, 3600L, 5400L, 7200L, 10800L)),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us,
+             |    epoch_us(ts) // 3600000000 + user_id % 3 AS b
+             |  FROM events),
+             |bm AS (SELECT b, max(us) AS mx FROM e GROUP BY 1),
+             |c1 AS (SELECT b, max(mx) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+             |  FROM bm),
+             |cm AS (SELECT b, lag(cm) OVER (ORDER BY b) AS pm FROM c1),
+             |j AS (SELECT e.us, cm.pm FROM e JOIN cm ON e.b = cm.b),
+             |g AS (SELECT CAST(unnest([0, 1800, 3600, 5400, 7200, 10800])
+             |    AS BIGINT) AS watermark_s)
+             |SELECT CAST(g.watermark_s AS BIGINT) AS watermark_s,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN j.us < j.pm - g.watermark_s * 1000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |  CAST(sum(CASE WHEN j.us < j.pm - g.watermark_s * 1000000
+             |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             |    AS dropped_bp
+             |FROM j, g GROUP BY g.watermark_s""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -218,4 +218,56 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => (r._1, r._2)).toSet
     assert(out === Set(("X", "Y"), ("Y", "Z")))
   }
+
+  test("watermarkPlanner: boundary semantics, first-batch immunity, monotone curve") {
+    import org.apache.spark.sql.functions._
+    // bucket 0 ends at t=10_000s; bucket 1 carries an event exactly
+    // 3600 s late and one exactly 5400 s late; bucket 2 is clean
+    val rows = Seq(
+      (0L, 9000L), (0L, 10000L),          // first batch: pm NULL, immune
+      (1L, 10000L - 3600L), (1L, 10000L - 5400L), (1L, 10500L),
+      (2L, 11000L))
+      .map { case (b, s) => (b, s * 1000000L) }
+      .toDF("b", "us")
+    val out = graft.ops.Staged.withStaged {
+      EventAnalytics.watermarkPlanner(rows, col("b"), col("us"),
+          Seq(0L, 1800L, 3600L, 5400L))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    }
+    // W=0: both late events drop; W=1800: both (3600 > 1800, 5400 >
+    // 1800); W=3600: ONLY the 5400 s one — an event exactly W behind
+    // the watermark is KEPT (Spark keeps ts >= watermark); W=5400: none
+    assert(out === Map(0L -> 2L, 1800L -> 2L, 3600L -> 1L, 5400L -> 0L))
+  }
+
+  test("watermarkPlanner equals a sequential replay on generated disorder") {
+    import org.apache.spark.sql.functions._
+    Seq(7, 29, 53, 83, 109, 137).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 200).map { i =>
+        (i.toLong / 20L, (i * 100L + rnd.nextInt(5000) - 2500L) * 1000000L)
+      }
+      val grid = Seq(0L, 500L, 2000L, 5000L)
+      val got = graft.ops.Staged.withStaged {
+        EventAnalytics.watermarkPlanner(rows.toDF("b", "us"),
+            col("b"), col("us"), grid)
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      // reference: per bucket, prior-buckets max; strict-less drop rule
+      val byB = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      val maxes = byB.map { case (b, rs) => b -> rs.map(_._2).max }
+      val pm = maxes.indices.map { i =>
+        maxes(i)._1 -> (if (i == 0) None
+          else Some(maxes.take(i).map(_._2).max))
+      }.toMap
+      grid.foreach { w =>
+        val dropped = rows.count { case (b, us) =>
+          pm(b).exists(p => us < p - w * 1000000L) }
+        assert(got(w) === ((rows.size.toLong, dropped.toLong)),
+          s"seed=$seed W=$w")
+      }
+    }
+  }
 }

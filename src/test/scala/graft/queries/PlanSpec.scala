@@ -876,6 +876,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q203 watermark planner: corpus staged once; the cumulative-max window runs on the bucket grain") {
+    val p = graft.ops.Staged.withStaged { plan("q203_watermark_planner") }
+    // the staged event projection feeds the bucket max and the join
+    // probe; each grid point re-reads the staged join, never the scan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
