@@ -218,42 +218,52 @@ object Dedup {
     * P[no band fires] = (1 − J^r)^b; summing those over the real
     * pairs ≥/< the threshold prices each banding in expected pairs,
     * and pairs sharing no shingle contribute exactly zero (J = 0), so
-    * restricting to the inverted-index pairs is not an approximation.
+    * restricting to the inverted-index pairs loses nothing — PROVIDED
+    * the index is uncapped. The default therefore runs with NO df cap:
+    * the planner must price the TRUE Jaccard the actual MinHash path
+    * ([[minhashLshPairs]], uncapped shingles) collides on; passing a
+    * finite `maxDf` makes it price capped-vocabulary Jaccard instead —
+    * a different quantity than the LSH it plans for. At 100 TB, bound
+    * the cost by planning on a hash-SAMPLE of documents (the pair
+    * distribution is what's being estimated), not by capping df.
     *
-    * Determinism: J^r rides exact integer powers
-    * (inter^r·10⁴ DIV union^r on DECIMAL(38,0) — union^4 ≈ 10²⁰ at
-    * 100 TB-sized shingle sets), and (1 − J^r)^b is a REPEATED
-    * SQUARING chain in the ×10⁴ domain (m ← m² DIV 10⁴, log₂ b
-    * steps, every intermediate < 10⁸) — truncating at most
-    * log₂(b)·10⁻⁴ below the real probability, identically on both
-    * engines. Configs must therefore have power-of-two b.
+    * Determinism: J is quantized ONCE to the ×10⁴ grid
+    * (j = inter·10⁴ DIV union ≤ 10⁴, plain BIGINT), then J^r is the
+    * sequential product chain j_k ← (j_{k−1}·j) DIV 10⁴ (every
+    * intermediate < 10⁸ — no wide-decimal powers, no overflow at any
+    * set size), and (1 − J^r)^b is a REPEATED SQUARING chain in the
+    * same domain (m ← m² DIV 10⁴, log₂ b steps) — truncating at most
+    * (r−1+log₂ b)·10⁻⁴ below the real probability, identically on
+    * both engines. Configs must have power-of-two b. The threshold
+    * test rides the same grid exactly: for integer thresholds,
+    * inter·10⁴ ≥ t·union ⟺ j ≥ t.
     *
     * Output one row per config: (n_bands, rows_per_band, n_true,
     * exp_missed_x10k, n_below, exp_extra_x10k) — divide the _x10k
     * columns by 10⁴ to read expected pair counts. */
   def lshPlanner(idCol: String, textCol: String, n: Int, thresholdBp: Long,
                  configs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4)),
-                 maxDf: Long = 1000L, tokensCol: Option[String] = None)
+                 maxDf: Long = Long.MaxValue,
+                 tokensCol: Option[String] = None)
                 (df: DataFrame): DataFrame = {
     require(configs.nonEmpty &&
       configs.forall { case (b, _) => b > 0 && (b & (b - 1)) == 0 },
       s"bands must be powers of two: $configs")
     val pairs = Staged.stage(
       shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
-        .select(col("inter").cast("decimal(38,0)").as("__i"),
-          (col("sz_a") + col("sz_b") - col("inter"))
-            .cast("decimal(38,0)").as("__u")))
+        .select(expr(
+          "cast((inter * 10000) DIV (sz_a + sz_b - inter) as bigint)")
+          .as("__j")))
     def planFor(b: Int, r: Int): DataFrame = {
-      val iPow = (1 until r).foldLeft(col("__i")) { (acc, _) => acc * col("__i") }
-      val uPow = (1 until r).foldLeft(col("__u")) { (acc, _) => acc * col("__u") }
       val squarings = Integer.numberOfTrailingZeros(b)
+      val withJr = (1 until r).foldLeft(pairs.withColumn("__jr", col("__j"))) {
+        (d, _) => d.withColumn("__jr", expr("(__jr * __j) DIV 10000"))
+      }
       val chained = (0 until squarings).foldLeft(
-        pairs.withColumn("__ip", iPow).withColumn("__up", uPow)
-          .withColumn("__m",
-            lit(10000L) - expr("cast((__ip * 10000) DIV __up as bigint)"))
+        withJr.withColumn("__m", lit(10000L) - col("__jr"))
       ) { (d, _) => d.withColumn("__m", expr("(__m * __m) DIV 10000")) }
       val missAll = col("__m")
-      val isTrue = col("__i") * 10000 >= lit(thresholdBp) * col("__u")
+      val isTrue = col("__j") >= lit(thresholdBp)
       chained.agg(
         sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
         sum(when(isTrue, missAll).otherwise(0L)).as("exp_missed_x10k"),
@@ -276,7 +286,12 @@ object Dedup {
     * knob and is usually copied from a paper; this makes the choice an
     * empirical read on THIS corpus — where the pair count explodes is
     * where boilerplate starts, and the docs curve is the removable
-    * upper bound keep-one-per-cluster can reach at each cut.
+    * upper bound keep-one-per-cluster can reach at each cut. The
+    * default maxDf matches [[ngramJaccardPairs]]' — deliberately: the
+    * sweep prices thresholds for the df-CAPPED operator it tunes, so
+    * the Jaccard here is capped-vocabulary Jaccard, the same quantity
+    * q26 thresholds on (unlike [[lshPlanner]], which must price the
+    * uncapped J the MinHash path collides on).
     *
     * Exact integers throughout: jac_bp = inter·10⁴ DIV union (the
     * UNROUNDED rational — no float threshold surface); "docs touched
@@ -1552,10 +1567,15 @@ object Dedup {
     *
     * Determinism: the per-window argmin is the smallest (hash, pos)
     * pair — leftmost-on-ties, encoded as one integer
-    * key = h·2²⁰ + pos (h = 40 md5 bits, pos < 2²⁰ — positions past
-    * 2²⁰ window-hashes per document are dropped, a ~1M-token cap that
-    * keeps the packing exact; both engines compare identical BIGINTs,
-    * no float or tie surface). Output: one row per distinct selected
+    * key = h·2²³ + pos (h = 40 md5 bits, pos < 2²³ — 40 + 23 = 63
+    * bits, the widest cap that keeps the packed BIGINT exact.
+    * Positions past 2²³ window-hashes per document are dropped, so a
+    * megadoc beyond ~8M tokens loses winnow coverage of its TAIL
+    * only — a documented constraint, not silent: at that length the
+    * right fix is upstream chunking, and the head sketch still fires
+    * on any shared run that touches the first 8M tokens; both engines
+    * compare identical BIGINTs, no float or tie surface). Output: one
+    * row per distinct selected
     * fingerprint, (id, fp, fp_pos); documents with fewer than w
     * window-hashes emit nothing (no full window exists).
     *
@@ -1575,8 +1595,8 @@ object Dedup {
           s"i -> md5(concat_ws(' ', slice(__w, i + 1, $k))))")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         (conv(substring(col("col"), 1, 10), 16, 10).cast("long") *
-          lit(1048576L) + col("pos")).as("__key"))
-      .where(col("pos") < 1048576L)
+          lit(8388608L) + col("pos")).as("__key"))
+      .where(col("pos") < 8388608L)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val sel = grams
@@ -1588,8 +1608,8 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .where(col("pos") <= col("__last") - (w - 1))
     sel.select(col(idCol),
-        expr("__min DIV 1048576").as("fp"),
-        expr("__min % 1048576").as("fp_pos"))
+        expr("__min DIV 8388608").as("fp"),
+        expr("__min % 8388608").as("fp_pos"))
       .distinct()
   }
 

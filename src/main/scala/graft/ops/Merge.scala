@@ -67,7 +67,16 @@ object Merge {
     * place and forgets): from a stack of keyed snapshot VERSIONS,
     * build validity intervals — one row per (key, contiguous run of
     * an unchanged value), `(id, val, valid_from, valid_to)` with
-    * `valid_to` NULL while current. Deletions close the open interval
+    * `valid_to` NULL while current. `valid_to` is ARITHMETIC on the
+    * version axis: (next change's version) − 1, i.e. the half-open
+    * interval [valid_from, next_change) rendered closed by
+    * subtracting one. With contiguous version ids (0,1,2,…) that is
+    * also the last OBSERVED snapshot holding the value; with sparse
+    * ids (1,3,7) the bound is still correct for range predicates
+    * (`valid_from <= v AND v <= valid_to` classifies every observed
+    * version right) but may name a version id that was never
+    * snapshotted — if consumers need observed-id bounds, feed the
+    * operator dense-ranked versions. Deletions close the open interval
     * (an absent version is a real state, not a gap to paper over) and
     * re-appearances open a new one — the delete/re-add lifecycle a
     * plain change-log loses.

@@ -4265,16 +4265,16 @@ object LlmQueries {
              |          ::BIGINT))) AS s
              |  FROM tk),
              |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
-             |    s.h * 1048576 + s.pos AS key
-             |  FROM ge WHERE s.pos < 1048576),
+             |    s.h * 8388608 + s.pos AS key
+             |  FROM ge WHERE s.pos < 8388608),
              |mw AS (SELECT doc_id, pos,
              |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
              |    max(pos) OVER (PARTITION BY doc_id) AS last
              |  FROM g)
              |SELECT DISTINCT doc_id,
-             |  CAST(mn // 1048576 AS BIGINT) AS fp,
-             |  CAST(mn % 1048576 AS BIGINT) AS fp_pos
+             |  CAST(mn // 8388608 AS BIGINT) AS fp,
+             |  CAST(mn % 8388608 AS BIGINT) AS fp_pos
              |FROM mw WHERE pos <= last - 3""".stripMargin)),
 
     // Winnow overlap pairs (q173): the MOSS pipeline end-to-end —
@@ -4298,15 +4298,15 @@ object LlmQueries {
              |          ::BIGINT))) AS s
              |  FROM tk),
              |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
-             |    s.h * 1048576 + s.pos AS key
-             |  FROM ge WHERE s.pos < 1048576),
+             |    s.h * 8388608 + s.pos AS key
+             |  FROM ge WHERE s.pos < 8388608),
              |mw AS (SELECT doc_id, pos,
              |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
              |    max(pos) OVER (PARTITION BY doc_id) AS last
              |  FROM g),
              |fps AS (SELECT DISTINCT doc_id AS doc,
-             |    CAST(mn // 1048576 AS BIGINT) AS fp
+             |    CAST(mn // 8388608 AS BIGINT) AS fp
              |  FROM mw WHERE pos <= last - 3),
              |keep AS (SELECT fp FROM fps GROUP BY 1
              |  HAVING count(*) <= 1000),
@@ -4443,15 +4443,15 @@ object LlmQueries {
              |          ::BIGINT))) AS s
              |  FROM tk),
              |g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
-             |    s.h * 1048576 + s.pos AS key
-             |  FROM ge WHERE s.pos < 1048576),
+             |    s.h * 8388608 + s.pos AS key
+             |  FROM ge WHERE s.pos < 8388608),
              |mw AS (SELECT doc_id, pos,
              |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
              |    max(pos) OVER (PARTITION BY doc_id) AS last
              |  FROM g),
              |fps AS (SELECT DISTINCT doc_id AS doc,
-             |    CAST(mn // 1048576 AS BIGINT) AS fp
+             |    CAST(mn // 8388608 AS BIGINT) AS fp
              |  FROM mw WHERE pos <= last - 3),
              |cut AS (SELECT max(doc_id) / 2.0 AS cut FROM documents),
              |base AS (SELECT doc, fp FROM fps, cut WHERE doc <= cut),
@@ -5089,14 +5089,22 @@ object LlmQueries {
     // explodes is where boilerplate starts. Docs-touched decomposes by
     // max-attribution (each doc counts at its MAX incident jac_bp);
     // both curves are descending cumulative sums on the value grid.
+    // The sweep runs with the SAME maxDf=1000 cap as the q26 operator
+    // it tunes (capped-vocabulary Jaccard on both engines — the
+    // oracle applies the identical df cut, so the parity holds even
+    // on a corpus where the cap engages).
     Q("q189_jaccard_threshold_sweep",
       (s, d) => Tables.documents(s, d)
         .transform(Dedup.jaccardThresholdSweep("doc_id", "text", 3)),
-      Some("""WITH sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
+      Some("""WITH sh0 AS (SELECT DISTINCT doc_id AS doc, shingle FROM (
              |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 2, 0)),
              |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
              |        FROM documents))),
+             |dfc AS (SELECT shingle FROM sh0 GROUP BY 1
+             |  HAVING count(*) <= 1000),
+             |sh AS (SELECT sh0.doc, sh0.shingle FROM sh0
+             |  JOIN dfc USING (shingle)),
              |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
              |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
              |    count(*) AS inter
@@ -5468,10 +5476,14 @@ object LlmQueries {
     // LSH parameter planner (q199): price each (bands, rows) MinHash
     // banding on THIS corpus — expected missed true pairs and spurious
     // candidates at t=0.3, from the observed exact-Jaccard pair
-    // distribution (P[band]=J^r exactly by the MinHash property;
-    // (1-J^r)^b via the quantized squaring chain, identical on both
-    // engines). The q91 choice (8x4) stops being folklore: the table
-    // says what it misses and what (32,1)/(16,2) would cost instead.
+    // distribution (P[band]=J^r by the MinHash property; J quantized
+    // ONCE to the x10^4 grid, then the J^r product chain and the
+    // (1-J^r)^b squaring chain both ride that grid — every
+    // intermediate < 10^8, identical on both engines, no overflow at
+    // any set size). Runs UNCAPPED (no maxDf): the planner prices the
+    // true J the actual MinHash path collides on, not a capped-
+    // vocabulary variant. The q91 choice (8x4) stops being folklore:
+    // the table says what it misses and what (32,1)/(16,2) would cost.
     Q("q199_lsh_planner",
       (s, d) => Tables.documents(s, d)
         .transform(Dedup.lshPlanner("doc_id", "text", 3, 3000L)),
@@ -5485,59 +5497,59 @@ object LlmQueries {
              |    count(*) AS inter
              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
              |  GROUP BY 1, 2),
-             |p AS (SELECT CAST(inter AS HUGEINT) AS i,
-             |    CAST(sa.sz + sb.sz - inter AS HUGEINT) AS u
+             |p AS (SELECT inter * 10000 // (sa.sz + sb.sz - inter) AS j
              |  FROM inter JOIN sizes sa ON doc_a = sa.doc
              |  JOIN sizes sb ON doc_b = sb.doc),
-             |a0 AS (SELECT i, u, 10000 - (i * 10000 // u) AS m FROM p),
-             |a1 AS (SELECT i, u, (m * m) // 10000 AS m FROM a0),
-             |a2 AS (SELECT i, u, (m * m) // 10000 AS m FROM a1),
-             |a3 AS (SELECT i, u, (m * m) // 10000 AS m FROM a2),
-             |a4 AS (SELECT i, u, (m * m) // 10000 AS m FROM a3),
-             |a5 AS (SELECT i, u, (m * m) // 10000 AS m FROM a4),
-             |b0 AS (SELECT i, u,
-             |    10000 - (i * i * 10000 // (u * u)) AS m FROM p),
-             |b1 AS (SELECT i, u, (m * m) // 10000 AS m FROM b0),
-             |b2 AS (SELECT i, u, (m * m) // 10000 AS m FROM b1),
-             |b3 AS (SELECT i, u, (m * m) // 10000 AS m FROM b2),
-             |b4 AS (SELECT i, u, (m * m) // 10000 AS m FROM b3),
-             |c0 AS (SELECT i, u,
-             |    10000 - (i * i * i * i * 10000 // (u * u * u * u)) AS m
+             |a0 AS (SELECT j, 10000 - j AS m FROM p),
+             |a1 AS (SELECT j, (m * m) // 10000 AS m FROM a0),
+             |a2 AS (SELECT j, (m * m) // 10000 AS m FROM a1),
+             |a3 AS (SELECT j, (m * m) // 10000 AS m FROM a2),
+             |a4 AS (SELECT j, (m * m) // 10000 AS m FROM a3),
+             |a5 AS (SELECT j, (m * m) // 10000 AS m FROM a4),
+             |b0 AS (SELECT j,
+             |    10000 - ((j * j) // 10000) AS m FROM p),
+             |b1 AS (SELECT j, (m * m) // 10000 AS m FROM b0),
+             |b2 AS (SELECT j, (m * m) // 10000 AS m FROM b1),
+             |b3 AS (SELECT j, (m * m) // 10000 AS m FROM b2),
+             |b4 AS (SELECT j, (m * m) // 10000 AS m FROM b3),
+             |c0 AS (SELECT j,
+             |    10000 - ((((((j * j) // 10000) * j) // 10000) * j)
+             |      // 10000) AS m
              |  FROM p),
-             |c1 AS (SELECT i, u, (m * m) // 10000 AS m FROM c0),
-             |c2 AS (SELECT i, u, (m * m) // 10000 AS m FROM c1),
-             |c3 AS (SELECT i, u, (m * m) // 10000 AS m FROM c2)
+             |c1 AS (SELECT j, (m * m) // 10000 AS m FROM c0),
+             |c2 AS (SELECT j, (m * m) // 10000 AS m FROM c1),
+             |c3 AS (SELECT j, (m * m) // 10000 AS m FROM c2)
              |SELECT CAST(32 AS BIGINT) AS n_bands,
              |  CAST(1 AS BIGINT) AS rows_per_band,
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_true,
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN m ELSE 0 END)
              |    AS BIGINT) AS exp_missed_x10k,
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j < 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_below,
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |  CAST(sum(CASE WHEN j < 3000 THEN 10000 - m
              |    ELSE 0 END) AS BIGINT) AS exp_extra_x10k
              |FROM a5
              |UNION ALL
              |SELECT CAST(16 AS BIGINT), CAST(2 AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN m ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j < 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |  CAST(sum(CASE WHEN j < 3000 THEN 10000 - m
              |    ELSE 0 END) AS BIGINT)
              |FROM b4
              |UNION ALL
              |SELECT CAST(8 AS BIGINT), CAST(4 AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 >= 3000 * u THEN m ELSE 0 END)
+             |  CAST(sum(CASE WHEN j >= 3000 THEN m ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN j < 3000 THEN 1 ELSE 0 END)
              |    AS BIGINT),
-             |  CAST(sum(CASE WHEN i * 10000 < 3000 * u THEN 10000 - m
+             |  CAST(sum(CASE WHEN j < 3000 THEN 10000 - m
              |    ELSE 0 END) AS BIGINT)
              |FROM c3""".stripMargin)),
 
@@ -5738,11 +5750,14 @@ object LlmQueries {
              |  FROM s2 LEFT JOIN pv ON TRUE),
              |pr AS (SELECT doc_id, source,
              |    CAST(n_chars AS BIGINT) AS n_chars,
-             |    10000 - coalesce(CAST(len(list_distinct(
+             |    10000 - coalesce(CASE
+             |      WHEN len(list_filter(string_split_regex(trim(text),
+             |          '\s+'), x -> x <> '')) = 0 THEN NULL
+             |      ELSE CAST(len(list_distinct(
              |        list_filter(string_split_regex(trim(text), '\s+'),
              |          x -> x <> ''))) * 10000
              |      // len(list_filter(string_split_regex(trim(text), '\s+'),
-             |          x -> x <> '')) AS BIGINT), 0) AS ord0
+             |          x -> x <> '')) AS BIGINT) END, 0) AS ord0
              |  FROM documents),
              |r AS (SELECT doc_id, source, n_chars,
              |    sum(n_chars) OVER (PARTITION BY source

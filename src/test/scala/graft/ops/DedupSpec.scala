@@ -802,10 +802,14 @@ class DedupSpec extends SparkSpec {
     } yield (BigInt(inter), BigInt(sets(i)._2.size + sets(j)._2.size - inter))
     var (nT, missed, nB, extra) = (0L, 0L, 0L, 0L)
     stats.foreach { case (i, u) =>
-      val jr = i.pow(r) * 10000 / u.pow(r)
+      // quantize-then-power: j once on the x10^4 grid, then the
+      // sequential product chain — mirrors lshPlanner exactly
+      val j = i * 10000 / u
+      var jr = j
+      (1 until r).foreach(_ => jr = jr * j / 10000)
       var m = 10000 - jr
       (0 until Integer.numberOfTrailingZeros(b)).foreach(_ => m = m * m / 10000)
-      if (i * 10000 >= tBp * u) { nT += 1; missed += m.toLong }
+      if (j >= tBp) { nT += 1; missed += m.toLong }
       else { nB += 1; extra += 10000L - m.toLong }
     }
     (nT, missed, nB, extra)
@@ -832,7 +836,8 @@ class DedupSpec extends SparkSpec {
     // quantization sanity: the chain sits within log2(b) squarings'
     // compounded truncation of the analytic (1 - j^r)^b
     def chain(jBp: Long, b: Int, r: Int): Double = {
-      val jr = BigInt(jBp).pow(r) * 10000 / BigInt(10000).pow(r)
+      var jr = BigInt(jBp)
+      (1 until r).foreach(_ => jr = jr * jBp / 10000)
       var m = BigInt(10000) - jr
       (0 until Integer.numberOfTrailingZeros(b)).foreach(_ => m = m * m / 10000)
       m.toDouble / 10000
@@ -996,10 +1001,10 @@ class DedupSpec extends SparkSpec {
         .substring(0, 10), 16)
     val keys = (0 to toks.length - k)
       .map(i => h40(toks.slice(i, i + k).mkString(" ")))
-      .zipWithIndex.map { case (h, p) => h * 1048576L + p }
+      .zipWithIndex.map { case (h, p) => h * 8388608L + p }
     (0 to keys.length - w)
       .map(p => keys.slice(p, p + w).min)
-      .map(key => (key / 1048576L, key % 1048576L)).toSet
+      .map(key => (key / 8388608L, key % 8388608L)).toSet
   }
 
   test("winnowFingerprints equals the plain-Scala MOSS reference on generated corpora") {
