@@ -40,14 +40,19 @@ case class AssetFingerprint(path: String, modality: String, length: Long,
   * decode is REAL for PCM RIFF/WAVE (a ~44-byte header parse + a pass
   * over the 8/16-bit samples — no codec needed): channels, sample
   * rate, duration and mean |amplitude| come from the actual samples.
-  * Compressed audio (mp3/flac), video, image/audio FEATURE extraction,
-  * and any byte payload the magic-byte sniffs reject fall back to a
-  * **clearly-marked deterministic fake** (hashes / byte statistics)
-  * standing in for a real JNI/FFI decoder. Everything AROUND the
-  * boundary — the binaryFile source, the schema, the partition-batched
-  * Dataset transform, the feature-vector column shape feeding
-  * [[graft.ops.Similarity]] — is real, tested Spark plumbing; widening
-  * the real side changes only the body of [[decodeOne]].
+  * Image FEATURE vectors are REAL too: [[lumaGridQ]] computes a
+  * centered spatial-luminance grid embedding from the decoded raster
+  * (16-dim 4×4 at the default featureDim) — ANN-feedable pixel truth.
+  * Compressed audio (mp3/flac), video samples, and any byte payload
+  * the magic-byte sniffs reject fall back to deterministic CONTENT
+  * statistics ([[byteMomentsQ]] residue-class byte means — a real,
+  * cross-engine-reproducible byte signature; hash-stable fake
+  * dimensions only) standing in for a real JNI/FFI decoder.
+  * Everything AROUND the boundary — the binaryFile source, the schema,
+  * the partition-batched Dataset transform, the feature-vector column
+  * shape feeding [[graft.ops.Similarity]] — is real, tested Spark
+  * plumbing; widening the real side changes only the body of
+  * [[decodeOne]].
   *
   * Scale: `binaryFile` splits by file; batch size is bounded per
   * partition (mapPartitions streams, never materializing a partition);
@@ -220,26 +225,124 @@ object Multimodal {
     }
   }
 
+  /** Content-derived image feature vector: centered quantized mean
+    * luminance per cell of a g×g box grid (g = √dim when dim is a
+    * perfect square, else a 1-row dim-column strip grid) — the 16-dim
+    * spatial-luma embedding a 4×4 grid gives at the default featureDim.
+    * Same integer-cell discipline as [[dHash64]]: cell bounds by
+    * integer index arithmetic (never an interpolation kernel), one
+    * Long sum of (r+g+b) per cell, then ×10⁴ integer division —
+    * m_i = sum_i·10⁴ DIV (3·pixels_i) is the cell's mean luminance in
+    * ×10⁴ units of the 0..255 scale — and the per-image mean is
+    * subtracted in the SAME quantized domain, so the vector is
+    * illumination-centered (a globally brightened copy moves every
+    * component together and the direction survives). Components are
+    * exact integers < 2.55·10⁶ — exactly representable as Float, so
+    * downstream dot products stay integer-exact in double. */
+  private[multimodal] def lumaGridQ(img: java.awt.image.BufferedImage,
+                                    dim: Int): Array[Float] = {
+    val s = math.sqrt(dim.toDouble).toInt
+    val (gw, gh) = if (s * s == dim) (s, s) else (dim, 1)
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](dim)
+    val cnts = new Array[Long](dim)
+    var total = 0L
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.min(h, math.max((cy + 1) * h / gh, y0 + 1))
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.min(w, math.max((cx + 1) * w / gw, x0 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val i = cy * gw + cx
+        sums(i) = sum
+        cnts(i) = (x1 - x0).toLong * (y1 - y0) * 3
+        cx += 1
+      }
+      cy += 1
+    }
+    var t = 0L; var tc = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        t += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    tc = w.toLong * h * 3
+    val dm = t * 10000L / tc
+    Array.tabulate(dim)(i => (sums(i) * 10000L / cnts(i) - dm).toFloat)
+  }
+
+  /** Content-derived byte embedding for payloads outside the real
+    * codec boundary: centered quantized mean byte value per residue
+    * class (dimension i aggregates bytes at positions ≡ i mod dim) —
+    * a real byte statistic, not a hash fake, and deliberately
+    * reproducible by ANY engine that can read the payload's hex (the
+    * q123 md5 discipline applied to the embedding surface — q204's
+    * DuckDB oracle rebuilds these exact integers from
+    * `hex(encode(text))`). m_i = sum_i·10⁴ DIV cnt_i, centered on
+    * dm = total·10⁴ DIV length; residue classes with no bytes (length
+    * < dim) emit 0 = "no deviation". Exact integers end to end;
+    * identical bytes ⇒ identical vectors (the dedup hook). */
+  private[multimodal] def byteMomentsQ(content: Array[Byte],
+                                       dim: Int): Array[Float] = {
+    if (content.isEmpty) return new Array[Float](dim)
+    val sums = new Array[Long](dim)
+    val cnts = new Array[Long](dim)
+    var total = 0L
+    var j = 0
+    while (j < content.length) {
+      val i = j % dim
+      val v = (content(j) & 0xff).toLong
+      sums(i) += v; cnts(i) += 1; total += v
+      j += 1
+    }
+    val dm = total * 10000L / content.length
+    Array.tabulate(dim)(i =>
+      if (cnts(i) == 0L) 0f else (sums(i) * 10000L / cnts(i) - dm).toFloat)
+  }
+
   /** Decode one asset. Image payloads that pass the magic-byte sniff
     * are REALLY decoded with the JDK's ImageIO (PNG/BMP/GIF/JPEG) —
-    * width/height/channels/brightness are pixel truth. Audio payloads
-    * that parse as PCM RIFF/WAVE get REAL channels/sample-rate/duration
-    * and mean-|amplitude| brightness. Video payloads that parse as
-    * ISO-BMFF (MP4) get REAL presentation width/height and duration
-    * (container metadata; samples stay undecoded). Everything else
-    * (compressed audio, undecodable bytes, and the feature vector —
-    * still a declared stub) is the deterministic byte-statistics fake. */
+    * width/height/channels/brightness are pixel truth, and the feature
+    * vector is the real [[lumaGridQ]] spatial-luminance embedding
+    * (closing the former feature-vector stub for every format the JDK
+    * decodes). Audio payloads that parse as PCM RIFF/WAVE get REAL
+    * channels/sample-rate/duration and mean-|amplitude| brightness.
+    * Video payloads that parse as ISO-BMFF (MP4) get REAL presentation
+    * width/height and duration (container metadata; samples stay
+    * undecoded). Feature vectors outside the image-decode path are the
+    * [[byteMomentsQ]] byte-statistics embedding — content-derived and
+    * cross-engine reproducible, standing in for a real JNI/FFI
+    * audio/video feature extractor; width/height for undecodable
+    * payloads remain the hash-stable fake. */
   private[multimodal] def decodeOne(a: RawAsset, featureDim: Int): DecodedAsset = {
     val h = a.content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
-    val real: Option[(Int, Int, Int, Double)] =
+    val img: Option[java.awt.image.BufferedImage] =
       if (a.modality == "image" && looksLikeImage(a.content)) {
-        try {
-          Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.content)))
-            .map(img => (img.getWidth, img.getHeight,
-              img.getColorModel.getNumComponents, meanLuminance(img)))
-        } catch { case _: java.io.IOException => None }
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.content)))
+        catch { case _: java.io.IOException => None }
       } else None
+    val real: Option[(Int, Int, Int, Double)] =
+      img.map(i => (i.getWidth, i.getHeight,
+        i.getColorModel.getNumComponents, meanLuminance(i)))
     val wav: Option[WavFacts] =
       if (a.modality == "audio") parseWav(a.content) else None
     val mp4: Option[Mp4Facts] =
@@ -254,18 +357,8 @@ object Multimodal {
     val brightness = wav.map(_.meanAmp).orElse(real.map(_._4)).getOrElse(
       if (a.content.isEmpty) 0.0
       else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length)
-    // one pass over the bytes updating featureDim accumulators — same
-    // value as the per-feature filtered folds (byte j only ever touches
-    // accumulator j % featureDim, in index order) at 1/featureDim the
-    // scans and zero per-feature index allocations
-    val acc = Array.tabulate(featureDim)(i => h + i)
-    var j = 0
-    while (j < a.content.length) {
-      val i = j % featureDim
-      acc(i) = 31 * acc(i) + a.content(j)
-      j += 1
-    }
-    val features = acc.map(c => (math.floorMod(c, 2048).toFloat / 1024.0f) - 1.0f)
+    val features = img.map(lumaGridQ(_, featureDim))
+      .getOrElse(byteMomentsQ(a.content, featureDim))
     DecodedAsset(a.path, a.modality, a.length, width, height, channels,
       wav.map(_.sampleRateHz).getOrElse(0),
       wav.map(_.durationMs).orElse(mp4.map(_.durationMs)).getOrElse(0L),
@@ -279,6 +372,23 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decodeOne(_, featureDim)))
   }
+
+  /** Asset → ANN-ready embedding rows (path, modality, features):
+    * [[decodeBatch]]'s feature column ([[lumaGridQ]] for really-decoded
+    * images, [[byteMomentsQ]] otherwise) with zero-norm vectors DROPPED
+    * — an all-zero centered vector (uniform content) has no direction,
+    * and letting it reach a cosine join would divide by zero on both
+    * engines. The output feeds every embedding operator in
+    * [[graft.ops.Similarity]] unchanged: exact pairs, the LSH-bucketed
+    * near-dup scale path, IVF indexes. Bytes are dropped in the SAME
+    * projection, so only (path, modality, dim floats) ever rides an
+    * Exchange — the asset-payload pruning discipline the pipeline
+    * queries pin. */
+  def assetEmbeddings(assets: Dataset[RawAsset],
+                      featureDim: Int = 16): DataFrame =
+    decodeBatch(assets, featureDim).toDF()
+      .select(col("path"), col("modality"), col("features"))
+      .filter(expr("exists(features, x -> x != 0)"))
 
   /** 64-bit difference hash (dHash) over a decoded raster: grayscale
     * box-downsample to a 9×8 grid, bit (y·8 + x) set iff cell (x+1, y)

@@ -5802,7 +5802,79 @@ object LlmQueries {
              |  CAST(sum(CASE WHEN j.us < j.pm - g.watermark_s * 1000000
              |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
              |    AS dropped_bp
-             |FROM j, g GROUP BY g.watermark_s""".stripMargin))
+             |FROM j, g GROUP BY g.watermark_s""".stripMargin)),
+
+    // Asset-embedding near-dup (q204): the multimodal near-dup loop
+    // CLOSED — Multimodal.assetEmbeddings turns every asset into an
+    // ANN-ready vector (real lumaGridQ spatial-luma grid for decoded
+    // images — the former feature stub, now pixel truth, spec-pinned
+    // on the committed PNG/BMP fixtures; byteMomentsQ centered
+    // residue-class byte means otherwise), and this query feeds those
+    // vectors through the q45 exact cosine-pair plan. The synthesized
+    // payloads here are text bytes (q123's asset contract), so the
+    // driver-gated branch is byteMomentsQ — whose exact integers the
+    // DuckDB oracle REBUILDS from hex(encode(text)), making the whole
+    // asset→embedding→near-dup chain hash-verifiable cross-engine.
+    // Vector components are exact integers < 2.55e6 (exact as Float),
+    // so pair dots/norms are integer-exact in double on both engines
+    // and the only float surface is the final round4 cosine. Exact
+    // pairs here = oracle ground truth; the 100 TB path is the SAME
+    // vectors through Similarity.cosineNearDupPairs' LSH buckets
+    // (MultimodalSpec pins LSH ≡ exact on these embeddings).
+    Q("q204_asset_neardup",
+      (s, d) => {
+        import s.implicits._
+        val assets = Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id").cast("string").as("path"),
+            lit("binary").as("modality"),
+            octet_length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .as[graft.multimodal.RawAsset]
+        // staged: the self-join consumes the decoded vectors twice —
+        // without the stage each side would re-run the whole decode
+        val vecs = graft.ops.Staged.stage(
+          graft.multimodal.Multimodal.assetEmbeddings(assets, 16)
+            .select(col("path").cast("long").as("id"), col("features")))
+        val a = vecs.select(col("id").as("id_a"), col("features").as("va"))
+        val b = vecs.select(col("id").as("id_b"), col("features").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", Num.roundz(
+            graft.functions.CosineSimilarityExpr.cosineSim(
+              col("va"), col("vb")), 4))
+          .filter(col("sim") >= 0.9)
+          .select("id_a", "id_b", "sim")
+      },
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS L
+             |  FROM documents WHERE n_chars > 0),
+             |by AS (SELECT doc_id, L, j,
+             |    ('0x' || substr(h, j*2+1, 2))::BIGINT AS v
+             |  FROM (SELECT doc_id, L, h, unnest(range(L)) AS j FROM b)),
+             |res AS (SELECT doc_id, j % 16 AS i, sum(v) AS s,
+             |    count(*) AS c
+             |  FROM by GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(v) * 10000 // max(L) AS dm
+             |  FROM by GROUP BY 1),
+             |grid AS (SELECT doc_id, unnest(range(16)) AS i FROM b),
+             |f AS (SELECT g.doc_id, g.i,
+             |    coalesce(r.s * 10000 // r.c - t.dm, 0) AS f
+             |  FROM grid g LEFT JOIN res r
+             |    ON g.doc_id = r.doc_id AND g.i = r.i
+             |  JOIN tot t ON g.doc_id = t.doc_id),
+             |vecs AS (SELECT doc_id, list(f ORDER BY i)::DOUBLE[] AS fv
+             |  FROM f GROUP BY 1),
+             |nz AS (SELECT * FROM vecs
+             |  WHERE len(list_filter(fv, x -> x <> 0)) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(list_dot_product(a.fv, b.fv) /
+             |    (sqrt(list_dot_product(a.fv, a.fv)) *
+             |     sqrt(list_dot_product(b.fv, b.fv))), 4) + 0.0 AS sim
+             |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+             |WHERE round(list_dot_product(a.fv, b.fv) /
+             |    (sqrt(list_dot_product(a.fv, a.fv)) *
+             |     sqrt(list_dot_product(b.fv, b.fv))), 4) + 0.0 >= 0.9
+             |""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -29,7 +29,13 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.modality === "image")
     assert(dec.width === 3 && dec.height === 2 && dec.channels === 3)
     assert(math.abs(dec.brightness - 638.0 / 6.0) < 1e-9, dec.brightness)
-    assert(dec.features.length === 8) // feature vector remains the declared stub
+    // REAL feature vector: lumaGridQ at dim 8 = a 1x8 strip grid. On a
+    // 3px-wide image the integer cell bounds map strips {0,1,2}->col0,
+    // {3,4,5}->col1, {6,7}->col2. Column luma sums: col0 = 255+765,
+    // col1 = 255+0, col2 = 255+384 over 2px*3ch; overall mean
+    // 1914*10^4/18 = 1063333. Centered quantized means, by hand:
+    assert(dec.features.toSeq === Seq(636667f, 636667f, 636667f,
+      -638333f, -638333f, -638333f, 1667f, 1667f))
   }
 
   test("real PCM WAV parse: committed fixture yields sample-truth audio metadata") {
@@ -122,7 +128,7 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("modality") === "audio").select("length").as[Long].head() === 500)
   }
 
-  test("stub decode: deterministic, batch-shaped, fixed-dim features") {
+  test("byte-statistics decode: deterministic, batch-shaped, fixed-dim features") {
     val assets = Multimodal.readAssets(spark, dir.toString)
       .select(col("path"), col("modality"), col("length"), col("content"))
       .as[RawAsset]
@@ -134,7 +140,7 @@ class MultimodalSpec extends SparkSpec {
     val img = dec1.filter(_.modality == "image")
     assert(img(0).features.toSeq === img(1).features.toSeq)
     assert(img(0).brightness === img(1).brightness)
-    // image stub reports 3 channels, audio 1
+    // image fallback reports 3 channels, audio 1
     assert(img.forall(_.channels === 3))
     assert(dec1.find(_.modality == "audio").get.channels === 1)
   }
@@ -158,6 +164,91 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.frameSampleOffsets(col("dur"), 2500L).as("f"))
       .as[Seq[Long]].head()
     assert(frames === Seq(0L, 2500L, 5000L, 7500L))
+  }
+
+  // ---- real image feature vectors (lumaGridQ) ----
+
+  private def fixtureAssets = Multimodal.readAssets(spark,
+      new java.io.File("fixtures/assets").getAbsolutePath)
+    .select(col("path"), col("modality"), col("length"), col("content"))
+    .as[RawAsset]
+
+  private def cosOf(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = a.map(x => x.toDouble * x).sum
+    val nb = b.map(x => x.toDouble * x).sum
+    if (na == 0.0 || nb == 0.0) Double.NaN else dot / math.sqrt(na * nb)
+  }
+
+  test("real image features: lumaGridQ is raster truth — PNG ≡ BMP, exact-scaled copy keeps direction") {
+    val feats = Multimodal.decodeBatch(fixtureAssets, featureDim = 16)
+      .collect().map(d => d.path.split('/').last -> d.features).toMap
+    // same raster, different container: identical 16-dim vectors
+    assert(feats("grad.png").toSeq === feats("grad.bmp").toSeq)
+    // every component is an exact integer riding the Float exactly
+    assert(feats("grad.png").forall(f => f == math.rint(f) && math.abs(f) < (1 << 24)))
+    // grad_dim = grad x 4/5 exactly: centering removes the scale, the
+    // direction survives quantization
+    assert(cosOf(feats("grad.png"), feats("grad_dim.png")) > 0.999)
+    // a structurally different image does not ride the same direction
+    val cChecker = cosOf(feats("grad.png"), feats("checker.png"))
+    if (cChecker.isNaN) {
+      // degenerate uniform cell means → zero vector → assetEmbeddings drops it
+      assert(Multimodal.assetEmbeddings(
+        fixtureAssets.filter(_.path.endsWith("checker.png")), 16).count() === 0L)
+    } else assert(cChecker < 0.999, s"checker cosine $cChecker")
+  }
+
+  test("byteMomentsQ: exact centered residue-class means; zero-norm vectors dropped by assetEmbeddings") {
+    assert(Multimodal.byteMomentsQ(Array[Byte](1, 2, 3), 8).toSeq ===
+      Seq(-10000f, 0f, 10000f, 0f, 0f, 0f, 0f, 0f))
+    // plain-Scala reference equivalence on seeded random payloads
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val bytes = Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte)
+      val got = Multimodal.byteMomentsQ(bytes, 16)
+      val L = bytes.length
+      val dm = bytes.map(b => (b & 0xff).toLong).sum * 10000L / L
+      val want = (0 until 16).map { i =>
+        val cls = bytes.indices.filter(_ % 16 == i).map(j => (bytes(j) & 0xff).toLong)
+        if (cls.isEmpty) 0f else (cls.sum * 10000L / cls.size - dm).toFloat
+      }
+      assert(got.toSeq === want, s"seed=$seed")
+    }
+    // a uniform payload centers to the zero vector and must not reach
+    // a cosine join (division by zero on both engines)
+    val uni = Seq(RawAsset("u", "binary", 4L, Array[Byte](65, 65, 65, 65)),
+      RawAsset("v", "binary", 3L, Array[Byte](1, 2, 3))).toDS()
+    val kept = Multimodal.assetEmbeddings(uni, 8)
+      .select("path").as[String].collect()
+    assert(kept.toSeq === Seq("v"))
+  }
+
+  test("asset embeddings feed the LSH near-dup scale path: sound vs exact, complete on identical vectors") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog", // byte-identical dup
+      "completely different payload with other bytes 123456",
+      "zzz yyy xxx www vvv uuu ttt sss qqq ppp ooo").zipWithIndex
+      .map { case (t, i) =>
+        RawAsset(i.toString, "binary", t.length.toLong, t.getBytes("UTF-8")) }
+    val emb = Multimodal.assetEmbeddings(docs.toDS(), 16)
+      .select(col("path").cast("long").as("vec_id"),
+        col("features").as("embedding"))
+    val (lsh, vecs) = graft.ops.Staged.withStaged {
+      (Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+         threshold = 0.9, nBits = 4, nTables = 2)
+         .as[(Long, Long, Double)].collect().toSet,
+       emb.as[(Long, Array[Float])].collect().toSeq)
+    }
+    val exact = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = cosOf(va, vb) if !c.isNaN && math.rint(c * 10000) / 10000 >= 0.9
+    } yield (ia, ib)).toSet
+    // sound: the exact verify filter makes every LSH pair a true pair
+    assert(lsh.map(p => (p._1, p._2)).subsetOf(exact))
+    // complete on identical vectors: angle 0 always shares every bucket
+    assert(lsh.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
   }
 
   // ---- perceptual fingerprints (dHash) over the REAL decode path ----

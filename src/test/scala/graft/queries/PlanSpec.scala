@@ -884,6 +884,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q204 asset near-dup: decode staged once (both join sides read the cache); bytes never reach the join") {
+    val p = graft.ops.Staged.withStaged { plan("q204_asset_neardup") }
+    // the decoded (id, features) table is computed ONCE — the exact
+    // pair join reads the InMemory stage on both sides instead of
+    // running the partition-batched decode twice
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // range-condition self-join broadcasts one (id, 16-float) side;
+    // asset payloads were dropped before the stage, so the cache scans
+    // feeding the join carry exactly (id, features) — content stays
+    // below the stage boundary
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("(?i)inmemorytablescan \\[id_[ab]#\\d+L?, v[ab]#\\d+\\]"
+      .r.findAllIn(p).size === 2, p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
