@@ -5874,7 +5874,70 @@ object LlmQueries {
              |WHERE round(list_dot_product(a.fv, b.fv) /
              |    (sqrt(list_dot_product(a.fv, a.fv)) *
              |     sqrt(list_dot_product(b.fv, b.fv))), 4) + 0.0 >= 0.9
-             |""".stripMargin))
+             |""".stripMargin)),
+
+    // HTML main-content extraction (q205): the intake step before
+    // every gate the engine has — tag-strip + per-block link-density
+    // boilerplate scoring (HtmlExtract.mainContent, JusText's
+    // load-bearing rule as pure Catalyst expressions, zero shuffles).
+    // The corpus is plain text, so the query SYNTHESIZES a realistic
+    // page around each document (the q58/q66 derived-scenario
+    // discipline): stripped head with style+script, a nav of three
+    // short link items, the document as the content paragraph, a LONG
+    // (~350 char) but link-dense related-articles block — longer than
+    // minChars, so only the DENSITY rule can drop it — an adversarial
+    // body script whose string literal contains "</p>" (a fake
+    // closing tag that must be stripped before segmentation, else the
+    // segment count shifts), and a link-only footer. The ORACLE is
+    // independent ground truth derived from the PAGE SPEC, not a
+    // mirror of the extraction pipeline: the five boilerplate
+    // segments are known by construction, and the kept content is
+    // exactly the whitespace-collapsed document when it clears
+    // minChars=280 (~median, so both branches run corpus-wide) — if
+    // any regex, entity, or split rule misbehaves, the md5s diverge.
+    Q("q205_html_main_content",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pages = docs.select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0}</style></head><body>" +
+            "<script>track(\"</p> not content \");</script>" +
+            "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/s/"),
+          col("source"),
+          lit("\">Section</a></li><li><a href=\"/l/"), col("lang"),
+          lit("\">Language</a></li></ul></nav><div class=\"content\"><p>"),
+          col("text"),
+          lit("</p></div><div>Related articles selected for readers of "),
+          col("source"),
+          lit(": <a href=\"/r/1\">one more long piece about warp " +
+            "preparation and sizing on this route</a>, <a href=\"/r/2\">" +
+            "another recommended article on shed geometry and harness " +
+            "timing</a>, <a href=\"/r/3\">a third suggested reading link " +
+            "covering weft insertion diagnostics</a> — curated weekly by " +
+            "the editors, updated every shift change for the "),
+          col("lang"),
+          lit(" edition with fresh picks.</div><footer><a href=\"/c\">" +
+            "Contact</a> | <a href=\"/t\">Terms</a> | <a href=\"/r\">RSS" +
+            "</a></footer></body></html>")).as("html"))
+        graft.ingest.HtmlExtract.mainContent("doc_id", "html",
+            minChars = 280)(pages)
+          .select(col("doc_id"), col("n_segments"), col("n_kept"),
+            length(col("main_text")).cast("long").as("n_chars_main"),
+            md5(col("main_text")).as("main_md5"))
+      },
+      Some("""WITH v AS (SELECT doc_id,
+             |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS vt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(5 + (CASE WHEN vt <> '' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_segments,
+             |  CAST(CASE WHEN len(vt) >= 280 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS n_kept,
+             |  CAST(len(CASE WHEN len(vt) >= 280 THEN vt ELSE '' END)
+             |    AS BIGINT) AS n_chars_main,
+             |  md5(CASE WHEN len(vt) >= 280 THEN vt ELSE '' END)
+             |    AS main_md5
+             |FROM v""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

@@ -900,6 +900,15 @@ class PlanSpec extends SparkSpec {
       .r.findAllIn(p).size === 2, p)
   }
 
+  test("q205 html extraction: one scan-side projection — zero Exchange, no join, pruned scan") {
+    val p = plan("q205_html_main_content")
+    // per-document extraction is embarrassingly parallel: the whole
+    // operator must stay a map pass at any corpus size
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
