@@ -146,6 +146,63 @@ object JdbcUpsertSink {
       columns.indices
   }
 
+  /** PostgreSQL `INSERT ... ON CONFLICT (keys) DO UPDATE SET c =
+    * EXCLUDED.c` — the third major dialect a real deployment hits
+    * (MySQL-family, MERGE-family, Postgres-family). `EXCLUDED` is
+    * Postgres's name for the row that failed to insert, playing the
+    * role `VALUES(c)` plays in the MySQL arm; the conflict target must
+    * name the key columns explicitly (Postgres resolves it against a
+    * unique index — unlike MySQL, which fires on ANY unique violation,
+    * so this arm is also the safer one on tables with secondary unique
+    * indexes). One placeholder per column, bound once, same as MySQL.
+    * Statement-shape-tested; no Postgres server in the sandbox (same
+    * status as [[MySqlUpsert]] — the live-tested arm is Derby MERGE). */
+  case object PostgresUpsert extends UpsertDialect {
+    private def q(id: String): String = "\"" + id + "\""
+    def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+      require(columns.exists(!keyCols.contains(_)), "need a non-key column to update")
+      require(keyCols.nonEmpty, "ON CONFLICT needs an explicit key target")
+      val collist = columns.map(q).mkString(", ")
+      val placeholders = columns.map(_ => "?").mkString(", ")
+      val conflict = keyCols.map(q).mkString(", ")
+      val updates = columns.filterNot(keyCols.contains)
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"INSERT INTO ${q(table)} ($collist) VALUES ($placeholders) " +
+        s"ON CONFLICT ($conflict) DO UPDATE SET $updates"
+    }
+    def bindOrder(columns: Seq[String], keyCols: Seq[String]): Seq[Int] =
+      columns.indices
+  }
+
+  /** The Postgres arm of the monotonic guard: `DO UPDATE ... WHERE
+    * tgt.ver <= EXCLUDED.ver`. Postgres allows a WHERE clause on the
+    * DO UPDATE action, which expresses the replay guard in ONE
+    * predicate over the whole row — structurally cleaner than the
+    * MySQL arm's per-column IF() wrapping (no assignment-order trap:
+    * the WHERE is evaluated once against the STORED row before any
+    * assignment happens, so the version column needs no special
+    * last-position treatment). Replay-idempotent like the MERGE arm:
+    * `<=` lets an equal-version replay re-apply identical values. */
+  final case class PostgresVersionedUpsert(versionCol: String)
+      extends UpsertDialect {
+    private def q(id: String): String = "\"" + id + "\""
+    def sql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+      require(columns.contains(versionCol),
+        s"version column $versionCol must be in the frame")
+      require(!keyCols.contains(versionCol), "version column cannot be a key")
+      val collist = columns.map(q).mkString(", ")
+      val placeholders = columns.map(_ => "?").mkString(", ")
+      val conflict = keyCols.map(q).mkString(", ")
+      val updates = columns.filterNot(keyCols.contains)
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"INSERT INTO ${q(table)} ($collist) VALUES ($placeholders) " +
+        s"ON CONFLICT ($conflict) DO UPDATE SET $updates " +
+        s"WHERE ${q(table)}.${q(versionCol)} <= EXCLUDED.${q(versionCol)}"
+    }
+    def bindOrder(columns: Seq[String], keyCols: Seq[String]): Seq[Int] =
+      columns.indices
+  }
+
   /** MariaDB-dialect batched upsert statement for the loom table. */
   def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String =
     MySqlUpsert.sql(table, columns, keyCols)

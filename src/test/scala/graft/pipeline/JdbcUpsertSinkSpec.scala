@@ -157,4 +157,41 @@ class JdbcUpsertSinkSpec extends SparkSpec with org.scalatest.Retries {
     // last — left-to-right evaluation would otherwise poison the guards
     assert(sql.indexOf("`a` = IF") < sql.indexOf("`ver` = IF"))
   }
+
+  test("PostgresUpsert statement shape and bind order (ON CONFLICT / EXCLUDED)") {
+    val sql = JdbcUpsertSink.PostgresUpsert.sql("t", Seq("k", "n", "a", "b"), Seq("k", "n"))
+    assert(sql === "INSERT INTO \"t\" (\"k\", \"n\", \"a\", \"b\") VALUES (?, ?, ?, ?) " +
+      "ON CONFLICT (\"k\", \"n\") DO UPDATE SET " +
+      "\"a\" = EXCLUDED.\"a\", \"b\" = EXCLUDED.\"b\"")
+    assert(JdbcUpsertSink.PostgresUpsert.bindOrder(Seq("k", "n", "a", "b"), Seq("k", "n"))
+      === Seq(0, 1, 2, 3))
+    // key columns never appear as assignment targets (Postgres rejects
+    // updating the conflict target), and the conflict target is the
+    // EXPLICIT key list — never the bare ON CONFLICT that silently
+    // fires on any unique index
+    assert(!sql.contains("\"k\" = EXCLUDED") && !sql.contains("\"n\" = EXCLUDED"))
+    assert(sql.contains("ON CONFLICT (\"k\", \"n\")"))
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.PostgresUpsert.sql("t", Seq("k"), Seq("k"))
+    }
+  }
+
+  test("PostgresVersionedUpsert: the replay guard is ONE WHERE over the stored row") {
+    val pg = JdbcUpsertSink.PostgresVersionedUpsert("ver")
+    val sql = pg.sql("t", Seq("k", "a", "ver"), Seq("k"))
+    assert(sql === "INSERT INTO \"t\" (\"k\", \"a\", \"ver\") VALUES (?, ?, ?) " +
+      "ON CONFLICT (\"k\") DO UPDATE SET " +
+      "\"a\" = EXCLUDED.\"a\", \"ver\" = EXCLUDED.\"ver\" " +
+      "WHERE \"t\".\"ver\" <= EXCLUDED.\"ver\"")
+    assert(pg.bindOrder(Seq("k", "a", "ver"), Seq("k")) === Seq(0, 1, 2))
+    // unlike the MySQL arm there is no assignment-order trap: the WHERE
+    // evaluates against the STORED row before any assignment, so the
+    // version column needs no last-position treatment — pin that the
+    // guard is a statement-level WHERE, not per-column IFs
+    assert(sql.split("WHERE").length === 2)
+    assert(!sql.contains("IF("))
+    intercept[IllegalArgumentException] {
+      pg.sql("t", Seq("k", "a", "ver"), Seq("ver"))
+    }
+  }
 }
