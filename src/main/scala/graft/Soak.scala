@@ -26,9 +26,17 @@ import java.util.concurrent.atomic.AtomicLong
   *    n-gram NEAR-DUPLICATES of each other — every document gains
   *    R−1 high-Jaccard partners and the true pair count grows ~R²/2.
   *    The adversarial heavy-duplication case for the pair-join family.
-  *  Embeddings: `indep` perturbs component 0 by 0.37·R (replica
-  *  vectors stop colliding); `dup` replicates vectors exactly (every
-  *  vector gains R−1 cosine-1.0 partners).
+  *  Embeddings: `indep` applies a per-replica SIGNED COORDINATE
+  *  PERMUTATION (cyclic shift by 5·r + xxhash sign flips) — an
+  *  orthogonal map, so within-replica cosine geometry is EXACTLY
+  *  preserved (the 1× pair structure replicates verbatim, the honest
+  *  "R× independent same-shape data" semantics) while cross-replica
+  *  cosines scramble to chance. (The first cut perturbed component 0
+  *  by 0.37·r — an additive shift that made high-replica vectors
+  *  near-COLLINEAR, a distribution shift masquerading as scale: q51
+  *  emitted 33,000× its 1× pairs. An orthogonal map is the fix, not a
+  *  smaller shift.) `dup` replicates vectors exactly (every vector
+  *  gains R−1 cosine-1.0 partners).
   *
   * Usage: `runMain graft.Soak <srcSfDir> <outDir> <replicas>
   * <indep|dup> [q1,q2,...]` — the derived tables land in
@@ -81,9 +89,18 @@ object Soak {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The scale knob under test: the driver bench pins 32 shuffle
+    // partitions (local[32] guidance), but the 10× soak is exactly the
+    // regime where a real cluster RAISES partition counts (AQE target
+    // sizes / manual spark.sql.shuffle.partitions) so shuffle blocks
+    // keep fitting in task memory. Overriding here lets the soak show
+    // the spill disappearing under correct sizing — the difference
+    // between "the plan is superlinear" and "the partitioning was
+    // undersized", which is the question the soak exists to answer.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "8g"))
@@ -111,8 +128,15 @@ object Soak {
     val emb = Tables.embeddings(spark, srcDir)
     val saltedEmb = mode match {
       case "dup" => col("embedding")
-      case _ => transform(col("embedding"), (x, i) =>
-        when(i === 0, x + col("__r").cast("float") * lit(0.37f)).otherwise(x))
+      case _ =>
+        // signed coordinate permutation per replica: out[i] =
+        // s(i,r) · in[(i + 5r) mod d] with s = ±1 from xxhash parity
+        transform(col("embedding"), (_, i) =>
+          (element_at(col("embedding"),
+            (pmod(i + lit(5) * col("__r"), size(col("embedding"))) + 1)
+              .cast("int")) *
+            when(pmod(xxhash64(i, col("__r")), lit(2)) === 0, lit(-1.0f))
+              .otherwise(lit(1.0f))).cast("float"))
     }
     emb.crossJoin(broadcast(reps))
       .select((col("vec_id") + col("__r") * 10000000L).as("vec_id"),

@@ -5937,7 +5937,153 @@ object LlmQueries {
              |    AS BIGINT) AS n_chars_main,
              |  md5(CASE WHEN len(vt) >= 280 THEN vt ELSE '' END)
              |    AS main_md5
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // URL canonicalization + URL-grain dedup (q206): the crawl-side
+    // identity step (ingest/Urls.withCanonical — pure Catalyst
+    // regexp/string expressions, RE2-subset so DuckDB runs the
+    // byte-identical patterns). The corpus has no URL column, so the
+    // query SYNTHESIZES a messy-but-deterministic URL per document
+    // (the q58/q66/q205 derived-scenario discipline), exercising every
+    // canonicalization rule corpus-wide: scheme case (HTTP/HttpS),
+    // userinfo (%19), WWW. prefix (%3), host case (upper(source) on
+    // evens), trailing root-dot (%13), a real :8080 that must SURVIVE
+    // (%7) vs default :80 / leading-zero :0443 that must DROP,
+    // duplicate+trailing slashes, three tracking-param orderings that
+    // all collapse to `id=PID&page=2`, a tracking-only query whose `?`
+    // must vanish (%11), fragments (%4==2), and relative URLs (%17)
+    // that must map to NULL — reject visible, not passthrough. PID =
+    // doc_id DIV 4, so the four docs of a quad collide on path iff
+    // they also share scheme parity + source + lang — REAL collisions
+    // fall out of canonical-string equality (n_variants > 1), both
+    // engines computing them independently. One Exchange total: the
+    // window over url_canon IS the URL-grain dedup (keeper = min
+    // doc_id per canonical identity).
+    Q("q206_url_canonicalize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pid = expr("doc_id DIV 4").cast("string")
+        val messy = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HttpS")),
+          lit("://"),
+          when(col("doc_id") % 19 === 0, lit("user:pw@")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".Example.COM"),
+          when(col("doc_id") % 13 === 0, lit(".")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(":8080"))
+            .when(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 0,
+              lit(":80"))
+            .when(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1,
+              lit(":0443"))
+            .otherwise(lit("")),
+          lit("//articles//"), col("lang"), lit("/"), pid,
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(col("doc_id") % 11 === 0, lit("utm_source=feed&gclid=1"))
+            .when(col("doc_id") % 3 === 0,
+              concat(lit("utm_source=feed&id="), pid,
+                lit("&page=2&utm_campaign=x")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("page=2&fbclid=abc&id="), pid))
+            .otherwise(concat(lit("id="), pid, lit("&page=2"))),
+          when(col("doc_id") % 4 === 2, lit("#section-2"))
+            .otherwise(lit("")))
+        val urls = docs.select(col("doc_id"),
+          when(col("doc_id") % 17 === 0,
+            concat(lit("/relative/"), col("lang"), lit("/"), pid))
+            .otherwise(messy).as("url"))
+        val canon = graft.ingest.Urls.withCanonical(urls, "url")
+        val w = Window.partitionBy(col("url_canon"))
+        canon.select(col("doc_id"), col("url_canon"), col("url_host"),
+          col("url_site"),
+          when(col("url_canon").isNotNull, count(lit(1)).over(w))
+            .cast("bigint").as("n_variants"),
+          when(col("url_canon").isNotNull,
+            (col("doc_id") === min(col("doc_id")).over(w)).cast("bigint"))
+            .as("is_keeper"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 17 = 0
+             |  THEN '/relative/' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
+             |  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HttpS' END)
+             |    || '://'
+             |    || (CASE WHEN doc_id % 19 = 0 THEN 'user:pw@' ELSE '' END)
+             |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+             |    || '.Example.COM'
+             |    || (CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END)
+             |    || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+             |         WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':80'
+             |         WHEN doc_id % 2 = 1 AND doc_id % 5 = 1 THEN ':0443'
+             |         ELSE '' END)
+             |    || '//articles//' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
+             |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             |    || '?'
+             |    || (CASE WHEN doc_id % 11 = 0 THEN 'utm_source=feed&gclid=1'
+             |         WHEN doc_id % 3 = 0 THEN 'utm_source=feed&id='
+             |           || CAST(doc_id // 4 AS VARCHAR) || '&page=2&utm_campaign=x'
+             |         WHEN doc_id % 3 = 1 THEN 'page=2&fbclid=abc&id='
+             |           || CAST(doc_id // 4 AS VARCHAR)
+             |         ELSE 'id=' || CAST(doc_id // 4 AS VARCHAR) || '&page=2' END)
+             |    || (CASE WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END)
+             |  END AS url FROM documents),
+             |p AS (SELECT doc_id, url,
+             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
+             |  FROM u),
+             |h AS (SELECT doc_id, sch, rawpath, rawq,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+             |        ':[0-9]+$', '')),
+             |      '\.$', ''),
+             |    '^www\.', '') AS host,
+             |  regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+             |    ':([0-9]+)$', 1) AS portraw
+             |  FROM p),
+             |n AS (SELECT doc_id, sch, rawpath, rawq, host,
+             |  CASE WHEN portraw = '' THEN ''
+             |    ELSE CAST(CAST(portraw AS BIGINT) AS VARCHAR) END AS port
+             |  FROM h),
+             |c AS (SELECT doc_id, sch, host,
+             |  (sch = 'http' OR sch = 'https') AND host <> '' AS ok,
+             |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+             |    OR (sch = 'https' AND port = '443') THEN ''
+             |    ELSE ':' || port END AS portpart,
+             |  CASE WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') = ''
+             |    THEN '/'
+             |    WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') <> '/'
+             |      AND regexp_replace(rawpath, '/{2,}', '/', 'g') LIKE '%/'
+             |    THEN substr(regexp_replace(rawpath, '/{2,}', '/', 'g'), 1,
+             |      len(regexp_replace(rawpath, '/{2,}', '/', 'g')) - 1)
+             |    ELSE regexp_replace(rawpath, '/{2,}', '/', 'g') END AS path,
+             |  coalesce(array_to_string(
+             |    list_sort(list_filter(string_split(rawq, '&'),
+             |      x -> x <> '' AND NOT regexp_matches(x,
+             |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$'))),
+             |    '&'), '') AS q
+             |  FROM n),
+             |k AS (SELECT doc_id,
+             |  CASE WHEN ok THEN sch || '://' || host || portpart || path
+             |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS url_canon,
+             |  CASE WHEN ok THEN host END AS url_host,
+             |  CASE WHEN ok THEN
+             |    (CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
+             |      THEN host
+             |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END)
+             |  END AS url_site
+             |  FROM c)
+             |SELECT doc_id, url_canon, url_host, url_site,
+             |  CASE WHEN url_canon IS NOT NULL
+             |    THEN count(*) OVER (PARTITION BY url_canon) END AS n_variants,
+             |  CASE WHEN url_canon IS NOT NULL THEN
+             |    CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon)
+             |      AS BIGINT) END AS is_keeper
+             |FROM k""".stripMargin))
   )
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared

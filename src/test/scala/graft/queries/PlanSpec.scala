@@ -909,6 +909,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"), p)
   }
 
+  test("q206 url canonicalize: one Exchange (the url-identity window IS the dedup), no join, text never read") {
+    val p = plan("q206_url_canonicalize")
+    // canonicalization itself is a scan-side map pass; the only
+    // shuffle is the url_canon-keyed window — the URL-grain dedup
+    assert("Exchange hashpartitioning\\(url_canon".r.findAllIn(p).size === 1, p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    // the synthesis reads only (doc_id, lang, source) — document text
+    // must be pruned off the scan entirely
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
