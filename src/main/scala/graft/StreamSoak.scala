@@ -18,10 +18,16 @@ import java.sql.Timestamp
   * watermark 10 min): `fresh` brand-new documents, `refetchRecent`
   * re-fetches of batch b−1 content (inside the horizon — the dedup
   * state must drop them), and `refetchOld` re-fetches of batch b−20
-  * content (outside the horizon — their state is gone, so they
-  * re-admit; that is the DOCUMENTED semantics of within-watermark
-  * dedup, not a leak). A leak shows as numRowsTotal growing ~linearly
-  * with b; health shows as a plateau ≈ horizon × fresh-per-batch.
+  * content — which probes the retention EDGE: an entry is evictable
+  * when watermark > eventTime + delay and the watermark lags one
+  * batch, so entries live ~2×delay + 1 batches (~21 here; Spark's
+  * dropDuplicatesWithinWatermark guarantee covers events within
+  * delay of EACH OTHER, which needs the 2× window). The measured
+  * 60-batch run (BENCHNOTES round 10) confirms it: the b−20 refetch
+  * is consistently still deduped (emitted stays exactly
+  * fresh-per-batch) and state plateaus at ~2×delay×novelty. A leak
+  * shows as numRowsTotal growing ~linearly with b; health shows as
+  * that plateau — size state for 2×delay, not 1×.
   *
   * Usage: `runMain graft.StreamSoak [nBatches] [freshPerBatch]`.
   * Prints one line per batch: batch, input rows, emitted rows,
