@@ -5961,40 +5961,8 @@ object LlmQueries {
     // doc_id per canonical identity).
     Q("q206_url_canonicalize",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pid = expr("doc_id DIV 4").cast("string")
-        val messy = concat(
-          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HttpS")),
-          lit("://"),
-          when(col("doc_id") % 19 === 0, lit("user:pw@")).otherwise(lit("")),
-          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
-          when(col("doc_id") % 2 === 0, upper(col("source")))
-            .otherwise(col("source")),
-          lit(".Example.COM"),
-          when(col("doc_id") % 13 === 0, lit(".")).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0, lit(":8080"))
-            .when(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 0,
-              lit(":80"))
-            .when(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1,
-              lit(":0443"))
-            .otherwise(lit("")),
-          lit("//articles//"), col("lang"), lit("/"), pid,
-          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-          lit("?"),
-          when(col("doc_id") % 11 === 0, lit("utm_source=feed&gclid=1"))
-            .when(col("doc_id") % 3 === 0,
-              concat(lit("utm_source=feed&id="), pid,
-                lit("&page=2&utm_campaign=x")))
-            .when(col("doc_id") % 3 === 1,
-              concat(lit("page=2&fbclid=abc&id="), pid))
-            .otherwise(concat(lit("id="), pid, lit("&page=2"))),
-          when(col("doc_id") % 4 === 2, lit("#section-2"))
-            .otherwise(lit("")))
-        val urls = docs.select(col("doc_id"),
-          when(col("doc_id") % 17 === 0,
-            concat(lit("/relative/"), col("lang"), lit("/"), pid))
-            .otherwise(messy).as("url"))
-        val canon = graft.ingest.Urls.withCanonical(urls, "url")
+        val canon = graft.ingest.Urls.withCanonical(
+          syntheticUrls(Tables.documents(s, d)), "url")
         val w = Window.partitionBy(col("url_canon"))
         canon.select(col("doc_id"), col("url_canon"), col("url_host"),
           col("url_site"),
@@ -6004,87 +5972,210 @@ object LlmQueries {
             (col("doc_id") === min(col("doc_id")).over(w)).cast("bigint"))
             .as("is_keeper"))
       },
-      Some("""WITH u AS (SELECT doc_id,
-             |  CASE WHEN doc_id % 17 = 0
-             |  THEN '/relative/' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
-             |  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HttpS' END)
-             |    || '://'
-             |    || (CASE WHEN doc_id % 19 = 0 THEN 'user:pw@' ELSE '' END)
-             |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
-             |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
-             |    || '.Example.COM'
-             |    || (CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END)
-             |    || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
-             |         WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':80'
-             |         WHEN doc_id % 2 = 1 AND doc_id % 5 = 1 THEN ':0443'
-             |         ELSE '' END)
-             |    || '//articles//' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
-             |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-             |    || '?'
-             |    || (CASE WHEN doc_id % 11 = 0 THEN 'utm_source=feed&gclid=1'
-             |         WHEN doc_id % 3 = 0 THEN 'utm_source=feed&id='
-             |           || CAST(doc_id // 4 AS VARCHAR) || '&page=2&utm_campaign=x'
-             |         WHEN doc_id % 3 = 1 THEN 'page=2&fbclid=abc&id='
-             |           || CAST(doc_id // 4 AS VARCHAR)
-             |         ELSE 'id=' || CAST(doc_id // 4 AS VARCHAR) || '&page=2' END)
-             |    || (CASE WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END)
-             |  END AS url FROM documents),
-             |p AS (SELECT doc_id, url,
-             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-             |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
-             |  FROM u),
-             |h AS (SELECT doc_id, sch, rawpath, rawq,
-             |  regexp_replace(
-             |    regexp_replace(
-             |      lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
-             |        ':[0-9]+$', '')),
-             |      '\.$', ''),
-             |    '^www\.', '') AS host,
-             |  regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
-             |    ':([0-9]+)$', 1) AS portraw
-             |  FROM p),
-             |n AS (SELECT doc_id, sch, rawpath, rawq, host,
-             |  CASE WHEN portraw = '' THEN ''
-             |    ELSE CAST(CAST(portraw AS BIGINT) AS VARCHAR) END AS port
-             |  FROM h),
-             |c AS (SELECT doc_id, sch, host,
-             |  (sch = 'http' OR sch = 'https') AND host <> '' AS ok,
-             |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
-             |    OR (sch = 'https' AND port = '443') THEN ''
-             |    ELSE ':' || port END AS portpart,
-             |  CASE WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') = ''
-             |    THEN '/'
-             |    WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') <> '/'
-             |      AND regexp_replace(rawpath, '/{2,}', '/', 'g') LIKE '%/'
-             |    THEN substr(regexp_replace(rawpath, '/{2,}', '/', 'g'), 1,
-             |      len(regexp_replace(rawpath, '/{2,}', '/', 'g')) - 1)
-             |    ELSE regexp_replace(rawpath, '/{2,}', '/', 'g') END AS path,
-             |  coalesce(array_to_string(
-             |    list_sort(list_filter(string_split(rawq, '&'),
-             |      x -> x <> '' AND NOT regexp_matches(x,
-             |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$'))),
-             |    '&'), '') AS q
-             |  FROM n),
-             |k AS (SELECT doc_id,
-             |  CASE WHEN ok THEN sch || '://' || host || portpart || path
-             |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS url_canon,
-             |  CASE WHEN ok THEN host END AS url_host,
-             |  CASE WHEN ok THEN
-             |    (CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
-             |      THEN host
-             |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END)
-             |  END AS url_site
-             |  FROM c)
-             |SELECT doc_id, url_canon, url_host, url_site,
-             |  CASE WHEN url_canon IS NOT NULL
-             |    THEN count(*) OVER (PARTITION BY url_canon) END AS n_variants,
-             |  CASE WHEN url_canon IS NOT NULL THEN
-             |    CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon)
-             |      AS BIGINT) END AS is_keeper
-             |FROM k""".stripMargin))
+      Some(urlOracleCtes +
+        """
+          |SELECT doc_id, url_canon, url_host, url_site,
+          |  CASE WHEN url_canon IS NOT NULL
+          |    THEN count(*) OVER (PARTITION BY url_canon) END AS n_variants,
+          |  CASE WHEN url_canon IS NOT NULL THEN
+          |    CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon)
+          |      AS BIGINT) END AS is_keeper
+          |FROM k""".stripMargin)),
+
+    // Per-host crawl quota (q207): q206 cashed in — the composition a
+    // crawl intake actually runs, under ONE oracle: canonicalize →
+    // URL-grain dedup (keeper = min doc per canonical identity,
+    // rejects excluded — they have no identity to quota) → q187/q193's
+    // max-min-fair waterfill at an 80% character budget keyed by
+    // CANONICAL HOST (big hosts get capped, small hosts keep
+    // everything — per-host politeness/quota is the standard
+    // crawl-side fairness grain, and the verdict's "domain quotas"
+    // gap). The DuckDB oracle re-executes the whole chain — the
+    // shared q206 CTEs, the group-dedup, and the full waterfill
+    // closed form — so the hash gate certifies the three-operator
+    // composition end to end, not per-stage luck. Shuffle story:
+    // canonicalization scan-side; ONE Exchange for the url_canon
+    // dedup; ONE id-equi-join back to sizes; the allocation is
+    // group-domain math broadcast onto the corpus; the prefix cut is
+    // a per-host window (never a global sort — q193's plan pin).
+    Q("q207_host_quota",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val canon = graft.ingest.Urls.withCanonical(
+            syntheticUrls(docs), "url")
+          .where(col("url_canon").isNotNull)
+        val keepers = canon.groupBy(col("url_canon"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("url_host")).as("url_host"))
+        val kd = keepers
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("url_host"), col("n_chars"))
+        Sampling.waterfillSample(kd, "doc_id", "url_host", "n_chars", 8000L)
+          .select(col("doc_id"), col("source").as("url_host"),
+            col("n_chars").cast("long").as("n_chars"))
+      },
+      Some(urlOracleCtes +
+        """,
+          |keep AS (SELECT url_canon, min(doc_id) AS doc_id FROM k
+          |  WHERE url_canon IS NOT NULL GROUP BY url_canon),
+          |kd AS (SELECT keep.doc_id, k2.url_host,
+          |    CAST(d.n_chars AS BIGINT) AS n_chars
+          |  FROM keep JOIN k k2 ON k2.doc_id = keep.doc_id
+          |  JOIN documents d ON d.doc_id = keep.doc_id),
+          |a AS (SELECT url_host, CAST(sum(n_chars) AS BIGINT) AS avail
+          |  FROM kd GROUP BY 1),
+          |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+          |  FROM a),
+          |s AS (SELECT url_host, avail,
+          |    row_number() OVER (ORDER BY avail, url_host) AS rn,
+          |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, url_host
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS HUGEINT) AS p
+          |  FROM a),
+          |s2 AS (SELECT s.url_host, s.avail, s.rn, s.p,
+          |    t.tot * 8000 // 10000 AS b,
+          |    t.n - s.rn + 1 AS m,
+          |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
+          |      <= t.tot * 8000 // 10000) AS sat
+          |  FROM s, t),
+          |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+          |  ORDER BY rn LIMIT 1),
+          |al AS (SELECT s2.url_host,
+          |    CAST(CASE WHEN sat THEN avail
+          |      ELSE (b - pp) // pm +
+          |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+          |      END AS BIGINT) AS alloc
+          |  FROM s2 LEFT JOIN pv ON TRUE),
+          |r AS (SELECT doc_id, url_host, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY url_host
+          |      ORDER BY md5('wf:' || CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM kd)
+          |SELECT r.doc_id, r.url_host, r.n_chars
+          |FROM r JOIN al ON r.url_host = al.url_host
+          |WHERE r.cum <= al.alloc""".stripMargin))
   )
+
+  /** The q206/q207 synthetic messy-URL projection (the q58/q66/q205
+    * derived-scenario discipline — the corpus has no URL column, so a
+    * deterministic messy URL is built per document, exercising every
+    * canonicalization rule corpus-wide; see q206's registration
+    * comment for the per-modulus design). */
+  private def syntheticUrls(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pid = expr("doc_id DIV 4").cast("string")
+    val messy = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("HttpS")),
+      lit("://"),
+      when(col("doc_id") % 19 === 0, lit("user:pw@")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 13 === 0, lit(".")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(":8080"))
+        .when(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 0, lit(":80"))
+        .when(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1,
+          lit(":0443"))
+        .otherwise(lit("")),
+      lit("//articles//"), col("lang"), lit("/"), pid,
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(col("doc_id") % 11 === 0, lit("utm_source=feed&gclid=1"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("utm_source=feed&id="), pid,
+            lit("&page=2&utm_campaign=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("page=2&fbclid=abc&id="), pid))
+        .otherwise(concat(lit("id="), pid, lit("&page=2"))),
+      when(col("doc_id") % 4 === 2, lit("#section-2")).otherwise(lit("")))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0,
+        concat(lit("/relative/"), col("lang"), lit("/"), pid))
+        .otherwise(messy).as("url"))
+  }
+
+  /** The q206/q207 shared oracle prefix: synthesis (CTE `u`, mirroring
+    * [[syntheticUrls]] modulus for modulus) → parse → host/port fold →
+    * canonical assembly, ending at CTE `k` = (doc_id, url_canon,
+    * url_host, url_site). Every regex is the byte-identical
+    * RE2-subset pattern the Spark side runs ([[graft.ingest.Urls]]);
+    * `coalesce(array_to_string(...), '')` because DuckDB returns NULL
+    * for an empty-list join where Spark's array_join returns ''. */
+  private lazy val urlOracleCtes: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0
+      |  THEN '/relative/' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
+      |  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HttpS' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 19 = 0 THEN 'user:pw@' ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+      |    || '.Example.COM'
+      |    || (CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+      |         WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':80'
+      |         WHEN doc_id % 2 = 1 AND doc_id % 5 = 1 THEN ':0443'
+      |         ELSE '' END)
+      |    || '//articles//' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || '?'
+      |    || (CASE WHEN doc_id % 11 = 0 THEN 'utm_source=feed&gclid=1'
+      |         WHEN doc_id % 3 = 0 THEN 'utm_source=feed&id='
+      |           || CAST(doc_id // 4 AS VARCHAR) || '&page=2&utm_campaign=x'
+      |         WHEN doc_id % 3 = 1 THEN 'page=2&fbclid=abc&id='
+      |           || CAST(doc_id // 4 AS VARCHAR)
+      |         ELSE 'id=' || CAST(doc_id // 4 AS VARCHAR) || '&page=2' END)
+      |    || (CASE WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END)
+      |  END AS url FROM documents),
+      |p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
+      |  FROM u),
+      |h AS (SELECT doc_id, sch, rawpath, rawq,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      lower(regexp_replace(regexp_replace(auth, '^[^@]*@', ''),
+      |        ':[0-9]+$', '')),
+      |      '\.$', ''),
+      |    '^www\.', '') AS host,
+      |  regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+      |    ':([0-9]+)$', 1) AS portraw
+      |  FROM p),
+      |n AS (SELECT doc_id, sch, rawpath, rawq, host,
+      |  CASE WHEN portraw = '' THEN ''
+      |    ELSE CAST(CAST(portraw AS BIGINT) AS VARCHAR) END AS port
+      |  FROM h),
+      |c AS (SELECT doc_id, sch, host,
+      |  (sch = 'http' OR sch = 'https') AND host <> '' AS ok,
+      |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+      |    OR (sch = 'https' AND port = '443') THEN ''
+      |    ELSE ':' || port END AS portpart,
+      |  CASE WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') = ''
+      |    THEN '/'
+      |    WHEN regexp_replace(rawpath, '/{2,}', '/', 'g') <> '/'
+      |      AND regexp_replace(rawpath, '/{2,}', '/', 'g') LIKE '%/'
+      |    THEN substr(regexp_replace(rawpath, '/{2,}', '/', 'g'), 1,
+      |      len(regexp_replace(rawpath, '/{2,}', '/', 'g')) - 1)
+      |    ELSE regexp_replace(rawpath, '/{2,}', '/', 'g') END AS path,
+      |  coalesce(array_to_string(
+      |    list_sort(list_filter(string_split(rawq, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$'))),
+      |    '&'), '') AS q
+      |  FROM n),
+      |k AS (SELECT doc_id,
+      |  CASE WHEN ok THEN sch || '://' || host || portpart || path
+      |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS url_canon,
+      |  CASE WHEN ok THEN host END AS url_host,
+      |  CASE WHEN ok THEN
+      |    (CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
+      |      THEN host
+      |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END)
+      |  END AS url_site
+      |  FROM c)""".stripMargin
 
   /** The exact-integer power-iteration pipeline (q139/q140's shared
     * oracle prefix): quantize → integer mean → centered values → scatter

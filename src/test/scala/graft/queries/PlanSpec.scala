@@ -921,6 +921,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
   }
 
+  test("q207 host quota: broadcast allocation onto the corpus; per-host window, never global") {
+    val p = plan("q207_host_quota")
+    // the waterfill allocation is group-domain math broadcast back;
+    // the corpus-grain window partitions by host
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning\\(source#".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // text never enters the chain: synthesis + sizes read
+    // (doc_id, lang, source, n_chars) only
+    assert(!p.contains("text"), p)
+  }
+
   test("q170 vocab growth: doc spine rides an id-only scan; cumulative window on the bucket grain only") {
     val p = graft.ops.Staged.withStaged { plan("q170_vocab_growth") }
     // the doc-bucket spine prunes to the id column
