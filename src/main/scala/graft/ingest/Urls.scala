@@ -16,28 +16,43 @@ import org.apache.spark.sql.functions._
   * Everything is pure Catalyst string/regexp expressions — no UDF, no
   * java.net.URI (whose parser is a JVM-only behavior an oracle engine
   * cannot reproduce): one scan-side projection, zero shuffles, and
-  * every regex is in the RE2-compatible subset (no backreferences) so
-  * DuckDB can run the byte-identical patterns.
+  * every regex is in the RE2-compatible subset (no backreferences, no
+  * lookaround) so DuckDB can run the byte-identical patterns.
   *
   * Canonical form (for http/https absolute URLs; anything else maps to
   * NULL — reject is an explicit, visible outcome, not a passthrough
   * that would silently key dedup on garbage):
+  *  - percent-escapes of UNRESERVED octets (RFC 3986 §2.3: ALPHA /
+  *    DIGIT / `-` `.` `_` `~`) are decoded FIRST, over the whole URL,
+  *    with case-insensitive hex (`%4F` ≡ `%4f` → `O`) — §6.2.2.2 says
+  *    these never change identity, so `http://a/%7Ex` ≡ `http://a/~x`.
+  *    Escapes of RESERVED octets stay byte-exact (`%2F` is NOT `/`;
+  *    decoding it would change identity) and malformed escapes
+  *    (`%zz`, trailing `%`) pass through literally. Decoding before
+  *    parse is safe because no unreserved octet is a delimiter
+  *    (`/ ? # @ : &` are all reserved);
   *  - scheme and host lowercased; userinfo (`user:pw@`) dropped — it
   *    is never part of page identity;
   *  - host: trailing root-dot dropped (`site.com.` ≡ `site.com`), then
   *    a leading `www.` dropped (the standard crawl alias fold);
-  *  - port: leading zeros normalized via integer cast, then dropped
-  *    when it is the scheme default (http:80, https:443) — a real
-  *    `:8080` survives;
-  *  - path: duplicate slashes collapsed, trailing slash dropped
-  *    (except the root path), empty path becomes `/`. Dot-segment
-  *    resolution (`/a/../b`) is deliberately OUT of scope: it is
-  *    iterative (a fixed regex-pass count is wrong on adversarial
-  *    depth) and fetchers resolve it before the URL ever lands in a
-  *    corpus; this operator canonicalizes STORED identities.
-  *    Percent-encoding is likewise left byte-exact: un-escaping can
-  *    change identity (`%2F` is not `/`), so touching it is unsafe
-  *    without the fetcher's cooperation.
+  *  - port: leading zeros folded (regex, not cast — engine-neutral),
+  *    then dropped when it is the scheme default (http:80, https:443)
+  *    — a real `:8080` survives. A port OUTSIDE 0..65535 (`:65536`, or
+  *    an adversarial 20-digit string that would overflow any integer
+  *    cast) makes the URL invalid, and the whole row REJECTS to NULL
+  *    in all three output columns — never a silently-dropped port;
+  *  - path: duplicate slashes collapsed, then dot segments resolved
+  *    per RFC 3986 §5.2.4 ([[resolveDotSegments]]): `/./` removed
+  *    (one global pass handles any run), `seg/../` popped (one global
+  *    regexp pass per NESTING level, [[dotSegmentDepth]] = 16 passes —
+  *    sequential non-nested pops all fall in one pass via leftmost
+  *    scan continuation), leading `/../` underflow clamps to `/` (one
+  *    anchored pass handles any count). A path still holding a `..`
+  *    segment after the passes (nesting deeper than 16 — adversarial,
+  *    never organic) REJECTS to NULL rather than emitting a
+  *    non-canonical identity; this also keeps the canonicalizer
+  *    idempotent on every non-NULL output. Then trailing slash
+  *    dropped (except the root path), empty path becomes `/`;
   *  - query: split on `&`, empty pairs and tracking parameters dropped
   *    ([[trackingParamRe]]: `utm_*`, `gclid`, `fbclid`, `msclkid`,
   *    `yclid`, `ref`, `ref_src` — the conventional lowercase spellings;
@@ -49,16 +64,19 @@ import org.apache.spark.sql.functions._
   *
   * Also emitted: `url_host` (canonical host — the per-host quota key)
   * and `url_site` (last two host labels — the registrable-domain
-  * APPROXIMATION; the honest form needs the Public Suffix List, which
-  * is reference data, not engine logic: a deployment joins it in as a
-  * broadcast dim and this column is the fallback when it is absent;
-  * a dotless host is its own site).
+  * FALLBACK; the honest form is the Public Suffix List, which is
+  * reference DATA, not engine logic: [[loadPsl]] + [[withPslSite]]
+  * join it in as a broadcast dim when a deployment supplies it, and
+  * this column remains the no-table fallback; a dotless host is its
+  * own site).
   *
   * Scale: per-row independent string work — the canonical map pass.
-  * The single interpreted higher-order function (the param `filter`)
-  * runs over ≤ a dozen elements per row and is materialized once in
-  * its own projection (interpreted lambdas are not CSE'd —
-  * BENCHNOTES' q202 lesson); everything else is codegen'd.
+  * Two interpreted higher-order functions (the percent-decode
+  * `transform` and the param `filter`), each materialized once in its
+  * own projection (interpreted lambdas are not CSE'd — BENCHNOTES'
+  * q202 lesson) and each over ≤ a dozen elements per row; the
+  * dot-segment fold is 18 codegen'd regexp passes over a short path
+  * string; everything else is codegen'd.
   */
 object Urls {
 
@@ -67,18 +85,84 @@ object Urls {
   val trackingParamRe: String =
     "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|ref|ref_src)(=.*)?$"
 
+  /** Lowercased two-hex-digit codes of the RFC 3986 unreserved octets:
+    * 2d `-`, 2e `.`, 30-39 digits, 41-5a A-Z, 5f `_`, 61-7a a-z, 7e
+    * `~`. A `%XX` escape whose lowercased hex matches decodes; every
+    * other escape (reserved or malformed) stays byte-exact. */
+  val unresHexRe: String =
+    "^(2[de]|3[0-9]|4[1-9a-f]|5[0-9a]|5f|6[1-9a-f]|7[0-9a]|7e)$"
+
+  /** `/./` run removal — `(/\.)+` eats any consecutive run, so ONE
+    * global pass clears every single-dot segment. */
+  val singleDotRe: String = "(/\\.)+(/|$)"
+
+  /** One `seg/../` pop: seg is any segment that is not `.` (already
+    * removed) and not `..` (must not pop a pop) — the alternation
+    * enumerates exactly those without lookaround (RE2-safe). One
+    * global pass per NESTING level; sequential pops chain within a
+    * pass because the scan continues after each replacement. */
+  val popSegmentRe: String =
+    "/(\\.[^./][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\.(/|$)"
+
+  /** Leading `/../` underflow → `/` (RFC 3986 §5.2.4 step 2C at the
+    * root): anchored `+` clears any count in one pass. */
+  val underflowRe: String = "^(/\\.\\.)+(/|$)"
+
+  /** Residual-`..` detector: any match after [[resolveDotSegments]]
+    * means nesting exceeded [[dotSegmentDepth]] → the URL rejects. */
+  val residualDotRe: String = "/\\.\\.(/|$)"
+
+  /** Pop passes in [[resolveDotSegments]] — bounds the NESTING depth
+    * (`a/b/../..` = 2) that resolves; deeper paths reject. Organic
+    * crawl paths nest 0–2 deep; 16 is adversarial-proof headroom. */
+  val dotSegmentDepth: Int = 16
+
+  /** Decodes `%XX` escapes of unreserved octets ([[unresHexRe]]),
+    * case-insensitive hex, leaving reserved and malformed escapes
+    * byte-exact: split on `%`, map each fragment's 2-hex prefix
+    * through one interpreted `transform`, rejoin. NULL-propagating. */
+  def percentDecodeUnreserved(c: Column): Column = {
+    val parts = split(c, "%", -1)
+    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val dec = transform(tail, x => {
+      val hx = lower(substring(x, 1, 2))
+      val code = conv(hx, 16, 10).cast("int")
+      when(hx.rlike(unresHexRe),
+        concat(call_function("char", code), x.substr(lit(3), length(x))))
+        .otherwise(concat(lit("%"), x))
+    })
+    concat(element_at(parts, 1), array_join(dec, ""))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments on an absolute path (`''` or
+    * `/...`), as a bounded fold of global regexp passes — see the
+    * object scaladoc for the per-pattern reasoning. Deeper-than-depth
+    * nesting leaves a `..` segment behind; callers detect it with
+    * [[residualDotRe]] and reject. */
+  def resolveDotSegments(p: Column, depth: Int = dotSegmentDepth): Column = {
+    val p1 = regexp_replace(p, singleDotRe, "/")
+    val popped = (1 to depth).foldLeft(p1)((c, _) =>
+      regexp_replace(c, popSegmentRe, "/"))
+    regexp_replace(popped, underflowRe, "/")
+  }
+
   /** Adds `url_canon`, `url_host`, `url_site` derived from `urlCol`.
-    * NULL in all three marks a non-http(s)/relative/unparseable URL. */
+    * NULL in all three marks a non-http(s)/relative/unparseable URL,
+    * an out-of-range port, or unresolvable (depth>16) dot nesting. */
   def withCanonical(df: DataFrame, urlCol: String): DataFrame = {
-    val url = col(urlCol)
     val parsed = df
+      // RFC 3986 §6.2.2.2 first: unreserved-octet escapes decode over
+      // the WHOLE url (no unreserved octet is a delimiter, so parse
+      // boundaries are unaffected; decoded dots DO become dot
+      // segments, which is why decode precedes resolution)
+      .withColumn("__u", percentDecodeUnreserved(col(urlCol)))
       .withColumn("__sch",
-        lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+        lower(regexp_extract(col("__u"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
       .withColumn("__auth",
-        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
       .withColumn("__rawpath",
-        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
-      .withColumn("__rawq", regexp_extract(url, "^[^?#]*\\?([^#]*)", 1))
+        regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("__rawq", regexp_extract(col("__u"), "^[^?#]*\\?([^#]*)", 1))
       // authority → host/port: userinfo off, port split, case folded,
       // root-dot then www. folded (that order: `www.a.com.` → `a.com`)
       .withColumn("__hp", regexp_replace(col("__auth"), "^[^@]*@", ""))
@@ -90,24 +174,40 @@ object Urls {
             lower(regexp_replace(col("__hp"), ":[0-9]+$", "")),
             "\\.$", ""),
           "^www\\.", ""))
-      // port: leading-zero fold through BIGINT, scheme defaults dropped
+      // port: leading-zero fold by regex (cast-free — an adversarial
+      // 20-digit port must flow into the VALIDITY check, not overflow
+      // an engine cast); out-of-range ports reject the whole URL
+      .withColumn("__pz", regexp_replace(col("__portraw"), "^0+", ""))
       .withColumn("__port",
         when(col("__portraw") === "", lit(""))
-          .otherwise(col("__portraw").cast("bigint").cast("string")))
+          .when(col("__pz") === "", lit("0"))
+          .otherwise(col("__pz")))
+      // try_cast: the length guard already rules out overflow, but a
+      // plain cast would still throw at CONSTANT-FOLDING time under
+      // ANSI when the url is a foldable literal (the guard is lazy at
+      // runtime, not at optimize time)
+      .withColumn("__portok",
+        when(col("__portraw") === "" || col("__pz") === "", lit(true))
+          .when(length(col("__pz")) <= 5,
+            expr("try_cast(__pz AS INT)") <= 65535)
+          .otherwise(lit(false)))
       .withColumn("__portpart",
         when(col("__port") === "" ||
              (col("__sch") === "http" && col("__port") === "80") ||
              (col("__sch") === "https" && col("__port") === "443"),
           lit("")).otherwise(concat(lit(":"), col("__port"))))
-      // path: collapse //, strip trailing / (root keeps its slash)
+      // path: collapse //, resolve dot segments, strip trailing /
+      // (root keeps its slash)
       .withColumn("__path0",
         regexp_replace(col("__rawpath"), "/{2,}", "/"))
+      .withColumn("__pd", resolveDotSegments(col("__path0")))
+      .withColumn("__dotok", !col("__pd").rlike(residualDotRe))
       .withColumn("__path",
-        when(col("__path0") === "", lit("/"))
-          .when(col("__path0") =!= "/" && col("__path0").endsWith("/"),
-            expr("substring(__path0, 1, length(__path0) - 1)"))
-          .otherwise(col("__path0")))
-      // query params: the one interpreted lambda — materialized once
+        when(col("__pd") === "", lit("/"))
+          .when(col("__pd") =!= "/" && col("__pd").endsWith("/"),
+            expr("substring(__pd, 1, length(__pd) - 1)"))
+          .otherwise(col("__pd")))
+      // query params: one interpreted lambda — materialized once
       .withColumn("__params",
         filter(split(col("__rawq"), "&"),
           x => x =!= "" && !x.rlike(trackingParamRe)))
@@ -115,7 +215,7 @@ object Urls {
       .withColumn("__q", array_join(sort_array(col("__params")), "&"))
       .withColumn("__ok",
         (col("__sch") === "http" || col("__sch") === "https") &&
-          col("__host") =!= "")
+          col("__host") =!= "" && col("__portok") && col("__dotok"))
       .withColumn("url_canon",
         when(col("__ok"), concat(
           col("__sch"), lit("://"), col("__host"), col("__portpart"),
@@ -128,8 +228,8 @@ object Urls {
           when(regexp_extract(col("__host"), "([^.]+\\.[^.]+)$", 1) === "",
             col("__host"))
             .otherwise(regexp_extract(col("__host"), "([^.]+\\.[^.]+)$", 1))))
-      .drop("__sch", "__auth", "__rawpath", "__rawq", "__hp", "__portraw",
-        "__host", "__port", "__portpart", "__path0", "__path", "__params",
-        "__q", "__ok")
+      .drop("__u", "__sch", "__auth", "__rawpath", "__rawq", "__hp",
+        "__portraw", "__host", "__pz", "__port", "__portok", "__portpart",
+        "__path0", "__pd", "__dotok", "__path", "__params", "__q", "__ok")
   }
 }

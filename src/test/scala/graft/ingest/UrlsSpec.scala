@@ -82,11 +82,74 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://localhost:9000/p")._3 === Some("localhost"))
   }
 
+  test("percent-decode: unreserved octets decode (case-insensitive hex), reserved/malformed stay") {
+    // %4F='O' (upper hex), %6f='o' (lower hex), %61='a', %7E='~', %2E='.'
+    assert(c("http://d%4Fcs.example.%6frg/%61/~x") ===
+      Some("http://docs.example.org/a/~x"))
+    assert(c("http://a.com/%7Euser") === Some("http://a.com/~user"))
+    // reserved octets stay byte-exact: %2F is NOT '/', %3F is not '?'
+    assert(c("http://a.com/p?z=a%2Fb&q=%3F") ===
+      Some("http://a.com/p?q=%3F&z=a%2Fb"))
+    // malformed escapes pass through literally
+    assert(c("http://a.com/p?x=100%25off&y=50%zz&z=end%4") ===
+      Some("http://a.com/p?x=100%25off&y=50%zz&z=end%4"))
+    // %%41: first % is malformed (kept), %41 decodes to A
+    assert(c("http://a.com/p%%41") === Some("http://a.com/p%A"))
+    // decode happens in the host too, then case-folds
+    assert(c("http://%57%57%57.a.com/p") === Some("http://a.com/p"))
+  }
+
+  test("dot segments resolve per RFC 3986 §5.2.4") {
+    assert(c("http://a.com/x/./y") === Some("http://a.com/x/y"))
+    assert(c("http://a.com/x/././y") === Some("http://a.com/x/y"))
+    assert(c("http://a.com/x/../y") === Some("http://a.com/y"))
+    // sequential pops, one nesting level each side
+    assert(c("http://a.com/a/../b/../c") === Some("http://a.com/c"))
+    // nested pops need multiple passes
+    assert(c("http://a.com/b/c/../../x") === Some("http://a.com/x"))
+    // leading underflow clamps at the root, any count
+    assert(c("http://a.com/../../../x") === Some("http://a.com/x"))
+    // trailing '..' pops then the trailing slash strips
+    assert(c("http://a.com/x/y/..") === Some("http://a.com/x"))
+    assert(c("http://a.com/x/.") === Some("http://a.com/x"))
+    assert(c("http://a.com/..") === Some("http://a.com/"))
+    // '...' and '.hidden' and '..x' are ORDINARY segments
+    assert(c("http://a.com/.../x") === Some("http://a.com/.../x"))
+    assert(c("http://a.com/.hidden/..x") === Some("http://a.com/.hidden/..x"))
+    // escapes decode INTO dot segments that then resolve
+    assert(c("http://a.com/a/%2E%2E/b/%2E/c") === Some("http://a.com/b/c"))
+    // // collapse feeds resolution: '/a//../b' → '/a/../b' → '/b'
+    assert(c("http://a.com/a//../b") === Some("http://a.com/b"))
+  }
+
+  test("dot-segment nesting beyond depth 16 rejects; exactly 16 resolves") {
+    val segs16 = (1 to 16).map(i => s"s$i").mkString("/")
+    assert(c(s"http://a.com/$segs16${"/.." * 16}") === Some("http://a.com/"))
+    val segs17 = (1 to 17).map(i => s"s$i").mkString("/")
+    val (cu, h, s) = canon(s"http://a.com/$segs17${"/.." * 17}")
+    assert(cu.isEmpty && h.isEmpty && s.isEmpty)
+  }
+
+  test("port validity: 0..65535 accepted, out-of-range and overflow-length reject all three columns") {
+    assert(c("http://a.com:65535/x") === Some("http://a.com:65535/x"))
+    assert(c("http://a.com:065535/x") === Some("http://a.com:65535/x"))
+    assert(c("http://a.com:0/x") === Some("http://a.com:0/x"))
+    assert(c("http://a.com:000080/x") === Some("http://a.com/x"))
+    Seq("http://a.com:65536/x",
+        "http://a.com:99999999999999999999999/x").foreach { u =>
+      val (cu, h, s) = canon(u)
+      assert(cu.isEmpty && h.isEmpty && s.isEmpty, u)
+    }
+  }
+
   test("canonicalization is idempotent on its own output") {
     val messy = Seq(
       "HTTP://WWW.A.COM:80//x/?b=2&utm_source=f&a=1#z",
       "https://u@B.com.:0443/p/",
-      "http://a.com/p?gclid&x=1")
+      "http://a.com/p?gclid&x=1",
+      // decoded outputs keep only reserved escapes — second pass is a no-op
+      "http://d%4Fcs.a.com/%61/b/../c?z=a%2Fb&t=v%61l",
+      "http://a.com/../x/./y/z/..")
     messy.foreach { u =>
       val once = c(u).get
       assert(c(once) === Some(once), u)

@@ -921,6 +921,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
   }
 
+  test("q208 url decode+dots: same shape as q206 — one Exchange, no join, text pruned") {
+    val p = plan("q208_url_decode_dots")
+    // percent-decode + dot-segment resolution are scan-side string
+    // passes; the only shuffle remains the url_canon-keyed window
+    assert("Exchange hashpartitioning\\(url_canon".r.findAllIn(p).size === 1, p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    // q208's synthesis reads only (doc_id, lang)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
   test("q207 host quota: broadcast allocation onto the corpus; per-host window, never global") {
     val p = plan("q207_host_quota")
     // the waterfill allocation is group-domain math broadcast back;
