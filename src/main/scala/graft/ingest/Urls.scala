@@ -232,4 +232,96 @@ object Urls {
         "__portraw", "__host", "__pz", "__port", "__portok", "__portpart",
         "__path0", "__pd", "__dotok", "__path", "__params", "__q", "__ok")
   }
+
+  /** Max label count of a loadable PSL rule KEY — bounds the number of
+    * suffix-candidate broadcast joins in [[withPslSite]]. The real
+    * list's deepest rules are 4 key labels; deeper rules are dropped
+    * by [[loadPsl]] (documented, conservative: an unmatched host falls
+    * back to the implicit-`*` single-label suffix). */
+  val pslMaxKeyLabels: Int = 4
+
+  /** Loads a Public Suffix List file (publicsuffix.org/list format:
+    * `//` comments, blank lines, `rule`, `*.rule` wildcards, `!rule`
+    * exceptions) into the one-row-per-MATCH-KEY shape
+    * [[withPslSite]] joins against: `(key, klab, exc_ps, norm_ps)`.
+    *
+    * The PSL algorithm is re-expressed join-natively: a rule's match
+    * key is its literal label tail (wildcards and exceptions strip
+    * their marker), and what each rule IMPLIES when its key equals the
+    * host's last-`klab` labels is a public-suffix LENGTH — `klab` for
+    * a normal rule, `klab + 1` for a wildcard (`*` consumes one more
+    * host label), `klab - 1` for an exception (the rule names a
+    * registrable domain, so the suffix is one label shorter). An
+    * exception match overrides everything (PSL spec); otherwise the
+    * longest implied suffix wins; no match ⇒ the implicit `*` rule
+    * (suffix = last label). Keys collapse to one row
+    * (`max` per kind) so the candidate joins stay at-most-one-hit. */
+  def loadPsl(spark: org.apache.spark.sql.SparkSession,
+              path: String): DataFrame = {
+    spark.read.text(path)
+      .select(trim(col("value")).as("line"))
+      .where(col("line") =!= "" && !col("line").startsWith("//"))
+      .select(
+        lower(when(col("line").startsWith("!"), expr("substring(line, 2)"))
+          .when(col("line").startsWith("*."), expr("substring(line, 3)"))
+          .otherwise(col("line"))).as("key"),
+        col("line").startsWith("!").as("exc"),
+        col("line").startsWith("*.").as("wild"))
+      .withColumn("klab", size(split(col("key"), "\\.")))
+      .where(col("klab") <= pslMaxKeyLabels)
+      .withColumn("ps_len",
+        when(col("exc"), col("klab") - 1)
+          .when(col("wild"), col("klab") + 1)
+          .otherwise(col("klab")))
+      .groupBy("key", "klab")
+      .agg(max(when(col("exc"), col("ps_len"))).as("exc_ps"),
+        max(when(!col("exc"), col("ps_len"))).as("norm_ps"))
+  }
+
+  /** Adds `url_site_psl` — the REGISTRABLE domain (public suffix + one
+    * label) of `hostCol` under a [[loadPsl]]-shaped table — fixing the
+    * verdict's `url_site` gap: the last-2-labels fallback is wrong for
+    * `*.co.uk` / `*.com.br`, so any registrable-domain quota or
+    * per-site audit keyed on it merges every `co.uk` tenant into one.
+    *
+    * Scale shape: ZERO Exchange on the corpus — one suffix-candidate
+    * column per key depth (`j = 1..pslMaxKeyLabels`, the host's last
+    * `j` labels) each left-BROADCAST-joined against the ≤#rules PSL
+    * partition of that depth, then a pure-expression selection
+    * (exception match at any depth wins, else deepest implied suffix,
+    * else the implicit-`*` single label). A host that IS a public
+    * suffix (no registrable domain) and a NULL/dotless host fall back
+    * to the host itself — documented, quota-safe. */
+  def withPslSite(df: DataFrame, hostCol: String, psl: DataFrame): DataFrame = {
+    var out = df
+      .withColumn("__hl", split(col(hostCol), "\\."))
+      .withColumn("__hn", size(col("__hl")))
+    for (j <- 1 to pslMaxKeyLabels) {
+      val pj = psl.where(col("klab") === j)
+        .select(col("key").as(s"__k$j"), col("exc_ps").as(s"__e$j"),
+          col("norm_ps").as(s"__m$j"))
+      out = out
+        .withColumn(s"__s$j",
+          when(col("__hn") >= j,
+            array_join(slice(col("__hl"), col("__hn") - j + 1, lit(j)), ".")))
+        .join(broadcast(pj), col(s"__s$j") === col(s"__k$j"), "left")
+    }
+    val excPick = coalesce(col("__e4"), col("__e3"), col("__e2"), col("__e1"))
+    val normBest = greatest(
+      coalesce(col("__m4"), lit(0)), coalesce(col("__m3"), lit(0)),
+      coalesce(col("__m2"), lit(0)), coalesce(col("__m1"), lit(0)))
+    out
+      .withColumn("__ps",
+        coalesce(excPick, when(normBest > 0, normBest), lit(1)))
+      .withColumn("url_site_psl",
+        when(col(hostCol).isNull, lit(null).cast("string"))
+          .when(col("__hn") > col("__ps"),
+            array_join(
+              slice(col("__hl"), col("__hn") - col("__ps"), col("__ps") + lit(1)),
+              "."))
+          .otherwise(col(hostCol)))
+      .drop("__hl" +: "__hn" +: "__ps" +:
+        (1 to pslMaxKeyLabels).flatMap(j =>
+          Seq(s"__s$j", s"__k$j", s"__e$j", s"__m$j")): _*)
+  }
 }

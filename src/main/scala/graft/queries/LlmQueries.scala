@@ -16,6 +16,23 @@ object LlmQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q209's committed Public-Suffix-List fixture subset — same
+    * resolution contract as CoreQueries' fixture roots (resolve lazily
+    * and WITHOUT validating, because the oracle SQL interpolates this
+    * at registry construction; [[requirePslFixtures]] fail-fasts
+    * inside q209's own run closure instead). */
+  private lazy val pslFixtureRoot: String =
+    sys.props.get("graft.fixtures.psl.dir")
+      .orElse(sys.env.get("GRAFT_PSL_FIXTURES_DIR"))
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File("fixtures/psl"))
+      .getAbsolutePath
+
+  private def requirePslFixtures(): Unit =
+    require(new java.io.File(pslFixtureRoot).isDirectory,
+      s"psl fixture dir not found at $pslFixtureRoot; " +
+        "launch from the repo root or set -Dgraft.fixtures.psl.dir / GRAFT_PSL_FIXTURES_DIR")
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: content-hash groupBy — the canonical first pass of a
@@ -6126,7 +6143,109 @@ object LlmQueries {
           |  CASE WHEN url_canon IS NOT NULL THEN
           |    CAST(doc_id = min(doc_id) OVER (PARTITION BY url_canon)
           |      AS BIGINT) END AS is_keeper
-          |FROM k""".stripMargin))
+          |FROM k""".stripMargin)),
+
+    // PSL-backed registrable domain (q209): the verdict's url_site
+    // gap — the last-2-labels fallback is WRONG for *.co.uk/*.com.br
+    // (every co.uk tenant merges into one "site", so a registrable-
+    // domain quota starves them collectively). The Public Suffix List
+    // is reference DATA, not engine logic: ingest/Urls.loadPsl parses
+    // the committed fixture subset (real publicsuffix.org format —
+    // comments, wildcard *.ck, exception !www.ck) into match keys,
+    // and Urls.withPslSite computes suffix+1 with ZERO corpus
+    // Exchange: one host-tail candidate per key depth, each left-
+    // BROADCAST-joined against the ≤#rules depth partition, selection
+    // pure-expression (exception wins, else deepest, else implicit
+    // *). Synthesis exercises every PSL rule form: multi-label
+    // normal (w.aPID.co.uk → aPID.co.uk, where the fallback collapses
+    // to 'co.uk'), com.br, plain com, wildcard (*.ck makes
+    // shop.zPID.ck its own 3-label site), exception (subPID.www.ck →
+    // www.ck), an unlisted TLD (implicit-*), a host that IS a public
+    // suffix (co.uk → itself, no registrable domain), and dotless
+    // localhost. The fallback column rides along so the fixture
+    // demonstrates exactly WHERE the two disagree. Oracle re-runs the
+    // whole chain — PSL file parse via read_text, the same depth
+    // joins, the same selection — on the same committed fixture.
+    Q("q209_psl_site",
+      (s, d) => {
+        requirePslFixtures()
+        val pid = expr("doc_id DIV 4").cast("string")
+        val host =
+          when(col("doc_id") % 11 === 0, lit("localhost"))
+            .when(col("doc_id") % 7 === 0, concat(lit("w.a"), pid, lit(".co.uk")))
+            .when(col("doc_id") % 7 === 1, concat(lit("b"), pid, lit(".com.br")))
+            .when(col("doc_id") % 7 === 2, concat(lit("x"), pid, lit(".example.com")))
+            .when(col("doc_id") % 7 === 3, concat(lit("shop.z"), pid, lit(".ck")))
+            .when(col("doc_id") % 7 === 4, concat(lit("sub"), pid, lit(".www.ck")))
+            .when(col("doc_id") % 7 === 5, concat(lit("q"), pid, lit(".test")))
+            .otherwise(lit("co.uk"))
+        val hosts = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+        val psl = graft.ingest.Urls.loadPsl(s, s"$pslFixtureRoot/psl.dat")
+        graft.ingest.Urls.withPslSite(hosts, "host", psl)
+          .withColumn("url_site_fallback",
+            when(regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1) === "",
+              col("host"))
+              .otherwise(regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1)))
+          .select(col("doc_id"), col("host"), col("url_site_psl"),
+            col("url_site_fallback"))
+      },
+      Some(s"""WITH hosts AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 11 = 0 THEN 'localhost'
+          |    WHEN doc_id % 7 = 0 THEN 'w.a' || CAST(doc_id // 4 AS VARCHAR) || '.co.uk'
+          |    WHEN doc_id % 7 = 1 THEN 'b' || CAST(doc_id // 4 AS VARCHAR) || '.com.br'
+          |    WHEN doc_id % 7 = 2 THEN 'x' || CAST(doc_id // 4 AS VARCHAR) || '.example.com'
+          |    WHEN doc_id % 7 = 3 THEN 'shop.z' || CAST(doc_id // 4 AS VARCHAR) || '.ck'
+          |    WHEN doc_id % 7 = 4 THEN 'sub' || CAST(doc_id // 4 AS VARCHAR) || '.www.ck'
+          |    WHEN doc_id % 7 = 5 THEN 'q' || CAST(doc_id // 4 AS VARCHAR) || '.test'
+          |    ELSE 'co.uk' END AS host
+          |  FROM documents),
+          |rl AS (SELECT trim(line) AS line FROM (
+          |    SELECT unnest(string_split(content, chr(10))) AS line
+          |    FROM read_text('$pslFixtureRoot/psl.dat'))),
+          |pr AS (SELECT lower(CASE WHEN line LIKE '!%' THEN substr(line, 2)
+          |      WHEN line LIKE '*.%' THEN substr(line, 3)
+          |      ELSE line END) AS key,
+          |    line LIKE '!%' AS exc, line LIKE '*.%' AS wild
+          |  FROM rl WHERE line <> '' AND NOT line LIKE '//%'),
+          |pk AS (SELECT key, CAST(len(string_split(key, '.')) AS INT) AS klab, exc,
+          |    CAST(CASE WHEN exc THEN len(string_split(key, '.')) - 1
+          |      WHEN wild THEN len(string_split(key, '.')) + 1
+          |      ELSE len(string_split(key, '.')) END AS INT) AS ps_len
+          |  FROM pr),
+          |psl AS (SELECT key, klab,
+          |    max(CASE WHEN exc THEN ps_len END) AS exc_ps,
+          |    max(CASE WHEN NOT exc THEN ps_len END) AS norm_ps
+          |  FROM pk WHERE klab <= 4 GROUP BY 1, 2),
+          |hx AS (SELECT doc_id, host, string_split(host, '.') AS hl,
+          |    CAST(len(string_split(host, '.')) AS INT) AS hn FROM hosts),
+          |jj AS (SELECT h.doc_id, h.host, h.hl, h.hn,
+          |    p1.exc_ps AS e1, p1.norm_ps AS m1,
+          |    p2.exc_ps AS e2, p2.norm_ps AS m2,
+          |    p3.exc_ps AS e3, p3.norm_ps AS m3,
+          |    p4.exc_ps AS e4, p4.norm_ps AS m4
+          |  FROM hx h
+          |  LEFT JOIN psl p1 ON p1.klab = 1 AND h.hn >= 1
+          |    AND array_to_string(list_slice(h.hl, h.hn, h.hn), '.') = p1.key
+          |  LEFT JOIN psl p2 ON p2.klab = 2 AND h.hn >= 2
+          |    AND array_to_string(list_slice(h.hl, h.hn - 1, h.hn), '.') = p2.key
+          |  LEFT JOIN psl p3 ON p3.klab = 3 AND h.hn >= 3
+          |    AND array_to_string(list_slice(h.hl, h.hn - 2, h.hn), '.') = p3.key
+          |  LEFT JOIN psl p4 ON p4.klab = 4 AND h.hn >= 4
+          |    AND array_to_string(list_slice(h.hl, h.hn - 3, h.hn), '.') = p4.key),
+          |sel AS (SELECT doc_id, host, hl, hn,
+          |    coalesce(e4, e3, e2, e1,
+          |      CASE WHEN greatest(coalesce(m4, 0), coalesce(m3, 0),
+          |          coalesce(m2, 0), coalesce(m1, 0)) > 0
+          |        THEN greatest(coalesce(m4, 0), coalesce(m3, 0),
+          |          coalesce(m2, 0), coalesce(m1, 0)) END,
+          |      1) AS ps FROM jj)
+          |SELECT doc_id, host,
+          |  CASE WHEN hn > ps
+          |    THEN array_to_string(list_slice(hl, hn - ps, hn), '.')
+          |    ELSE host END AS url_site_psl,
+          |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+          |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS url_site_fallback
+          |FROM sel""".stripMargin))
   )
 
   /** The q206/q207 synthetic messy-URL projection (the q58/q66/q205

@@ -142,6 +142,43 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  private lazy val psl =
+    Urls.loadPsl(spark, "fixtures/psl/psl.dat")
+
+  private def pslSite(host: String): String =
+    Urls.withPslSite(Seq((1L, host)).toDF("id", "host"), "host", psl)
+      .select("url_site_psl").as[String].collect().head
+
+  test("PSL site: registrable domain = longest matching suffix + 1 label") {
+    // the verdict's done-criterion: a.co.uk and b.co.uk are DIFFERENT sites
+    assert(pslSite("a.co.uk") === "a.co.uk")
+    assert(pslSite("b.co.uk") === "b.co.uk")
+    assert(pslSite("www.deep.a.co.uk") === "a.co.uk")
+    // longest rule wins over the shorter one ('co.uk' beats 'uk')
+    assert(pslSite("x.uk") === "x.uk")
+    assert(pslSite("t.com.br") === "t.com.br")
+    assert(pslSite("sub.t.com.br") === "t.com.br")
+    assert(pslSite("news.example.com") === "example.com")
+  }
+
+  test("PSL site: wildcard and exception rules") {
+    // *.ck: z.ck is itself a public suffix → shop.z.ck is the site
+    assert(pslSite("shop.z.ck") === "shop.z.ck")
+    assert(pslSite("deep.shop.z.ck") === "shop.z.ck")
+    // !www.ck overrides the wildcard: www.ck IS a registrable domain
+    assert(pslSite("www.ck") === "www.ck")
+    assert(pslSite("sub.www.ck") === "www.ck")
+  }
+
+  test("PSL site: implicit-* for unlisted TLDs; suffix-only and dotless hosts fall back to themselves") {
+    assert(pslSite("q.test") === "q.test")
+    assert(pslSite("deep.q.test") === "q.test")
+    // a host that IS a public suffix has no registrable domain
+    assert(pslSite("co.uk") === "co.uk")
+    assert(pslSite("com") === "com")
+    assert(pslSite("localhost") === "localhost")
+  }
+
   test("canonicalization is idempotent on its own output") {
     val messy = Seq(
       "HTTP://WWW.A.COM:80//x/?b=2&utm_source=f&a=1#z",

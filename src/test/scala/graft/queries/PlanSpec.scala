@@ -932,6 +932,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
 
+  test("q209 psl site: depth-partitioned broadcast joins, zero corpus shuffle") {
+    val p = plan("q209_psl_site")
+    // one broadcast join per PSL key depth; the corpus never shuffles
+    // (the only hashpartitioning Exchange is the <=#rules PSL groupBy)
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("q207 host quota: broadcast allocation onto the corpus; per-host window, never global") {
     val p = plan("q207_host_quota")
     // the waterfill allocation is group-domain math broadcast back;
