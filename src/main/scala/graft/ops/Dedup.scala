@@ -225,18 +225,28 @@ object Dedup {
     * finite `maxDf` makes it price capped-vocabulary Jaccard instead —
     * a different quantity than the LSH it plans for. At 100 TB, bound
     * the cost by planning on a hash-SAMPLE of documents (the pair
-    * distribution is what's being estimated), not by capping df.
+    * distribution is what's being estimated), not by capping df —
+    * and that mitigation is an API affordance, not prose: `sampleBp`
+    * (basis points of documents kept, md5-salted so it composes with
+    * split/stratify hashing on the same ids) bounds the uncapped
+    * index self-join to the sample's pair mass before any shingle is
+    * emitted. Default 10⁴ = plan on everything (exact, unchanged
+    * behavior); a 100 TB planning run passes e.g. 100 (1% of docs,
+    * ~10⁻⁴ of the pair mass).
     *
-    * Determinism: J is quantized ONCE to the ×10⁴ grid
+    * Determinism: the ×10⁴ quantization grid is applied once up front
     * (j = inter·10⁴ DIV union ≤ 10⁴, plain BIGINT), then J^r is the
     * sequential product chain j_k ← (j_{k−1}·j) DIV 10⁴ (every
     * intermediate < 10⁸ — no wide-decimal powers, no overflow at any
     * set size), and (1 − J^r)^b is a REPEATED SQUARING chain in the
-    * same domain (m ← m² DIV 10⁴, log₂ b steps) — truncating at most
-    * (r−1+log₂ b)·10⁻⁴ below the real probability, identically on
-    * both engines. Configs must have power-of-two b. The threshold
-    * test rides the same grid exactly: for integer thresholds,
-    * inter·10⁴ ≥ t·union ⟺ j ≥ t.
+    * same domain (m ← m² DIV 10⁴, log₂ b steps). Total truncation
+    * error: the initial quantization perturbs J by up to 10⁻⁴, which
+    * first-order propagates to r·J^(r−1)·10⁻⁴ in J^r, and each DIV
+    * truncates up to 10⁻⁴ more — so the computed band-miss
+    * probability sits within (r·J^(r−1) + r−1 + log₂ b)·10⁻⁴ of the
+    * real one, identically on both engines. Configs must have
+    * power-of-two b. The threshold test rides the same grid exactly:
+    * for integer thresholds, inter·10⁴ ≥ t·union ⟺ j ≥ t.
     *
     * Output one row per config: (n_bands, rows_per_band, n_true,
     * exp_missed_x10k, n_below, exp_extra_x10k) — divide the _x10k
@@ -244,13 +254,21 @@ object Dedup {
   def lshPlanner(idCol: String, textCol: String, n: Int, thresholdBp: Long,
                  configs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4)),
                  maxDf: Long = Long.MaxValue,
-                 tokensCol: Option[String] = None)
+                 tokensCol: Option[String] = None,
+                 sampleBp: Long = 10000L)
                 (df: DataFrame): DataFrame = {
     require(configs.nonEmpty &&
       configs.forall { case (b, _) => b > 0 && (b & (b - 1)) == 0 },
       s"bands must be powers of two: $configs")
+    require(sampleBp >= 1 && sampleBp <= 10000L,
+      s"sampleBp must be in 1..10000: $sampleBp")
+    val base =
+      if (sampleBp == 10000L) df
+      else df.where(
+        conv(substring(md5(concat(lit("lshp:"), col(idCol).cast("string"))),
+          1, 4), 16, 10).cast("long") * 10000L < lit(sampleBp) * 65536L)
     val pairs = Staged.stage(
-      shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
+      shinglePairStats(base, idCol, textCol, tokensCol, n, maxDf)
         .select(expr(
           "cast((inter * 10000) DIV (sz_a + sz_b - inter) as bigint)")
           .as("__j")))
@@ -291,7 +309,12 @@ object Dedup {
     * sweep prices thresholds for the df-CAPPED operator it tunes, so
     * the Jaccard here is capped-vocabulary Jaccard, the same quantity
     * q26 thresholds on (unlike [[lshPlanner]], which must price the
-    * uncapped J the MinHash path collides on).
+    * uncapped J the MinHash path collides on). Read the output
+    * accordingly: a threshold chosen off this sweep applies to the
+    * sub-maxDf metric ONLY — it transfers to [[ngramJaccardPairs]]
+    * runs at the SAME maxDf, not to the uncapped-Jaccard operators
+    * ([[minhashLshPairs]], [[lshPlanner]]'s pricing), whose J on
+    * boilerplate-heavy pairs can sit strictly above the capped value.
     *
     * Exact integers throughout: jac_bp = inter·10⁴ DIV union (the
     * UNROUNDED rational — no float threshold surface); "docs touched
@@ -1569,34 +1592,48 @@ object Dedup {
     * pair — leftmost-on-ties, encoded as one integer
     * key = h·2²³ + pos (h = 40 md5 bits, pos < 2²³ — 40 + 23 = 63
     * bits, the widest cap that keeps the packed BIGINT exact.
-    * Positions past 2²³ window-hashes per document are dropped, so a
-    * megadoc beyond ~8M tokens loses winnow coverage of its TAIL
-    * only — a documented constraint, not silent: at that length the
-    * right fix is upstream chunking, and the head sketch still fires
-    * on any shared run that touches the first 8M tokens; both engines
-    * compare identical BIGINTs, no float or tie surface). Output: one
-    * row per distinct selected
-    * fingerprint, (id, fp, fp_pos); documents with fewer than w
-    * window-hashes emit nothing (no full window exists).
+    * Positions past `cap` (default 2²³) window-hashes per document are
+    * dropped, so a megadoc beyond ~8M tokens loses winnow coverage of
+    * its TAIL only — and the loss is FLAGGED, not silent: every output
+    * row carries `truncated` = this document's gram count exceeded the
+    * cap, computed scan-side from the token count BEFORE the position
+    * filter, so [[sketchProbePairs]]/[[nearDupProbe]] consumers can see
+    * which sketches under-detect. At that length the right fix is
+    * upstream chunking, and the head sketch still fires on any shared
+    * run that touches the first 8M tokens; both engines compare
+    * identical BIGINTs, no float or tie surface. Output: one row per
+    * distinct selected fingerprint, (id, fp, fp_pos, truncated);
+    * documents with fewer than w window-hashes emit nothing (no full
+    * window exists).
+    *
+    * `cap` is test-size-able (≤ 2²³ — the key PACKING multiplier stays
+    * 2²³ so the encoding is identical at any cap); production callers
+    * never pass it.
     *
     * Shape: the gram projection + one doc-partitioned window pass
     * (rolling min + per-doc max ride the same Exchange), then the
     * distinct — (id, fp)-grain, never text. */
   def winnowFingerprints(idCol: String, textCol: String,
-                         k: Int = 3, w: Int = 4)
+                         k: Int = 3, w: Int = 4,
+                         cap: Long = 8388608L)
                         (docs: DataFrame): DataFrame = {
     require(k >= 1, s"gram length must be positive: $k")
     require(w >= 1, s"winnow window must be positive: $w")
+    require(cap >= 1 && cap <= 8388608L,
+      s"cap must stay within the 2^23 packing bound: $cap")
     val grams = docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .where(size(col("__w")) >= k)
-      .select(col(idCol), posexplode(expr(
+      .withColumn("truncated",
+        (size(col("__w")) - lit(k - 1)).cast("long") > lit(cap))
+      .select(col(idCol), col("truncated"), posexplode(expr(
         s"transform(sequence(0, size(__w) - $k), " +
           s"i -> md5(concat_ws(' ', slice(__w, i + 1, $k))))")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
+      .select(col(idCol), col("truncated"),
+        col("pos").cast("long").as("pos"),
         (conv(substring(col("col"), 1, 10), 16, 10).cast("long") *
           lit(8388608L) + col("pos")).as("__key"))
-      .where(col("pos") < 8388608L)
+      .where(col("pos") < lit(cap))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val sel = grams
@@ -1609,7 +1646,8 @@ object Dedup {
       .where(col("pos") <= col("__last") - (w - 1))
     sel.select(col(idCol),
         expr("__min DIV 8388608").as("fp"),
-        expr("__min % 8388608").as("fp_pos"))
+        expr("__min % 8388608").as("fp_pos"),
+        col("truncated"))
       .distinct()
   }
 

@@ -4265,8 +4265,11 @@ object LlmQueries {
     // contributes one identical fingerprint to both docs at ~2/(w+1)
     // density. q169 reports exact duplicated runs; this is the bounded
     // sketch you inverted-index at corpus scale. Argmin = smallest
-    // (hash, pos) encoded as ONE integer key (40 md5 bits · 2²⁰ + pos)
+    // (hash, pos) encoded as ONE integer key (40 md5 bits · 2²³ + pos)
     // so both engines compare identical BIGINTs — no tie surface.
+    // Every row carries `truncated` (gram count > 2²³ — megadoc tail
+    // coverage loss made visible; constant-false at fixture scale but
+    // computed by BOTH engines, so the flag itself is hash-gated).
     Q("q172_winnow_fingerprints",
       (s, d) => Tables.documents(s, d)
         .transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4)),
@@ -4289,10 +4292,14 @@ object LlmQueries {
              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
              |    max(pos) OVER (PARTITION BY doc_id) AS last
              |  FROM g)
-             |SELECT DISTINCT doc_id,
+             |SELECT DISTINCT mw.doc_id,
              |  CAST(mn // 8388608 AS BIGINT) AS fp,
-             |  CAST(mn % 8388608 AS BIGINT) AS fp_pos
-             |FROM mw WHERE pos <= last - 3""".stripMargin)),
+             |  CAST(mn % 8388608 AS BIGINT) AS fp_pos,
+             |  tr.truncated
+             |FROM mw JOIN (SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) - 2 > 8388608 AS truncated
+             |  FROM tk WHERE len(w) >= 3) tr ON tr.doc_id = mw.doc_id
+             |WHERE pos <= last - 3""".stripMargin)),
 
     // Winnow overlap pairs (q173): the MOSS pipeline end-to-end —
     // sketch (q172) → df-capped inverted index → candidate pairs with

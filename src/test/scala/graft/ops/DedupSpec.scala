@@ -1019,6 +1019,7 @@ class DedupSpec extends SparkSpec {
       val docs = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
       val got = docs.toDF("doc_id", "text").repartition(5)
         .transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+        .select("doc_id", "fp", "fp_pos")
         .as[(Long, Long, Long)].collect().toSet
       val want = docs.flatMap { case (id, t) =>
         refWinnow(t.trim.split("\\s+").filter(_.nonEmpty).toSeq, 3, 4)
@@ -1035,6 +1036,7 @@ class DedupSpec extends SparkSpec {
       (1L, s"one two three $shared"),
       (2L, s"$shared nine ten eleven twelve thirteen")).toDF("doc_id", "text")
     val fps = docs.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
+      .select("doc_id", "fp", "fp_pos")
       .as[(Long, Long, Long)].collect()
     val byDoc = fps.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
     assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
@@ -1045,6 +1047,64 @@ class DedupSpec extends SparkSpec {
       ps.zip(ps.drop(1)).foreach { case (a, b) =>
         assert(b - a <= 4L, s"doc $id: selected-position gap ${b - a} > w")
       }
+    }
+  }
+
+  test("winnow truncation is flagged, not silent: a doc past the cap marks every sketch row") {
+    // test-size cap (the 2^23 packing is unchanged — the require pins
+    // the bound): doc 1 has 30 tokens = 28 grams > cap 16 → truncated;
+    // doc 2 stays under → not. The head sketch must still fire.
+    val longDoc = (1 to 30).map(i => s"t$i").mkString(" ")
+    val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, shortDoc)).toDF("doc_id", "text")
+    val fps = docs.transform(
+        Dedup.winnowFingerprints("doc_id", "text", 3, 4, cap = 16L))
+      .select("doc_id", "fp", "truncated")
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = fps.groupBy(_._1)
+    assert(byDoc(1L).forall(_._3), "every long-doc row carries the flag")
+    assert(byDoc(2L).forall(!_._3), "the short doc is unflagged")
+    // truncation drops the TAIL only: the shared 10-token head still
+    // contributes an identical fingerprint to both docs
+    assert((byDoc(1L).map(_._2).toSet intersect
+      byDoc(2L).map(_._2).toSet).nonEmpty)
+    // the production cap stays inside the packing bound
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints("doc_id", "text", 3, 4, cap = 8388609L)(docs)
+    }
+  }
+
+  test("lshPlanner sampleBp: the sampled plan is a deterministic restriction, full-rate is exact") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} w$i x y z"))
+      .toDF("doc_id", "text")
+    val full = Staged.withStaged {
+      docs.transform(Dedup.lshPlanner("doc_id", "text", 3, 3000L))
+        .orderBy("n_bands").collect().toSeq
+    }
+    val fullExplicit = Staged.withStaged {
+      docs.transform(
+          Dedup.lshPlanner("doc_id", "text", 3, 3000L, sampleBp = 10000L))
+        .orderBy("n_bands").collect().toSeq
+    }
+    assert(full === fullExplicit, "sampleBp=10000 is the identity")
+    val sampled = Staged.withStaged {
+      docs.transform(
+          Dedup.lshPlanner("doc_id", "text", 3, 3000L, sampleBp = 5000L))
+        .orderBy("n_bands").collect().toSeq
+    }
+    val again = Staged.withStaged {
+      docs.transform(
+          Dedup.lshPlanner("doc_id", "text", 3, 3000L, sampleBp = 5000L))
+        .orderBy("n_bands").collect().toSeq
+    }
+    assert(sampled === again, "hash sampling is replay-deterministic")
+    // the sample prices a subset of the pair mass
+    val truePairs = full.map(r => r.getAs[Long]("n_true")).head
+    val truePairsSampled = sampled.map(r => r.getAs[Long]("n_true")).head
+    assert(truePairsSampled <= truePairs)
+    intercept[IllegalArgumentException] {
+      Dedup.lshPlanner("doc_id", "text", 3, 3000L, sampleBp = 0L)(docs)
     }
   }
 
@@ -1217,10 +1277,10 @@ class DedupSpec extends SparkSpec {
     // 5 tokens, k=3 -> 3 window-hashes < w=4
     val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
     assert(docs.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
-      .as[(Long, Long, Long)].collect().isEmpty)
+      .collect().isEmpty)
     // 6 tokens -> exactly one full window -> exactly one fingerprint
     val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     assert(one.transform(Dedup.winnowFingerprints("doc_id", "text", 3, 4))
-      .as[(Long, Long, Long)].collect().length === 1)
+      .collect().length === 1)
   }
 }
