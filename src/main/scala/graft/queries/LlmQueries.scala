@@ -5912,13 +5912,22 @@ object LlmQueries {
     // minChars, so only the DENSITY rule can drop it — an adversarial
     // body script whose string literal contains "</p>" (a fake
     // closing tag that must be stripped before segmentation, else the
-    // segment count shifts), and a link-only footer. The ORACLE is
+    // segment count shifts), and a link-only footer. The document
+    // text is HTML-ESCAPED into the content paragraph (& → &amp;
+    // first, then < → &lt; — what a real renderer emits), which the
+    // extraction's entity decode (amp LAST) maps back to the original
+    // bytes — so the oracle's closed form holds for ANY fixture text,
+    // not just metacharacter-free corpora (ADVICE r10), and entity
+    // decoding is exercised corpus-wide instead of only on the
+    // adversarial block. The ORACLE is
     // independent ground truth derived from the PAGE SPEC, not a
     // mirror of the extraction pipeline: the five boilerplate
-    // segments are known by construction, and the kept content is
-    // exactly the whitespace-collapsed document when it clears
-    // minChars=280 (~median, so both branches run corpus-wide) — if
-    // any regex, entity, or split rule misbehaves, the md5s diverge.
+    // segments are known by construction (escaping guarantees the
+    // content paragraph can never leak a tag into segmentation), and
+    // the kept content is exactly the whitespace-collapsed document
+    // when it clears minChars=280 (~median, so both branches run
+    // corpus-wide) — if any regex, entity, or split rule misbehaves,
+    // the md5s diverge.
     Q("q205_html_main_content",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -5930,7 +5939,8 @@ object LlmQueries {
           col("source"),
           lit("\">Section</a></li><li><a href=\"/l/"), col("lang"),
           lit("\">Language</a></li></ul></nav><div class=\"content\"><p>"),
-          col("text"),
+          regexp_replace(regexp_replace(col("text"), "&", "&amp;"),
+            "<", "&lt;"),
           lit("</p></div><div>Related articles selected for readers of "),
           col("source"),
           lit(": <a href=\"/r/1\">one more long piece about warp " +

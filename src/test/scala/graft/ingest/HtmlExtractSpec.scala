@@ -58,6 +58,20 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got === "&lt; < > \" ' a b")
   }
 
+  test("escape/decode round trip: renderer-escaped text extracts back to its original bytes") {
+    // q205's synthesis contract: & -> &amp; first, then < -> &lt;
+    // (what a real renderer emits); visibleText must invert it exactly,
+    // including text that already CONTAINS entity spellings
+    Seq("a < b & c", "keep &amp; raw", "tag<b>not-a-tag", "x &lt; y")
+      .foreach { orig =>
+        val escaped = orig.replace("&", "&amp;").replace("<", "&lt;")
+        val got = Seq("x").toDF("x")
+          .select(HtmlExtract.visibleText(lit(escaped)).as("v"))
+          .as[String].collect().head
+        assert(got === orig, escaped)
+      }
+  }
+
   test("link-density boundary: kept at exactly maxLinkBp, dropped one char past") {
     // txt = 30 chars, anchor text 15 of them, maxLinkBp = 5000:
     // 15*10^4 == 5000*30 — the <= rule keeps the boundary segment
