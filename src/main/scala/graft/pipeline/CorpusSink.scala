@@ -33,6 +33,124 @@ import org.apache.spark.sql.functions.col
   */
 object CorpusSink {
 
+  /** Name of the pointer file that makes a corpus root transactional:
+    * its CONTENT is the directory name of the live version. */
+  val CurrentPointer = "_CURRENT"
+  private val StagingDir = "_staging"
+  private val VersionRe = "^v-(\\d{8})$".r
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+                    path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live version's full path under `root`, or None when nothing
+    * has been published yet. Readers resolve THROUGH this — they never
+    * list the root — which is what makes [[publish]] atomic for them:
+    * the pointer flips in one rename, so a reader sees the old layout
+    * or the new one, never a mixture and never a half-written
+    * directory. */
+  def current(spark: org.apache.spark.sql.SparkSession,
+              root: String): Option[String] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootP)
+    val ptr = new org.apache.hadoop.fs.Path(rootP, CurrentPointer)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      if (name.isEmpty) None
+      else Some(fs.makeQualified(
+        new org.apache.hadoop.fs.Path(rootP, name)).toString)
+    }
+  }
+
+  /** Atomic publish — the commit protocol [[write]]/[[compact]]/
+    * [[exportJsonl]] compose with so a crashed job can never leave a
+    * half-written directory where a reader lists it:
+    *
+    *   1. the payload writes into `root/_staging/v-NNNNNNNN` — a name
+    *      no reader resolves (readers go through [[current]]);
+    *   2. the finished directory RENAMES to `root/v-NNNNNNNN` — one
+    *      filesystem metadata op;
+    *   3. the `_CURRENT` pointer file is rewritten via
+    *      temp-file + overwrite-rename (`FileContext.rename(OVERWRITE)`
+    *      — the POSIX/HDFS atomic-replace primitive), flipping every
+    *      subsequent reader to the new version in one step.
+    *
+    * A crash before step 3 leaves `_CURRENT` on the OLD version —
+    * readable, complete — and at worst an orphan under `_staging`/an
+    * unreferenced version dir, both invisible to readers and
+    * reclaimable by [[cleanStaging]]/[[prune]]. Versions are immutable
+    * once published; re-publishing writes a NEW version (counter =
+    * max existing + 1, zero-padded so lexical order = numeric order).
+    * Single-writer by contract — concurrent publishers need the D3
+    * mutex ([[EtlPipeline]]) exactly like every other exclusive step.
+    * NOTE the object-store caveat: rename is atomic on HDFS-like and
+    * POSIX filesystems; on S3-style stores, front this root with a
+    * consistent layer the way every table format (Delta/Iceberg)
+    * requires.
+    *
+    * Returns the published version's full path. */
+  def publish(spark: org.apache.spark.sql.SparkSession, root: String)
+             (writeTo: String => Unit): String = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootP)
+    fs.mkdirs(rootP)
+    val existing = fs.listStatus(rootP).map(_.getPath.getName).collect {
+      case VersionRe(n) => n.toLong
+    }
+    val version = f"v-${if (existing.isEmpty) 1L else existing.max + 1}%08d"
+    val staged = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(rootP, StagingDir), version)
+    val fin = new org.apache.hadoop.fs.Path(rootP, version)
+    writeTo(staged.toString)
+    require(fs.exists(staged), s"publish payload wrote nothing at $staged")
+    require(fs.rename(staged, fin), s"could not promote $staged to $fin")
+    // pointer flip: temp + atomic overwrite-rename
+    val tmp = new org.apache.hadoop.fs.Path(rootP, s"$CurrentPointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootP.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, CurrentPointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.makeQualified(fin).toString
+  }
+
+  /** Reclaims `_staging` leftovers from crashed publishes. Never
+    * touches published versions or the pointer. Returns the count. */
+  def cleanStaging(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Int = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootP)
+    val staging = new org.apache.hadoop.fs.Path(rootP, StagingDir)
+    if (!fs.exists(staging)) 0
+    else {
+      val orphans = fs.listStatus(staging)
+      orphans.foreach(o => fs.delete(o.getPath, true))
+      orphans.length
+    }
+  }
+
+  /** Deletes published versions beyond the newest `keep`, NEVER the
+    * one `_CURRENT` points to (a lagging pointer keeps its target).
+    * Returns the deleted paths. */
+  def prune(spark: org.apache.spark.sql.SparkSession, root: String,
+            keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootP)
+    val cur = current(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val versions = fs.listStatus(rootP).map(_.getPath).filter(p =>
+      VersionRe.pattern.matcher(p.getName).matches).sortBy(_.getName)
+    versions.dropRight(keep)
+      .filterNot(p => cur.contains(p.getName))
+      .map { p => fs.delete(p, true); p.toString }.toSeq
+  }
+
   def write(df: DataFrame, path: String,
             partitionBy: Seq[String] = Seq("split"),
             sortWithin: Seq[String] = Seq("doc_id"),
@@ -72,10 +190,12 @@ object CorpusSink {
     * dominated by file-open/list overhead long before bytes. Reads the
     * delta log (or any parquet dir) and rewrites it through [[write]]'s
     * layout discipline — range-partitioned, sorted-within-file, file
-    * sizes bounded — into `targetPath`, then the caller swaps
-    * directories (kept out of this function: the swap is the same
-    * rename-aside dance as [[graft.streaming.EventStream.upsertSink]],
-    * and a compactor must never delete the only copy itself).
+    * sizes bounded — into `targetPath`. Run it THROUGH [[publish]]
+    * (`publish(spark, root)(compact(spark, deltaPath, _))`) and the
+    * swap is the pointer flip: a crash mid-compaction leaves the old
+    * version readable and the delta log untouched (a compactor must
+    * never delete the only copy itself — deleting the compacted delta
+    * batches is a separate, after-verification step).
     *
     * Row-preserving BY CONSTRUCTION: no dedup, no filters — dedup
     * happened at ingest (hash anti-joins); compaction is purely a

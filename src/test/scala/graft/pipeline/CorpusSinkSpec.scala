@@ -202,4 +202,114 @@ class CorpusSinkSpec extends SparkSpec {
       assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
     }
   }
+
+  test("publish: readers resolve old-or-new through the pointer, never a mixture") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    withTempDir { dir =>
+      assert(CorpusSink.current(spark, dir).isEmpty)
+      val p1 = CorpusSink.publish(spark, dir)(CorpusSink.write(v1, _,
+        partitionBy = Nil))
+      assert(CorpusSink.current(spark, dir) === Some(p1))
+      assert(spark.read.parquet(p1).count() === 2L)
+      // second publish lands a NEW immutable version; the pointer flips
+      val p2 = CorpusSink.publish(spark, dir)(CorpusSink.write(v2, _,
+        partitionBy = Nil))
+      assert(p2 !== p1)
+      assert(CorpusSink.current(spark, dir) === Some(p2))
+      // the old version is still intact until pruned (lagging readers)
+      assert(spark.read.parquet(p1).count() === 2L)
+      assert(spark.read.parquet(CorpusSink.current(spark, dir).get)
+        .count() === 3L)
+      // prune keeps the newest and NEVER the current's target
+      val deleted = CorpusSink.prune(spark, dir, keep = 1)
+      assert(deleted === Seq(p1))
+      assert(CorpusSink.current(spark, dir) === Some(p2))
+      assert(spark.read.parquet(p2).count() === 3L)
+    }
+  }
+
+  test("publish: a crash mid-write leaves the old version readable and nothing visible") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a")).toDF("doc_id", "text")
+    withTempDir { dir =>
+      val p1 = CorpusSink.publish(spark, dir)(CorpusSink.write(v1, _,
+        partitionBy = Nil))
+      // crashed publish: the payload writes PARTIAL output then dies
+      intercept[RuntimeException] {
+        CorpusSink.publish(spark, dir) { staged =>
+          CorpusSink.write(v1, staged, partitionBy = Nil)
+          throw new RuntimeException("simulated mid-publish crash")
+        }
+      }
+      // the pointer still serves the old, complete version
+      assert(CorpusSink.current(spark, dir) === Some(p1))
+      assert(spark.read.parquet(p1).count() === 1L)
+      // the orphan is invisible to readers and reclaimable
+      assert(CorpusSink.cleanStaging(spark, dir) === 1)
+      assert(CorpusSink.cleanStaging(spark, dir) === 0)
+      // the next publish proceeds normally with a fresh version number
+      val p2 = CorpusSink.publish(spark, dir)(CorpusSink.write(v1, _,
+        partitionBy = Nil))
+      assert(p2 !== p1)
+      assert(CorpusSink.current(spark, dir) === Some(p2))
+    }
+  }
+
+  test("publish: an interrupted compaction leaves the delta log untouched and the pointer on the old version") {
+    import spark.implicits._
+    withTempDir { delta =>
+      // a delta log of three micro-batches (the streaming intake's shape)
+      (0 to 2).foreach { b =>
+        Seq((b * 10L, s"t$b", b.toLong)).toDF("doc_id", "text", "batch")
+          .write.parquet(s"$delta/batch=$b")
+      }
+      withTempDir { root =>
+        val p1 = CorpusSink.publish(spark, root)(
+          CorpusSink.compact(spark, delta, _))
+        assert(spark.read.parquet(p1).count() === 3L)
+        assert(spark.read.parquet(CorpusSink.current(spark, root).get)
+          .columns.toSeq === Seq("doc_id", "text"))
+        // compaction dies half-way: the delta log is untouched (the
+        // compactor never deletes the only copy), the pointer still
+        // serves the previous compacted version
+        intercept[RuntimeException] {
+          CorpusSink.publish(spark, root) { staged =>
+            CorpusSink.compact(spark, delta, staged)
+            throw new RuntimeException("simulated compactor crash")
+          }
+        }
+        assert(CorpusSink.current(spark, root) === Some(p1))
+        assert(spark.read.option("basePath", delta)
+          .parquet(s"$delta/batch=*").count() === 3L)
+        CorpusSink.cleanStaging(spark, root)
+        // recovery: re-run compacts the SAME delta into a new version
+        val p2 = CorpusSink.publish(spark, root)(
+          CorpusSink.compact(spark, delta, _))
+        assert(spark.read.parquet(p2).count() === 3L)
+        assert(CorpusSink.current(spark, root) === Some(p2))
+      }
+    }
+  }
+
+  test("publish: the jsonl release export rides the same protocol, manifest included") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    withTempDir { root =>
+      var entries: Seq[CorpusSink.ShardEntry] = Nil
+      val p1 = CorpusSink.publish(spark, root) { staged =>
+        entries = CorpusSink.exportJsonl(docs, staged)
+      }
+      assert(entries.map(_.rows).sum === 3L)
+      val cur = CorpusSink.current(spark, root).get
+      assert(cur === p1)
+      // the manifest landed INSIDE the published version
+      assert(new java.io.File(
+        new java.io.File(new java.net.URI(cur).getPath), "manifest.json")
+        .exists() ||
+        new java.io.File(cur.stripPrefix("file:"), "manifest.json").exists())
+      assert(spark.read.json(s"$cur/part-*").count() === 3L)
+    }
+  }
 }
