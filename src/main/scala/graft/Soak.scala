@@ -93,11 +93,17 @@ object Soak {
     // partitions (local[32] guidance), but the 10× soak is exactly the
     // regime where a real cluster RAISES partition counts (AQE target
     // sizes / manual spark.sql.shuffle.partitions) so shuffle blocks
-    // keep fitting in task memory. Overriding here lets the soak show
-    // the spill disappearing under correct sizing — the difference
-    // between "the plan is superlinear" and "the partitioning was
-    // undersized", which is the question the soak exists to answer.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // keep fitting in task memory. The DEFAULT is now the round-10
+    // lesson as a function — Skew.suggestedShufflePartitions over the
+    // derived corpus's projected bytes (source bytes × replicas) — so
+    // an un-overridden soak runs at the sizing a cluster's AQE would
+    // pick; SPARK_GRAFT_SHUFFLE forces a specific count (how the
+    // 32-vs-256 q62 control pair was measured).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.ops.Skew.suggestedShufflePartitions(
+        graft.ops.Skew.dirBytes(
+          new org.apache.hadoop.conf.Configuration(), srcDir) * replicas,
+        minParts = cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

@@ -17,9 +17,18 @@ object Verify {
       require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partition sizing via the soak-derived rule (ops/Skew): the
+    // fixture scales resolve to the cpus floor (identical behavior to
+    // the old hard pin); a soak-scale sf dir engages the bytes/128MB
+    // arithmetic. SPARK_GRAFT_SHUFFLE stays the explicit override.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.ops.Skew.suggestedShufflePartitions(
+        graft.ops.Skew.dirBytes(
+          new org.apache.hadoop.conf.Configuration(), sfDir),
+        minParts = cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

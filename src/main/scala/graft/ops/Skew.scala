@@ -94,4 +94,41 @@ object Skew {
         expr(s"(max_cnt * $parts + n_rows - 1) DIV n_rows")
           .as("salt_buckets"))
   }
+
+  /** The round-10 soak's partition-sizing lesson as a FUNCTION (it was
+    * an env var, `SPARK_GRAFT_SHUFFLE`): q62's one superlinear cell at
+    * 10× data was 78.8 GB of spill at the 32-partition local pin, and
+    * re-running at 256 partitions cut it 2.6× with spill at 19.5 GB —
+    * the plan was right, the partition count wasn't. The rule a
+    * cluster's AQE applies is the same arithmetic: partitions ≈ input
+    * bytes / target partition bytes (128 MB — the shuffle-block size
+    * that fits executor memory with codec+sort headroom), clamped
+    * below by the parallelism floor (never fewer partitions than
+    * cores) and above by a sanity cap (beyond ~200k partitions,
+    * scheduler overhead dominates any spill win). Deterministic,
+    * monotone in `inputBytes`, and the LOCAL fixture scales resolve to
+    * the floor — so wiring it into Verify/Bench changes nothing at
+    * sf≤0.1 and only engages on soak-scale inputs, exactly the regime
+    * the lesson came from. */
+  def suggestedShufflePartitions(inputBytes: Long,
+                                 targetPartitionBytes: Long = 128L << 20,
+                                 minParts: Int = 32,
+                                 maxParts: Int = 200000): Int = {
+    require(inputBytes >= 0 && targetPartitionBytes > 0 &&
+      minParts >= 1 && maxParts >= minParts,
+      s"bytes=$inputBytes target=$targetPartitionBytes min=$minParts max=$maxParts")
+    val raw = (inputBytes + targetPartitionBytes - 1) / targetPartitionBytes
+    math.min(maxParts.toLong, math.max(minParts.toLong, raw)).toInt
+  }
+
+  /** Driver-side byte probe for [[suggestedShufflePartitions]]: the
+    * total on-disk size under `path` (recursive). One filesystem
+    * listing — the same metadata a FileIndex reads; never opens data. */
+  def dirBytes(hadoopConf: org.apache.hadoop.conf.Configuration,
+               path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
 }

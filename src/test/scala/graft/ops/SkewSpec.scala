@@ -93,4 +93,45 @@ class SkewSpec extends SparkSpec {
       "null is the heaviest key and must rank first")
     assert(u.head._8 === 1L, "near-uniform table: don't salt")
   }
+
+  test("suggestedShufflePartitions: bytes/128MB, floor at cores, capped, monotone — the q62 soak pair falls out") {
+    import graft.ops.Skew.suggestedShufflePartitions
+    // fixture scales resolve to the floor: wiring into Verify/Bench is
+    // behavior-neutral at sf<=0.1 (a few hundred MB / 128MB < 32)
+    assert(suggestedShufflePartitions(0L) === 32)
+    assert(suggestedShufflePartitions(300L << 20) === 32)
+    // the soak regime: the 10x derived corpus (~33 GB projected) asks
+    // for ~264 partitions — the 256-ish sizing that cut q62's spill
+    // 4x and its wall 2.6x in the round-10 control pair
+    val tenX = suggestedShufflePartitions(33L << 30)
+    assert(tenX === 264, s"got $tenX")
+    // ceil, not floor: one byte past a boundary adds a partition
+    assert(suggestedShufflePartitions((128L << 20) * 100) === 100 ||
+      suggestedShufflePartitions((128L << 20) * 100, minParts = 1) === 100)
+    assert(suggestedShufflePartitions((128L << 20) * 100 + 1, minParts = 1) === 101)
+    // monotone in input bytes; capped at the scheduler-sanity bound
+    assert(suggestedShufflePartitions(1L << 50) === 200000)
+    val seq = Seq(1L << 28, 1L << 32, 1L << 36, 1L << 40, 1L << 44)
+      .map(suggestedShufflePartitions(_))
+    assert(seq === seq.sorted)
+    // custom floor (the SPARK_GRAFT_CPUS wiring)
+    assert(suggestedShufflePartitions(0L, minParts = 8) === 8)
+    intercept[IllegalArgumentException] {
+      suggestedShufflePartitions(-1L)
+    }
+  }
+
+  test("dirBytes: recursive on-disk size, zero for a missing path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-bytes")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.bin"), new Array[Byte](1000))
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+      java.nio.file.Files.write(sub.resolve("b.bin"), new Array[Byte](500))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      assert(graft.ops.Skew.dirBytes(conf, dir.toString) === 1500L)
+      assert(graft.ops.Skew.dirBytes(conf, s"$dir/nope") === 0L)
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
 }
