@@ -131,7 +131,12 @@ object Soak {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "8g"))
+      // NOTE the heap knob is SPARK_DRIVER_MEM (build.sbt forks the
+      // JVM with -Xmx from it) — setting spark.driver.memory here
+      // would be a silent no-op: in local mode the driver JVM is
+      // already running when the builder executes. Round 11 learned
+      // this the hard way: a "16g" control leg via the old
+      // SPARK_GRAFT_MEM conf actually ran at 8g and OOM-crashed.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

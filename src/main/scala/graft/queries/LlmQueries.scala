@@ -6052,42 +6052,11 @@ object LlmQueries {
         """,
           |keep AS (SELECT url_canon, min(doc_id) AS doc_id FROM k
           |  WHERE url_canon IS NOT NULL GROUP BY url_canon),
-          |kd AS (SELECT keep.doc_id, k2.url_host,
+          |kd AS (SELECT keep.doc_id, k2.url_host AS g,
           |    CAST(d.n_chars AS BIGINT) AS n_chars
           |  FROM keep JOIN k k2 ON k2.doc_id = keep.doc_id
-          |  JOIN documents d ON d.doc_id = keep.doc_id),
-          |a AS (SELECT url_host, CAST(sum(n_chars) AS BIGINT) AS avail
-          |  FROM kd GROUP BY 1),
-          |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
-          |  FROM a),
-          |s AS (SELECT url_host, avail,
-          |    row_number() OVER (ORDER BY avail, url_host) AS rn,
-          |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, url_host
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS HUGEINT) AS p
-          |  FROM a),
-          |s2 AS (SELECT s.url_host, s.avail, s.rn, s.p,
-          |    t.tot * 8000 // 10000 AS b,
-          |    t.n - s.rn + 1 AS m,
-          |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
-          |      <= t.tot * 8000 // 10000) AS sat
-          |  FROM s, t),
-          |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
-          |  ORDER BY rn LIMIT 1),
-          |al AS (SELECT s2.url_host,
-          |    CAST(CASE WHEN sat THEN avail
-          |      ELSE (b - pp) // pm +
-          |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
-          |      END AS BIGINT) AS alloc
-          |  FROM s2 LEFT JOIN pv ON TRUE),
-          |r AS (SELECT doc_id, url_host, n_chars,
-          |    sum(n_chars) OVER (PARTITION BY url_host
-          |      ORDER BY md5('wf:' || CAST(doc_id AS VARCHAR)), doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          |  FROM kd)
-          |SELECT r.doc_id, r.url_host, r.n_chars
-          |FROM r JOIN al ON r.url_host = al.url_host
-          |WHERE r.cum <= al.alloc""".stripMargin)),
+          |  JOIN documents d ON d.doc_id = keep.doc_id)""".stripMargin +
+        sqlWaterfillFromKd("url_host"))),
 
     // Percent-decoding + dot-segment resolution (q208): the round-10
     // verdict's top gap — real crawl feeds carry `%7E`/`/a/../b`
@@ -6206,7 +6175,7 @@ object LlmQueries {
           .select(col("doc_id"), col("host"), col("url_site_psl"),
             col("url_site_fallback"))
       },
-      Some(s"""WITH hosts AS (SELECT doc_id,
+      Some(s"""WITH hostsrc AS (SELECT doc_id,
           |  CASE WHEN doc_id % 11 = 0 THEN 'localhost'
           |    WHEN doc_id % 7 = 0 THEN 'w.a' || CAST(doc_id // 4 AS VARCHAR) || '.co.uk'
           |    WHEN doc_id % 7 = 1 THEN 'b' || CAST(doc_id // 4 AS VARCHAR) || '.com.br'
@@ -6215,54 +6184,85 @@ object LlmQueries {
           |    WHEN doc_id % 7 = 4 THEN 'sub' || CAST(doc_id // 4 AS VARCHAR) || '.www.ck'
           |    WHEN doc_id % 7 = 5 THEN 'q' || CAST(doc_id // 4 AS VARCHAR) || '.test'
           |    ELSE 'co.uk' END AS host
-          |  FROM documents),
-          |rl AS (SELECT trim(line) AS line FROM (
-          |    SELECT unnest(string_split(content, chr(10))) AS line
-          |    FROM read_text('$pslFixtureRoot/psl.dat'))),
-          |pr AS (SELECT lower(CASE WHEN line LIKE '!%' THEN substr(line, 2)
-          |      WHEN line LIKE '*.%' THEN substr(line, 3)
-          |      ELSE line END) AS key,
-          |    line LIKE '!%' AS exc, line LIKE '*.%' AS wild
-          |  FROM rl WHERE line <> '' AND NOT line LIKE '//%'),
-          |pk AS (SELECT key, CAST(len(string_split(key, '.')) AS INT) AS klab, exc,
-          |    CAST(CASE WHEN exc THEN len(string_split(key, '.')) - 1
-          |      WHEN wild THEN len(string_split(key, '.')) + 1
-          |      ELSE len(string_split(key, '.')) END AS INT) AS ps_len
-          |  FROM pr),
-          |psl AS (SELECT key, klab,
-          |    max(CASE WHEN exc THEN ps_len END) AS exc_ps,
-          |    max(CASE WHEN NOT exc THEN ps_len END) AS norm_ps
-          |  FROM pk WHERE klab <= 4 GROUP BY 1, 2),
-          |hx AS (SELECT doc_id, host, string_split(host, '.') AS hl,
-          |    CAST(len(string_split(host, '.')) AS INT) AS hn FROM hosts),
-          |jj AS (SELECT h.doc_id, h.host, h.hl, h.hn,
-          |    p1.exc_ps AS e1, p1.norm_ps AS m1,
-          |    p2.exc_ps AS e2, p2.norm_ps AS m2,
-          |    p3.exc_ps AS e3, p3.norm_ps AS m3,
-          |    p4.exc_ps AS e4, p4.norm_ps AS m4
-          |  FROM hx h
-          |  LEFT JOIN psl p1 ON p1.klab = 1 AND h.hn >= 1
-          |    AND array_to_string(list_slice(h.hl, h.hn, h.hn), '.') = p1.key
-          |  LEFT JOIN psl p2 ON p2.klab = 2 AND h.hn >= 2
-          |    AND array_to_string(list_slice(h.hl, h.hn - 1, h.hn), '.') = p2.key
-          |  LEFT JOIN psl p3 ON p3.klab = 3 AND h.hn >= 3
-          |    AND array_to_string(list_slice(h.hl, h.hn - 2, h.hn), '.') = p3.key
-          |  LEFT JOIN psl p4 ON p4.klab = 4 AND h.hn >= 4
-          |    AND array_to_string(list_slice(h.hl, h.hn - 3, h.hn), '.') = p4.key),
-          |sel AS (SELECT doc_id, host, hl, hn,
-          |    coalesce(e4, e3, e2, e1,
-          |      CASE WHEN greatest(coalesce(m4, 0), coalesce(m3, 0),
-          |          coalesce(m2, 0), coalesce(m1, 0)) > 0
-          |        THEN greatest(coalesce(m4, 0), coalesce(m3, 0),
-          |          coalesce(m2, 0), coalesce(m1, 0)) END,
-          |      1) AS ps FROM jj)
-          |SELECT doc_id, host,
-          |  CASE WHEN hn > ps
-          |    THEN array_to_string(list_slice(hl, hn - ps, hn), '.')
-          |    ELSE host END AS url_site_psl,
+          |  FROM documents)""".stripMargin + sqlPslCtes +
+        s"""
+          |SELECT doc_id, host, url_site_psl,
           |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
           |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS url_site_fallback
-          |FROM sel""".stripMargin))
+          |FROM sited""".stripMargin)),
+
+    // Registrable-domain crawl quota (q210): the URL family closed
+    // end to end — the composition a crawl intake runs when its
+    // fairness grain is the REGISTRABLE DOMAIN rather than q207's
+    // host: canonicalize (q208's full chain: percent-decode, dot
+    // segments, port validity, tracking params) → URL-grain dedup
+    // (keeper = min doc per canonical identity; rejects excluded) →
+    // PSL site resolution on the keeper's canonical host (q209's
+    // depth-joins — exactly where the last-2-labels fallback would
+    // merge every co.uk tenant into one starved quota group) →
+    // q187/q193's max-min-fair waterfill at an 80% character budget
+    // keyed by url_site_psl. The synthesis varies hosts across the
+    // PSL rule forms WITH crawl noise the canonicalizer must fold
+    // first (scheme case, WWW. on the co.uk arm — whose site survives
+    // the www fold, userinfo, trailing root-dot on the .com arm, //
+    // path, tracking params, %17 relative rejects), and quads collide
+    // on canonical identity before any quota math. The DuckDB oracle
+    // re-executes all FOUR operators through the shared CTE chains
+    // (urlParseCtes + sqlPslCtes + sqlWaterfillFromKd — one
+    // definition per stage across q206-q210, zero drift). Shuffle
+    // story: canonicalization scan-side, ONE corpus Exchange for the
+    // url_canon dedup, 4 broadcast PSL joins (zero Exchange), one
+    // id-equi-join back to sizes, broadcast allocation, per-site
+    // prefix window — never a global sort.
+    Q("q210_site_quota",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val canon = graft.ingest.Urls.withCanonical(
+            syntheticUrls3(docs), "url")
+          .where(col("url_canon").isNotNull)
+        val keepers = canon.groupBy(col("url_canon"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("url_host")).as("url_host"))
+        val psl = graft.ingest.Urls.loadPsl(s, s"$pslFixtureRoot/psl.dat")
+        val sited = graft.ingest.Urls.withPslSite(keepers, "url_host", psl)
+        val kd = sited
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("url_site_psl").as("site"),
+            col("n_chars"))
+        Sampling.waterfillSample(kd, "doc_id", "site", "n_chars", 8000L)
+          .select(col("doc_id"), col("source").as("site"),
+            col("n_chars").cast("long").as("n_chars"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 17 = 0
+          |  THEN 'page/' || CAST(doc_id // 4 AS VARCHAR)
+          |  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+          |    || '://'
+          |    || (CASE WHEN doc_id % 19 = 0 THEN 'u:p@' ELSE '' END)
+          |    || (CASE
+          |         WHEN doc_id % 11 = 0 THEN 'localhost'
+          |         WHEN doc_id % 7 = 0 THEN 'WWW.a' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk'
+          |         WHEN doc_id % 7 = 1 THEN 'b' || CAST(doc_id % 3 AS VARCHAR) || '.Com.BR'
+          |         WHEN doc_id % 7 = 2 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.example.com.'
+          |         WHEN doc_id % 7 = 3 THEN 'shop.z' || CAST(doc_id % 2 AS VARCHAR) || '.ck'
+          |         WHEN doc_id % 7 = 4 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.www.ck'
+          |         WHEN doc_id % 7 = 5 THEN 'q' || CAST(doc_id % 4 AS VARCHAR) || '.test'
+          |         ELSE 'co.uk' END)
+          |    || '//d/' || lang || '/' || CAST(doc_id // 4 AS VARCHAR)
+          |    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=x'
+          |  END AS url FROM documents),
+          |""".stripMargin + urlParseCtes +
+        """,
+          |keep AS (SELECT url_canon, min(doc_id) AS doc_id FROM k
+          |  WHERE url_canon IS NOT NULL GROUP BY url_canon),
+          |hostsrc AS (SELECT keep.doc_id, k2.url_host AS host
+          |  FROM keep JOIN k k2 ON k2.doc_id = keep.doc_id)""".stripMargin +
+        sqlPslCtes +
+        """,
+          |kd AS (SELECT s.doc_id, s.url_site_psl AS g,
+          |    CAST(d.n_chars AS BIGINT) AS n_chars
+          |  FROM sited s JOIN documents d ON d.doc_id = s.doc_id)""".stripMargin +
+        sqlWaterfillFromKd("site")))
   )
 
   /** The q206/q207 synthetic messy-URL projection (the q58/q66/q205
@@ -6340,6 +6340,39 @@ object LlmQueries {
         .otherwise(messy).as("url"))
   }
 
+  /** q210's synthesis (oracle mirror inlined in its registration):
+    * PSL-exercising hosts under crawl noise the canonicalizer must
+    * fold first — see q210's registration comment. */
+  private def syntheticUrls3(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pid = expr("doc_id DIV 4").cast("string")
+    val host =
+      when(col("doc_id") % 11 === 0, lit("localhost"))
+        .when(col("doc_id") % 7 === 0,
+          concat(lit("WWW.a"), (col("doc_id") % 4).cast("string"), lit(".co.uk")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("b"), (col("doc_id") % 3).cast("string"), lit(".Com.BR")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("x"), (col("doc_id") % 5).cast("string"), lit(".example.com.")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("shop.z"), (col("doc_id") % 2).cast("string"), lit(".ck")))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("sub"), (col("doc_id") % 3).cast("string"), lit(".www.ck")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("q"), (col("doc_id") % 4).cast("string"), lit(".test")))
+        .otherwise(lit("co.uk"))
+    val messy = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 19 === 0, lit("u:p@")).otherwise(lit("")),
+      host,
+      lit("//d/"), col("lang"), lit("/"), pid,
+      lit("?id="), pid, lit("&utm_source=x"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, concat(lit("page/"), pid))
+        .otherwise(messy).as("url"))
+  }
+
   /** DuckDB mirror of [[graft.ingest.Urls.percentDecodeUnreserved]]
     * applied to expression `e`: split on `%`, decode fragments whose
     * 2-hex prefix matches the SHARED [[graft.ingest.Urls.unresHexRe]]
@@ -6368,6 +6401,99 @@ object LlmQueries {
       s"regexp_replace($acc, '$popSegmentRe', '/', 'g')")
     s"regexp_replace($popped, '$underflowRe', '/', 'g')"
   }
+
+  /** The q207/q210 shared waterfill closed form (q187/q193's math):
+    * FROM a prior CTE `kd` = (doc_id, g, n_chars) to the kept rows at
+    * the 80% budget, with `g` aliased back to the query's grain name
+    * in the final select. One definition serves the host-grain (q207)
+    * and registrable-domain-grain (q210) quotas — zero drift. */
+  private def sqlWaterfillFromKd(gAlias: String): String =
+    s""",
+      |a AS (SELECT g, CAST(sum(n_chars) AS BIGINT) AS avail
+      |  FROM kd GROUP BY 1),
+      |t AS (SELECT count(*) AS n, CAST(sum(avail) AS HUGEINT) AS tot
+      |  FROM a),
+      |s AS (SELECT g, avail,
+      |    row_number() OVER (ORDER BY avail, g) AS rn,
+      |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, g
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS HUGEINT) AS p
+      |  FROM a),
+      |s2 AS (SELECT s.g, s.avail, s.rn, s.p,
+      |    t.tot * 8000 // 10000 AS b,
+      |    t.n - s.rn + 1 AS m,
+      |    (CAST(s.avail AS HUGEINT) * (t.n - s.rn + 1) + s.p
+      |      <= t.tot * 8000 // 10000) AS sat
+      |  FROM s, t),
+      |pv AS (SELECT p AS pp, m AS pm FROM s2 WHERE NOT sat
+      |  ORDER BY rn LIMIT 1),
+      |al AS (SELECT s2.g,
+      |    CAST(CASE WHEN sat THEN avail
+      |      ELSE (b - pp) // pm +
+      |        (CASE WHEN m <= (b - pp) % pm THEN 1 ELSE 0 END)
+      |      END AS BIGINT) AS alloc
+      |  FROM s2 LEFT JOIN pv ON TRUE),
+      |r AS (SELECT doc_id, g, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY g
+      |      ORDER BY md5('wf:' || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM kd)
+      |SELECT r.doc_id, r.g AS $gAlias, r.n_chars
+      |FROM r JOIN al ON r.g = al.g
+      |WHERE r.cum <= al.alloc""".stripMargin
+
+  /** The q209/q210 shared PSL oracle chain: FROM a prior CTE
+    * `hostsrc` = (doc_id, host) to CTE `sited` = (doc_id, host,
+    * url_site_psl) — the [[graft.ingest.Urls.loadPsl]] parse
+    * (read_text on the same committed fixture both engines read) and
+    * the [[graft.ingest.Urls.withPslSite]] depth-join + selection,
+    * re-expressed in SQL once and reused by both gates. */
+  private def sqlPslCtes: String =
+    s""",
+      |rl AS (SELECT trim(line) AS line FROM (
+      |    SELECT unnest(string_split(content, chr(10))) AS line
+      |    FROM read_text('$pslFixtureRoot/psl.dat'))),
+      |pr AS (SELECT lower(CASE WHEN line LIKE '!%' THEN substr(line, 2)
+      |      WHEN line LIKE '*.%' THEN substr(line, 3)
+      |      ELSE line END) AS key,
+      |    line LIKE '!%' AS exc, line LIKE '*.%' AS wild
+      |  FROM rl WHERE line <> '' AND NOT line LIKE '//%'),
+      |pk AS (SELECT key, CAST(len(string_split(key, '.')) AS INT) AS klab, exc,
+      |    CAST(CASE WHEN exc THEN len(string_split(key, '.')) - 1
+      |      WHEN wild THEN len(string_split(key, '.')) + 1
+      |      ELSE len(string_split(key, '.')) END AS INT) AS ps_len
+      |  FROM pr),
+      |psl AS (SELECT key, klab,
+      |    max(CASE WHEN exc THEN ps_len END) AS exc_ps,
+      |    max(CASE WHEN NOT exc THEN ps_len END) AS norm_ps
+      |  FROM pk WHERE klab <= 4 GROUP BY 1, 2),
+      |hx AS (SELECT doc_id, host, string_split(host, '.') AS hl,
+      |    CAST(len(string_split(host, '.')) AS INT) AS hn FROM hostsrc),
+      |jj AS (SELECT h.doc_id, h.host, h.hl, h.hn,
+      |    p1.exc_ps AS e1, p1.norm_ps AS m1,
+      |    p2.exc_ps AS e2, p2.norm_ps AS m2,
+      |    p3.exc_ps AS e3, p3.norm_ps AS m3,
+      |    p4.exc_ps AS e4, p4.norm_ps AS m4
+      |  FROM hx h
+      |  LEFT JOIN psl p1 ON p1.klab = 1 AND h.hn >= 1
+      |    AND array_to_string(list_slice(h.hl, h.hn, h.hn), '.') = p1.key
+      |  LEFT JOIN psl p2 ON p2.klab = 2 AND h.hn >= 2
+      |    AND array_to_string(list_slice(h.hl, h.hn - 1, h.hn), '.') = p2.key
+      |  LEFT JOIN psl p3 ON p3.klab = 3 AND h.hn >= 3
+      |    AND array_to_string(list_slice(h.hl, h.hn - 2, h.hn), '.') = p3.key
+      |  LEFT JOIN psl p4 ON p4.klab = 4 AND h.hn >= 4
+      |    AND array_to_string(list_slice(h.hl, h.hn - 3, h.hn), '.') = p4.key),
+      |sited AS (SELECT doc_id, host,
+      |    CASE WHEN hn > ps
+      |      THEN array_to_string(list_slice(hl, hn - ps, hn), '.')
+      |      ELSE host END AS url_site_psl
+      |  FROM (SELECT doc_id, host, hl, hn,
+      |      coalesce(e4, e3, e2, e1,
+      |        CASE WHEN greatest(coalesce(m4, 0), coalesce(m3, 0),
+      |            coalesce(m2, 0), coalesce(m1, 0)) > 0
+      |          THEN greatest(coalesce(m4, 0), coalesce(m3, 0),
+      |            coalesce(m2, 0), coalesce(m1, 0)) END,
+      |        1) AS ps FROM jj))""".stripMargin
 
   /** The q206/q207/q208 shared oracle parse chain: FROM a synthesis
     * CTE `u` = (doc_id, url) → percent-decode → parse → host/port

