@@ -38,6 +38,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // record the input layout's scan parallelism so CPU-dense scan-side
+    // chains can fan out when the layout under-parallelizes them
+    // (ops/Skew.fanOutForCpu; no-op at cluster-scale layouts)
+    graft.ops.Skew.recordScanParallelism(spark, sfDir)
 
     // warmup: touch every table once, exercise codegen + IO paths
     Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>

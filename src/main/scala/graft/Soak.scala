@@ -139,6 +139,13 @@ object Soak {
       // SPARK_GRAFT_MEM conf actually ran at 8g and OOM-crashed.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fan-out layout probe (ops/Skew.fanOutForCpu), on the DERIVED
+    // corpus's projected bytes — same source-bytes × replicas ruler as
+    // the shuffle sizing above
+    spark.conf.set(graft.ops.Skew.ScanParallelismKey,
+      math.max(1L, graft.ops.Skew.dirBytes(
+        spark.sparkContext.hadoopConfiguration, srcDir) * replicas
+        / (128L << 20)).toString)
 
     // ---- derive the corpus ----
     val reps = spark.range(replicas.toLong)

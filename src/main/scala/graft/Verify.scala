@@ -33,6 +33,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same fan-out layout probe as Bench (ops/Skew.fanOutForCpu) — the
+    // verify dumps must run the exact plans the bench times, so the
+    // DuckDB gate certifies the fanned-out shape
+    graft.ops.Skew.recordScanParallelism(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -208,7 +208,18 @@ object TextFunctions {
       struct(size(filter(ws, w => w.isInCollection(words))).as("hits"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    // ONE greatest, ONE getField: the former when(best.hits > 0,
+    // best.lang) form referenced `best` twice, and because higher-order
+    // filter() lambdas are interpreted (no codegen, no CSE) that
+    // duplicated every per-language scorer — 2·|langs| array passes per
+    // row on the corpus-gate hot path. A sentinel (hits=0, 'und') row
+    // folded into the same greatest gives identical semantics in one
+    // evaluation: it wins exactly when every scorer is 0 ('und' sorts
+    // above all language codes at equal hits, and below any hits > 0),
+    // and ties at hits > 0 still resolve to the lexically largest code
+    // — the same order the DuckDB oracles' CASE ladders encode
+    // (r11 optimization; TextFunctionsSpec pins the tie/zero cases).
+    greatest(struct(lit(0).as("hits"), lit("und").as("lang")) +: scores: _*)
+      .getField("lang")
   }
 }

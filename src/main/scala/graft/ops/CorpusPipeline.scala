@@ -124,7 +124,17 @@ object CorpusPipeline {
     // staged: the gate chain (normalize + interpreted langId lambdas —
     // the most expensive per-row work in the pipeline) feeds BOTH sides
     // of keepMinPerHash's join-back (the id-only aggregate and the
-    // full-row probe); without the pin it runs twice
+    // full-row probe); without the pin it runs twice.
+    // r11 optimization NOTE: the predicate-pushdown duplication here
+    // (Catalyst substitutes the full tokenize+langId chain into the
+    // pushed-down gate filter over raw text — visible as a giant
+    // scan-side Filter in the plan) was measured and deliberately KEPT:
+    // a rand()-guard pushdown barrier on __w removed the double
+    // evaluation but interacted with the staged-cache/checkpoint loop
+    // so badly that q62 ran 2.5× SLOWER (16 s → 38-45 s, reproduced
+    // twice), and a pre-filter cache variant blew q69 up 4×. The
+    // duplicated chain is one extra scan-side pass; both alternatives
+    // lost more than they saved. See OPTIMIZATION_r11.md.
     val gated = Staged.stage(norm
       .withColumn("__w", TextFunctions.tokens(col("norm_text")))
       .withColumn("n_tokens", size(col("__w")).cast("long"))

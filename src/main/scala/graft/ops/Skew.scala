@@ -95,6 +95,80 @@ object Skew {
           .as("salt_buckets"))
   }
 
+  /** Scan-parallelism fan-out for CPU-dense per-row chains (the
+    * round-11 optimization round's measured finding): a scan that
+    * yields FEWER partitions than the cluster's parallelism serializes
+    * every scan-side projection on a handful of cores — the
+    * "unsplittable input" form of input skew (one file, one parquet
+    * row group: byte-range splitting can't parallelize it, because all
+    * rows land in the split holding the row group's midpoint). The
+    * engine deliberately pushes its per-row work scan-side (normalize,
+    * langId, URL canonicalization, shingling) to avoid shuffles, which
+    * makes those chains exactly the work such a scan serializes:
+    * profiled at sf0.1, the corpus-gate chain ran 2.7 s of CPU on ONE
+    * of 32 cores, and the q207 canonicalization 2.6 s — wall-clock
+    * that 32-way parallelism turns into ~0.1 s.
+    *
+    * The fix is the optimization guide's own remedy — "repartition
+    * immediately after the read" — made SCALE-ADAPTIVE: it engages
+    * only when the frame has fewer partitions than
+    * `defaultParallelism`, so on a real cluster (where a corpus scan
+    * yields thousands of splits ≥ cores) it is a structural no-op and
+    * the plan keeps its shuffle count; locally it inserts one
+    * id-hashed Exchange of the thin scan output. Hash partitioning on
+    * the caller's unique id (never round-robin) keeps the row→
+    * partition map DETERMINISTIC under task retry/speculation
+    * (SPARK-38388's lesson) and skips round-robin's
+    * sort-before-repartition pass. The explicit partition count marks
+    * the exchange REPARTITION_BY_NUM, which AQE respects (it would
+    * coalesce a bare repartition-by-column right back to one
+    * partition at these byte sizes — byte-based sizing is the wrong
+    * ruler for CPU-dense rows).
+    *
+    * The engagement test never inspects the frame (computing a
+    * DataFrame's partition count forces physical planning, and — under
+    * AQE, on a frame with upstream exchanges — executes stages at
+    * plan-BUILD time, which would corrupt the lazy-plan contract).
+    * Instead the session's entry point (Bench/Verify/Profile) probes
+    * the INPUT LAYOUT once — `ceil(dirBytes / maxPartitionBytes)`, the
+    * same arithmetic the file-scan planner applies — and records it as
+    * `spark.graft.scanParallelism`. The helper engages only when that
+    * recorded scan parallelism is below `defaultParallelism`; with the
+    * conf UNSET it is a structural no-op, so library users and the
+    * plan-pinning specs see the unmodified (cluster) plan shape.
+    *
+    * Results are invariant by construction: every downstream operator
+    * in this codebase is partition-order-independent (aggregations,
+    * equi-joins, explicitly-ordered windows — the house determinism
+    * discipline), and the full DuckDB oracle gate re-certifies it. */
+  def fanOutForCpu(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "fanOutForCpu needs at least one hash key")
+    val spark = df.sparkSession
+    val scanParts = spark.conf.getOption(ScanParallelismKey).map(_.toInt)
+    val target = spark.sparkContext.defaultParallelism
+    if (scanParts.forall(_ >= target)) df
+    else df.repartition(target, keys: _*)
+  }
+
+  /** Session conf key recording the input layout's scan parallelism —
+    * see [[fanOutForCpu]]. Set by entry points via
+    * [[recordScanParallelism]]; unset = assume the scan is already
+    * wide (the cluster default). */
+  val ScanParallelismKey = "spark.graft.scanParallelism"
+
+  /** Probe `sfDir`'s layout and record its scan parallelism on the
+    * session: the partition count the file-scan planner would give the
+    * directory's bytes at `spark.sql.files.maxPartitionBytes` — 1 for
+    * the single-file fixture tables, thousands at corpus scale. */
+  def recordScanParallelism(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): Unit = {
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val bytes = dirBytes(spark.sparkContext.hadoopConfiguration, sfDir)
+    spark.conf.set(ScanParallelismKey,
+      math.max(1L, (bytes + maxSplit - 1) / maxSplit).toString)
+  }
+
   /** The round-10 soak's partition-sizing lesson as a FUNCTION (it was
     * an env var, `SPARK_GRAFT_SHUFFLE`): q62's one superlinear cell at
     * 10× data was 78.8 GB of spill at the 32-partition local pin, and

@@ -6035,15 +6035,21 @@ object LlmQueries {
     Q("q207_host_quota",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // fan out before the canonicalization chain (its regex folds
+        // are the query's CPU, profiled 2.6 s single-task at sf0.1) and
+        // STAGE kd: the waterfill reads its input twice (group-grain
+        // aggregate + corpus-grain window) — unstaged, each branch
+        // re-ran the whole canon+dedup+join subtree
         val canon = graft.ingest.Urls.withCanonical(
-            syntheticUrls(docs), "url")
+            graft.ops.Skew.fanOutForCpu(syntheticUrls(docs),
+              Seq(col("doc_id"))), "url")
           .where(col("url_canon").isNotNull)
         val keepers = canon.groupBy(col("url_canon"))
           .agg(min(col("doc_id")).as("doc_id"),
             min(col("url_host")).as("url_host"))
-        val kd = keepers
+        val kd = graft.ops.Staged.stage(keepers
           .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-          .select(col("doc_id"), col("url_host"), col("n_chars"))
+          .select(col("doc_id"), col("url_host"), col("n_chars")))
         Sampling.waterfillSample(kd, "doc_id", "url_host", "n_chars", 8000L)
           .select(col("doc_id"), col("source").as("url_host"),
             col("n_chars").cast("long").as("n_chars"))
@@ -6217,18 +6223,21 @@ object LlmQueries {
     Q("q210_site_quota",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // same two fixes as q207: fan out the scan-side canon chain,
+        // stage kd against the waterfill's double read
         val canon = graft.ingest.Urls.withCanonical(
-            syntheticUrls3(docs), "url")
+            graft.ops.Skew.fanOutForCpu(syntheticUrls3(docs),
+              Seq(col("doc_id"))), "url")
           .where(col("url_canon").isNotNull)
         val keepers = canon.groupBy(col("url_canon"))
           .agg(min(col("doc_id")).as("doc_id"),
             min(col("url_host")).as("url_host"))
         val psl = graft.ingest.Urls.loadPsl(s, s"$pslFixtureRoot/psl.dat")
         val sited = graft.ingest.Urls.withPslSite(keepers, "url_host", psl)
-        val kd = sited
+        val kd = graft.ops.Staged.stage(sited
           .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .select(col("doc_id"), col("url_site_psl").as("site"),
-            col("n_chars"))
+            col("n_chars")))
         Sampling.waterfillSample(kd, "doc_id", "site", "n_chars", 8000L)
           .select(col("doc_id"), col("source").as("site"),
             col("n_chars").cast("long").as("n_chars"))
