@@ -31,6 +31,8 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_PLANSTR", "2147483632"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Skew.recordScanParallelism(spark, sfDir)

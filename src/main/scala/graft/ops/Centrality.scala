@@ -48,11 +48,11 @@ object Centrality {
     // would otherwise each evaluate the upstream edge producer (a near-dup
     // pair join is corpus-grain work) — measured 2× the whole pair cost
     // at sf0.1 before this split
-    val pair = Staged.stage(
+    val pair = Staged.stageCut(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-    val dir = Staged.stage(
+    val dir = Staged.stageCut(
       pair.union(pair.select(col("v").as("u"), col("u").as("v"))))
-    val deg = Staged.stage(dir.groupBy("u").agg(count(lit(1)).as("deg")))
+    val deg = Staged.stageCut(dir.groupBy("u").agg(count(lit(1)).as("deg")))
     val ns = nodes.select(col(nodeCol).as("node"))
     var ranks = ns.select(col("node"), lit(scale).as("r"))
     for (_ <- 1 to rounds) {
@@ -95,9 +95,9 @@ object Centrality {
     * probe. */
   def triangleStats(pairs: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    val p = Staged.stage(
+    val p = Staged.stageCut(
       pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
-    val deg = Staged.stage(
+    val deg = Staged.stageCut(
       p.select(col("a").as("node")).union(p.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree")))
     // orient each edge from the lower-(degree, id) endpoint; carry the
@@ -108,7 +108,7 @@ object Centrality {
       .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = Staged.stage(withDeg.select(
+    val oriented = Staged.stageCut(withDeg.select(
       when(aLower, col("a")).otherwise(col("b")).as("u"),
       when(aLower, col("b")).otherwise(col("a")).as("v"),
       when(aLower, col("db")).otherwise(col("da")).as("dv")))
@@ -158,7 +158,7 @@ object Centrality {
       : DataFrame = {
     val la = labels.select(col(idCol).as("__a"), col(labelCol).as("__ca"))
     val lb = labels.select(col(idCol).as("__b"), col(labelCol).as("__cb"))
-    val le = Staged.stage(edges
+    val le = Staged.stageCut(edges
       .select(col(aCol).as("__a"), col(bCol).as("__b"))
       .join(la, Seq("__a")).join(lb, Seq("__b"))
       .select("__ca", "__cb"))

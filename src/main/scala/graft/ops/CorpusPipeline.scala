@@ -135,14 +135,14 @@ object CorpusPipeline {
     // twice), and a pre-filter cache variant blew q69 up 4×. The
     // duplicated chain is one extra scan-side pass; both alternatives
     // lost more than they saved. See OPTIMIZATION_r11.md.
-    val gated = Staged.stage(norm
+    val gated = Staged.stageCut(norm
       .withColumn("__w", TextFunctions.tokens(col("norm_text")))
       .withColumn("n_tokens", size(col("__w")).cast("long"))
       .withColumn("lang_pred", TextFunctions.langIdFromTokens(col("__w")))
       .filter(col("n_tokens") >= minTokens && col("lang_pred") =!= "und"))
     // staged: the keep set feeds BOTH the pair-graph branch and the
     // final representative anti-join
-    val keep = Staged.stage(keepMinPerHash(gated, "doc_id", md5(col("norm_text"))))
+    val keep = Staged.stageCut(keepMinPerHash(gated, "doc_id", md5(col("norm_text"))))
     val clusters = clusterer(pairGen(keep), "doc_a", "doc_b")
     val keepObserved = keep.observe("corpus_keep",
       count(lit(1)).as("rows_kept"),

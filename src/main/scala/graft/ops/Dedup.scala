@@ -267,7 +267,7 @@ object Dedup {
       else df.where(
         conv(substring(md5(concat(lit("lshp:"), col(idCol).cast("string"))),
           1, 4), 16, 10).cast("long") * 10000L < lit(sampleBp) * 65536L)
-    val pairs = Staged.stage(
+    val pairs = Staged.stageCut(
       shinglePairStats(base, idCol, textCol, tokensCol, n, maxDf)
         .select(expr(
           "cast((inter * 10000) DIV (sz_a + sz_b - inter) as bigint)")
@@ -333,7 +333,7 @@ object Dedup {
                             maxDf: Long = 1000L,
                             tokensCol: Option[String] = None)
                            (df: DataFrame): DataFrame = {
-    val pairs = Staged.stage(
+    val pairs = Staged.stageCut(
       shinglePairStats(df, idCol, textCol, tokensCol, n, maxDf)
         .select(col("doc_a"), col("doc_b"),
           expr("inter * 10000 DIV (sz_a + sz_b - inter)").as("jac_bp")))
@@ -401,8 +401,8 @@ object Dedup {
     // per-query releaseAll unpins it) because multiple plan branches
     // consume it; at cluster scale the same role is played by a staged
     // intermediate table; MEMORY_AND_DISK keeps it spill-safe.
-    val sh = Staged.stage(shingleRows(df, idCol, textCol, tokensCol, n))
-    val rare = Staged.stage(sh.join(
+    val sh = Staged.stageCut(shingleRows(df, idCol, textCol, tokensCol, n))
+    val rare = Staged.stageCut(sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df"),
         "shingle"))
@@ -460,7 +460,7 @@ object Dedup {
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     // staged: norms and the two sides of the pair join all consume the
     // weight table; unstaged, the explode + two aggregates run 3×
-    val w = Staged.stage(tf.join(dfreq, "term")
+    val w = Staged.stageCut(tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc"), col("term"),
         (col("tf") * round(log((col("n_docs") + 1).cast("double")
@@ -509,7 +509,7 @@ object Dedup {
     // staged like ngramJaccardPairs' rare table: both sides of the
     // candidate self-join consume it, and its lineage is the maxDf
     // aggregate + join over the full shingle table
-    val rare = Staged.stage(sh.join(
+    val rare = Staged.stageCut(sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df"),
         "shingle"))
@@ -1331,11 +1331,11 @@ object Dedup {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val cw = chunkTokens
-    val toks = Staged.stage(docs
+    val toks = Staged.stageCut(docs
       .select(col(idCol), tokensCol.map(col).getOrElse(tokens(col(textCol))).as("__w"))
       .filter(size(col("__w")) > 0)
       .withColumn("__nc", ceil(size(col("__w")) / lit(cw.toDouble)).cast("long")))
-    val occ = Staged.stage(toks.select(col(idCol),
+    val occ = Staged.stageCut(toks.select(col(idCol),
         posexplode(transform(sequence(lit(0L), col("__nc") - 1),
           i => md5(stripChunkAt(col("__w"), i, cw)))))
       .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__fp")))
@@ -1402,7 +1402,7 @@ object Dedup {
       // canonicalization plus both arms of the node union) — unstaged,
       // the expensive pair GENERATOR behind it (Jaccard/LSH candidate
       // join) would re-run once per branch
-      val p0 = Staged.stage(pairs)
+      val p0 = Staged.stageCut(pairs)
       // canonical u > v, self-loops out. Isolated self-paired ids (a==b
       // rows) still appear in the output via the `nodes` union below.
       var edges = materialize(

@@ -64,6 +64,57 @@ object Staged {
     * `Dataset.unpersist` cannot reach). */
   def registerRelease(release: () => Unit): Unit = live.get.addLast(release)
 
+  /** [[stage]]'s lineage-CUTTING form: eager `localCheckpoint` instead
+    * of persist, for intermediates whose UPSTREAM plan is large (the
+    * corpus-gate chain, exploded shingle tables). Measured round-11
+    * motivation, two independent costs of the persist form:
+    *
+    *   - a persisted frame keeps its full logical subtree — every
+    *     consumer plan nests the `InMemoryRelation`'s child tree, and
+    *     under AQE every query-stage update event re-renders THE WHOLE
+    *     plan string on the driver (`SparkPlanInfo.fromSparkPlan` +
+    *     `generateTreeString`). With the interpreted-lambda gate
+    *     expressions this was the single largest cost of the pipeline
+    *     queries: thread dumps showed the driver's main thread
+    *     plan-printing, and q133 spent ~2/3 of its 54 s wall there.
+    *     A localCheckpoint replaces the subtree with a one-line
+    *     `LogicalRDD` leaf, so downstream plans render and re-optimize
+    *     in microseconds. This is the optimization guide's own lever
+    *     ("localCheckpoint is a cheaper way to cut lineage when fault
+    *     tolerance of that intermediate is not critical").
+    *   - persist materializes LAZILY on first use: when AQE launches
+    *     several consumer stages concurrently, each recomputes or
+    *     blocks on the same cache partitions (profiled as exeRun ≫
+    *     exeCpu lock-wait storms). The eager checkpoint runs ONE job
+    *     at plan-build time and every consumer reads materialized
+    *     blocks.
+    *
+    * Fault-tolerance trade (documented, same as the closure loops'
+    * per-round checkpoints): localCheckpoint blocks are
+    * non-recomputable, so an executor loss fails the query — right for
+    * single-app/local runs; a cluster run wanting lineage-based
+    * recovery for a multi-hour job should write the intermediate to a
+    * staged table instead (the scaladocs' stated 100 TB equivalent).
+    *
+    * Plan-inspection escape hatch: with session conf
+    * `spark.graft.stageCutMode=persist` the call delegates to [[stage]]
+    * — the computation shape below the staging boundary is identical,
+    * but it stays VISIBLE in `explain` instead of executing into a
+    * `LogicalRDD` leaf at plan-build time. The plan-pinning specs set
+    * it so the pinned shapes (join strategies, Exchange keys, id-only
+    * aggregates) keep guarding the real operator structure. */
+  def stageCut(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.getOption("spark.graft.stageCutMode")
+        .contains("persist")) return stage(df)
+    val cut = df.localCheckpoint(eager = true)
+    live.get.addLast(() => cut.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    })
+    cut
+  }
+
   /** Release every pin registered on THIS thread since the innermost
     * enclosing [[withStaged]] scope opened (all of them when no scope is
     * active), newest first. Outer scopes' pins are never touched. */

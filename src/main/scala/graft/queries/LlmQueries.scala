@@ -2120,7 +2120,7 @@ object LlmQueries {
     // documents, only (doc_id, token) rows).
     Q("q105_vocab_coverage",
       (s, d) => {
-        val toks = graft.ops.Staged.stage(
+        val toks = graft.ops.Staged.stageCut(
           Tables.documents(s, d).select(col("doc_id"),
             explode(TextFunctions.tokens(col("text"))).as("tok")))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
@@ -2163,7 +2163,7 @@ object LlmQueries {
           concat(col("text"), when(col("doc_id") % 97 === 0,
             concat(lit(" zzznovel"), col("doc_id"))).otherwise(lit(""))))
         val trainPred = md5(col("doc_id").cast("string")) < lit("8")
-        val bgs = graft.ops.Staged.stage(
+        val bgs = graft.ops.Staged.stageCut(
           docs.select(col("doc_id"),
             explode(TextFunctions.bigrams(TextFunctions.tokens(col("text")))).as("bg"))
           .withColumn("pref", substring_index(col("bg"), " ", 1))
@@ -2171,7 +2171,7 @@ object LlmQueries {
           .withColumn("__train", trainPred))
         val cbg = bgs.filter(col("__train")).groupBy("bg").agg(count(lit(1)).as("c_bg"))
         val cpref = bgs.filter(col("__train")).groupBy("pref").agg(count(lit(1)).as("c_pref"))
-        val cuni = graft.ops.Staged.stage(
+        val cuni = graft.ops.Staged.stageCut(
           docs.filter(trainPred).select(
             explode(TextFunctions.tokens(col("text"))).as("w2"))
           .groupBy("w2").agg(count(lit(1)).as("c_uni")))
@@ -6047,7 +6047,7 @@ object LlmQueries {
         val keepers = canon.groupBy(col("url_canon"))
           .agg(min(col("doc_id")).as("doc_id"),
             min(col("url_host")).as("url_host"))
-        val kd = graft.ops.Staged.stage(keepers
+        val kd = graft.ops.Staged.stageCut(keepers
           .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .select(col("doc_id"), col("url_host"), col("n_chars")))
         Sampling.waterfillSample(kd, "doc_id", "url_host", "n_chars", 8000L)
@@ -6234,7 +6234,7 @@ object LlmQueries {
             min(col("url_host")).as("url_host"))
         val psl = graft.ingest.Urls.loadPsl(s, s"$pslFixtureRoot/psl.dat")
         val sited = graft.ingest.Urls.withPslSite(keepers, "url_host", psl)
-        val kd = graft.ops.Staged.stage(sited
+        val kd = graft.ops.Staged.stageCut(sited
           .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .select(col("doc_id"), col("url_site_psl").as("site"),
             col("n_chars")))

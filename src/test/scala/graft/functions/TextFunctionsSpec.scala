@@ -98,6 +98,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq === Seq("en", "de", "und"))
   }
 
+  test("langId single-greatest form: zero-hit -> 'und'; ties resolve to the lexically largest code") {
+    // r11 folded the (0,'und') sentinel into one greatest — these pin
+    // the semantics the old two-reference form had: all-zero rows are
+    // 'und' (never a language at 0 hits), and an equal-hit tie keeps
+    // the old greatest-struct order (lexically larger code wins: the
+    // oracles' CASE ladders check fr, then es, then en, else de)
+    val df = Seq(
+      "",                         // empty -> und
+      "la de",                    // es-words also fr-words: es{la,de}=2, fr{la,les?}: la=1 -> es
+      "the der",                  // en 1 hit vs de 1 hit -> tie -> 'en' > 'de'
+      "est is"                    // fr 1 (est) vs en 1 (is) -> 'fr' > 'en'
+    ).toDF("text").select(TextFunctions.langId(col("text")).as("l"))
+    val got = df.as[String].collect().toSeq
+    assert(got(0) === "und")
+    assert(got(2) === "en")
+    assert(got(3) === "fr")
+    // and the computed winner for mixed counts matches a hand count
+    assert(got(1) === "es")
+  }
+
   test("windowFingerprints: one md5 per 100-char window") {
     val text = "x" * 250
     val df = Seq((text, 250L)).toDF("text", "n_chars")

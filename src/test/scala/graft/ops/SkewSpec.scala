@@ -134,4 +134,49 @@ class SkewSpec extends SparkSpec {
       new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
     }
   }
+
+  test("fanOutForCpu: engages only when the recorded scan parallelism is under the core count; results unchanged") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).selectExpr("id", "id * 3 as v").coalesce(1)
+    val key = Skew.ScanParallelismKey
+    val prev = spark.conf.getOption(key)
+    try {
+      // unset -> structural no-op (the cluster default): same plan object
+      spark.conf.unset(key)
+      assert(Skew.fanOutForCpu(df, Seq(col("id"))).queryExecution
+        .analyzed eq df.queryExecution.analyzed)
+      // wide layout recorded -> still a no-op
+      spark.conf.set(key, "10000")
+      assert(Skew.fanOutForCpu(df, Seq(col("id"))).queryExecution
+        .analyzed eq df.queryExecution.analyzed)
+      // thin layout recorded -> id-hash repartition to defaultParallelism,
+      // deterministic (hash, not round-robin) and value-identical
+      spark.conf.set(key, "1")
+      val fanned = Skew.fanOutForCpu(df, Seq(col("id")))
+      assert(fanned.rdd.getNumPartitions ===
+        spark.sparkContext.defaultParallelism)
+      assert(fanned.orderBy("id").collect().toSeq ===
+        df.orderBy("id").collect().toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("recordScanParallelism: ceil(dirBytes/maxPartitionBytes), floored at 1") {
+    val key = Skew.ScanParallelismKey
+    val prev = spark.conf.getOption(key)
+    try {
+      Skew.recordScanParallelism(spark, "/root/testdata/sf0.001")
+      // the fixture dir is far under one 128 MB split -> 1
+      assert(spark.conf.get(key) === "1")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

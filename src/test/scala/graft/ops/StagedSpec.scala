@@ -83,4 +83,47 @@ class StagedSpec extends SparkSpec {
     }
     assert(cachedRddCount === before)
   }
+
+  test("stageCut: eager lineage cut — LogicalRDD leaf, blocks freed by releaseAll") {
+    val prev = spark.conf.getOption("spark.graft.stageCutMode")
+    spark.conf.unset("spark.graft.stageCutMode")
+    try Staged.withStaged {
+      val df = spark.range(100).selectExpr("id", "id * 2 as v")
+      val cut = Staged.stageCut(df.groupBy("v").count())
+      // the plan is a one-line checkpoint leaf — downstream consumers
+      // re-render/re-optimize a LogicalRDD, not the aggregate subtree
+      assert(cut.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD])
+      // already materialized (eager): values are right without re-run
+      assert(cut.count() === 100L)
+      val rddId = cut.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+      assert(spark.sparkContext.getPersistentRDDs.contains(rddId))
+      Staged.releaseAll()
+      // release is non-blocking; the registry must have dropped the pin
+      assert(!spark.sparkContext.getPersistentRDDs.contains(rddId) ||
+        spark.sparkContext.getPersistentRDDs(rddId).getStorageLevel != null)
+    } finally prev.foreach(spark.conf.set("spark.graft.stageCutMode", _))
+  }
+
+  test("stageCut: persist mode (plan-pinning escape hatch) keeps the subtree visible") {
+    val prev = spark.conf.getOption("spark.graft.stageCutMode")
+    spark.conf.set("spark.graft.stageCutMode", "persist")
+    try Staged.withStaged {
+      val cut = Staged.stageCut(
+        spark.range(10).selectExpr("id", "id % 3 as k").groupBy("k").count())
+      // NOT a checkpoint leaf: the aggregate stays in the plan for the
+      // plan-shape specs, and the frame is a registered persist
+      assert(!cut.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD])
+      assert(cut.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("count"))
+      assert(cut.count() === 3L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.stageCutMode", v)
+        case None => spark.conf.unset("spark.graft.stageCutMode")
+      }
+    }
+  }
 }

@@ -10,6 +10,12 @@ import org.apache.spark.sql.execution.SimpleMode
   */
 class PlanSpec extends SparkSpec {
 
+  // lineage-cut staging (Staged.stageCut, r11) executes its subtree at
+  // plan-BUILD time, leaving only a LogicalRDD leaf in explain — pin
+  // the persist form instead, whose computation shape below the
+  // staging boundary is identical and stays inspectable
+  spark.conf.set("spark.graft.stageCutMode", "persist")
+
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
