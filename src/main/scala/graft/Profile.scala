@@ -36,6 +36,10 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Skew.recordScanParallelism(spark, sfDir)
+    // SPARK_GRAFT_STAGEMODE=persist dumps plans with staging boundaries
+    // left visible (Staged.stageCut's plan-inspection mode)
+    sys.env.get("SPARK_GRAFT_STAGEMODE")
+      .foreach(m => spark.conf.set("spark.graft.stageCutMode", m))
 
     // warmup identical to Bench so codegen/IO startup isn't charged
     Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>

@@ -107,9 +107,15 @@ object Staged {
     if (df.sparkSession.conf.getOption("spark.graft.stageCutMode")
         .contains("persist")) return stage(df)
     val cut = df.localCheckpoint(eager = true)
+    // BLOCKING release (unlike stage's): checkpoint blocks are
+    // deserialized row storage — bigger than a columnar cache — and an
+    // async free lets them pile up into the NEXT query's run (measured:
+    // untouched q51 inflated 7.4→13.2 s mid-bench from neighbors'
+    // lingering blocks). Synchronous removal charges the cleanup to the
+    // query that created the blocks, which is the honest accounting.
     live.get.addLast(() => cut.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
+        l.rdd.unpersist(blocking = true)
       case _ =>
     })
     cut
